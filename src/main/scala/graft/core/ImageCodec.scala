@@ -1,0 +1,189 @@
+package graft.core
+
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.{IIOImage, ImageIO, ImageWriteParam}
+
+/**
+ * Image kernel: decode / encode / stitch / crop / metrics. Pure JVM
+ * (javax.imageio), zero native deps.
+ *
+ * Raw pixel form: row-major, 3 bytes per pixel in **BGR** order — matching
+ * cv2.imread's layout (reference lib/layers.py:196) so crop/stitch goldens
+ * are directly comparable.
+ *
+ * Encoding uses a fixed JPEG quality (0.9) so outputs are deterministic and
+ * the decode->re-encode PSNR >= 40 dB bar (BASELINE.json north_star) is
+ * measurable.
+ */
+object ImageCodec {
+  final case class Raw(h: Int, w: Int, bgr: Array[Byte])
+
+  val JpegQuality = 0.9f
+
+  def decode(bytes: Array[Byte]): Raw = {
+    val img = ImageIO.read(new ByteArrayInputStream(bytes))
+    require(img != null, "undecodable image bytes")
+    val h = img.getHeight; val w = img.getWidth
+    val out = new Array[Byte](h * w * 3)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val i = (y * w + x) * 3
+        out(i) = (rgb & 0xFF).toByte           // B
+        out(i + 1) = ((rgb >> 8) & 0xFF).toByte  // G
+        out(i + 2) = ((rgb >> 16) & 0xFF).toByte // R
+        x += 1
+      }
+      y += 1
+    }
+    Raw(h, w, out)
+  }
+
+  def encode(raw: Raw, fmt: String): Array[Byte] = {
+    val img = new BufferedImage(raw.w, raw.h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < raw.h) {
+      var x = 0
+      while (x < raw.w) {
+        val i = (y * raw.w + x) * 3
+        val b = raw.bgr(i) & 0xFF; val g = raw.bgr(i + 1) & 0xFF; val r = raw.bgr(i + 2) & 0xFF
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    fmt.toLowerCase match {
+      case "jpeg" | "jpg" =>
+        val writer = ImageIO.getImageWritersByFormatName("jpeg").next()
+        val param = writer.getDefaultWriteParam
+        param.setCompressionMode(ImageWriteParam.MODE_EXPLICIT)
+        param.setCompressionQuality(JpegQuality)
+        val ios = ImageIO.createImageOutputStream(bos)
+        writer.setOutput(ios)
+        writer.write(null, new IIOImage(img, null, null), param)
+        ios.close(); writer.dispose()
+      case "png" =>
+        ImageIO.write(img, "png", bos)
+      case other => throw new IllegalArgumentException(s"unsupported fmt: $other")
+    }
+    bos.toByteArray
+  }
+
+  /** Place one tile at (px, py) of a mosaic canvas — the kernel of the
+    * stitch aggregate (reference lib/layers.py:187-201: row-major placement
+    * into an (htiles*256, wtiles*256, 3) canvas). Order-independent: the
+    * position is derived from the tile's cell offset, not arrival order. */
+  def blit(canvas: Raw, tile: Raw, px: Int, py: Int): Unit = {
+    var y = 0
+    while (y < tile.h) {
+      val cy = py + y
+      if (cy >= 0 && cy < canvas.h) {
+        var x = 0
+        while (x < tile.w) {
+          val cx = px + x
+          if (cx >= 0 && cx < canvas.w) {
+            val si = (y * tile.w + x) * 3
+            val di = (cy * canvas.w + cx) * 3
+            canvas.bgr(di) = tile.bgr(si)
+            canvas.bgr(di + 1) = tile.bgr(si + 1)
+            canvas.bgr(di + 2) = tile.bgr(si + 2)
+          }
+          x += 1
+        }
+      }
+      y += 1
+    }
+  }
+
+  /** numpy-slice crop `img[y0:y1, x0:x1]` with python clamping semantics:
+    * negative bounds clamp to 0, overlarge to the extent; empty slice ->
+    * 0-sized image (reference lib/layers.py:209, 242). */
+  def crop(src: Raw, y0in: Int, y1in: Int, x0in: Int, x1in: Int): Raw = {
+    val y0 = math.min(math.max(y0in, 0), src.h)
+    val y1 = math.min(math.max(y1in, 0), src.h)
+    val x0 = math.min(math.max(x0in, 0), src.w)
+    val x1 = math.min(math.max(x1in, 0), src.w)
+    val h = math.max(y1 - y0, 0); val w = math.max(x1 - x0, 0)
+    val out = new Array[Byte](h * w * 3)
+    var y = 0
+    while (y < h) {
+      System.arraycopy(src.bgr, ((y0 + y) * src.w + x0) * 3, out, y * w * 3, w * 3)
+      y += 1
+    }
+    Raw(h, w, out)
+  }
+
+  /** Center crop around (cx, cy): img[cy-h/2 : cy+h/2, cx-w/2 : cx+w/2]
+    * with python floor-division — reference lib/layers.py:203-210. */
+  def centerCrop(src: Raw, cx: Int, cy: Int, h: Int, w: Int): Raw =
+    crop(src, cy - h / 2, cy + h / 2, cx - w / 2, cx + w / 2)
+
+  /** PSNR in dB between two same-shape images (peak 255). Infinity if equal. */
+  def psnr(a: Raw, b: Raw): Double = {
+    require(a.h == b.h && a.w == b.w, "shape mismatch")
+    var se = 0.0
+    var i = 0
+    val n = a.bgr.length
+    while (i < n) {
+      val d = (a.bgr(i) & 0xFF) - (b.bgr(i) & 0xFF)
+      se += d.toDouble * d
+      i += 1
+    }
+    if (se == 0) Double.PositiveInfinity
+    else 10.0 * math.log10(255.0 * 255.0 / (se / n))
+  }
+
+  /** Mean BGR color (reference minimap.py:28 `img.mean(axis=0).mean(axis=0)`). */
+  def meanColor(a: Raw): (Double, Double, Double) = {
+    var sb = 0L; var sg = 0L; var sr = 0L
+    var i = 0
+    while (i < a.bgr.length) {
+      sb += a.bgr(i) & 0xFF; sg += a.bgr(i + 1) & 0xFF; sr += a.bgr(i + 2) & 0xFF
+      i += 3
+    }
+    val n = (a.bgr.length / 3).toDouble
+    (sb / n, sg / n, sr / n)
+  }
+
+  /** 64-bit average hash: downscale to 8x8 grayscale by box averaging, then
+    * bit i = 1 if cell-luma > mean. Deterministic pure-integer pipeline. */
+  def phash(a: Raw): Long = {
+    val cells = new Array[Long](64)
+    val counts = new Array[Long](64)
+    var y = 0
+    while (y < a.h) {
+      val gy = math.min(y * 8 / math.max(a.h, 1), 7)
+      var x = 0
+      while (x < a.w) {
+        val gx = math.min(x * 8 / math.max(a.w, 1), 7)
+        val i = (y * a.w + x) * 3
+        // integer luma: (r*299 + g*587 + b*114) / 1000
+        val luma = ((a.bgr(i + 2) & 0xFF) * 299L + (a.bgr(i + 1) & 0xFF) * 587L + (a.bgr(i) & 0xFF) * 114L) / 1000L
+        cells(gy * 8 + gx) += luma
+        counts(gy * 8 + gx) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var total = 0L; var nc = 0L
+    var k = 0
+    while (k < 64) {
+      if (counts(k) > 0) { cells(k) = cells(k) / counts(k); total += cells(k); nc += 1 }
+      k += 1
+    }
+    val mean = if (nc > 0) total / nc else 0L
+    var hash = 0L
+    k = 0
+    while (k < 64) {
+      if (counts(k) > 0 && cells(k) > mean) hash |= 1L << k
+      k += 1
+    }
+    hash
+  }
+
+  @inline def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+}
