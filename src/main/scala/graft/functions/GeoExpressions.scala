@@ -1,0 +1,132 @@
+package graft.functions
+
+import graft.core.Mercator
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types._
+
+/**
+ * Custom Catalyst expressions for the hot path (SURVEY.md §2.9). Each
+ * generates a direct static call into [[GeoKernel]] so whole-stage codegen
+ * keeps the geo math in one tight primitive loop (north_star "batched
+ * columnar UDF": no boxing, no Scala-function dispatch, null handling via
+ * nullSafeCodeGen).
+ *
+ * Zoom and provider offsets are plan-time constants (they come from the
+ * pipeline definition, reference lib/layers.py:274-281), so they are
+ * constructor parameters, not children — Catalyst sees a deterministic
+ * binary/unary expression over (lat, lng).
+ */
+case class CellAtWgsExpr(lat: Expression, lng: Expression,
+                         z: Int, offX: Double, offY: Double)
+    extends BinaryExpression with Serializable {
+  override def left: Expression = lat
+  override def right: Expression = lng
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "cell_at_wgs"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    GeoKernel.cellAtWgs(a.asInstanceOf[Double], b.asInstanceOf[Double], z, offX, offY)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (la, ln) =>
+      s"graft.functions.GeoKernel.cellAtWgs($la, $ln, $z, ${dbl(offX)}, ${dbl(offY)})")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(lat = l, lng = r)
+  private def dbl(d: Double): String = if (d == 0.0) "0.0" else s"${d}D"
+}
+
+case class EdgeOkExpr(lat: Expression, lng: Expression,
+                      z: Int, offX: Double, offY: Double, edge: Double)
+    extends BinaryExpression with Serializable {
+  override def left: Expression = lat
+  override def right: Expression = lng
+  override def dataType: DataType = BooleanType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "edge_ok"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    GeoKernel.edgeOk(a.asInstanceOf[Double], b.asInstanceOf[Double], z, offX, offY, edge)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (la, ln) =>
+      s"graft.functions.GeoKernel.edgeOk($la, $ln, $z, ${offX}D, ${offY}D, ${edge}D)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(lat = l, lng = r)
+}
+
+/** Ray-cast point-in-polygon over packed coordinate arrays. */
+case class PointInPolyExpr(lat: Expression, lng: Expression,
+                           lats: Expression, lngs: Expression)
+    extends QuaternaryExpression with Serializable {
+  override def first: Expression = lat
+  override def second: Expression = lng
+  override def third: Expression = lats
+  override def fourth: Expression = lngs
+  override def dataType: DataType = BooleanType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "point_in_poly"
+  override protected def nullSafeEval(a: Any, b: Any, c: Any, d: Any): Any =
+    GeoKernel.pointInPoly(a.asInstanceOf[Double], b.asInstanceOf[Double],
+      c.asInstanceOf[ArrayData], d.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b, c, d) =>
+      s"${ev.value} = graft.functions.GeoKernel.pointInPoly($a, $b, $c, $d);")
+  override protected def withNewChildrenInternal(a: Expression, b: Expression,
+                                                 c: Expression, d: Expression): Expression =
+    copy(lat = a, lng = b, lats = c, lngs = d)
+}
+
+/** Tile center of a packed cell id — struct<lat,lng> (reference
+  * lib/layers.py:32-39; negative-example crops center here,
+  * make_expand.py:80). */
+case class CellCenterExpr(cell: Expression) extends UnaryExpression
+    with codegen.CodegenFallback with Serializable {
+  override def child: Expression = cell
+  override def dataType: DataType =
+    StructType(Seq(StructField("lat", DoubleType, nullable = false),
+                   StructField("lng", DoubleType, nullable = false)))
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "cell_center_wgs"
+  override protected def nullSafeEval(c: Any): Any = {
+    val cl = c.asInstanceOf[Long]
+    val (lat, lng) = Mercator.wgsAtTile(graft.core.CellId.tx(cl), graft.core.CellId.ty(cl),
+      graft.core.CellId.z(cl))
+    InternalRow(lat, lng)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(cell = c)
+}
+
+/** Column-level API over the custom expressions + composed built-ins. */
+object GeoF {
+  private def col(e: Expression): Column = Bridge.toColumn(e)
+  private def expr(c: Column): Expression = Bridge.toExpression(c)
+
+  /** Packed cell id of the containing tile (P3). */
+  def cellAtWgs(lat: Column, lng: Column, z: Int, offX: Double = 0, offY: Double = 0): Column =
+    col(CellAtWgsExpr(expr(lat), expr(lng), z, offX, offY))
+
+  /** Edge filter predicate: keep iff not within `edge` px of a border (F1). */
+  def edgeOk(lat: Column, lng: Column, z: Int, offX: Double = 0, offY: Double = 0,
+             edge: Double = 16): Column =
+    col(EdgeOkExpr(expr(lat), expr(lng), z, offX, offY, edge))
+
+  /** Exact point-in-polygon refinement (F6). */
+  def pointInPoly(lat: Column, lng: Column, lats: Column, lngs: Column): Column =
+    col(PointInPolyExpr(expr(lat), expr(lng), expr(lats), expr(lngs)))
+
+  /** struct<lat,lng> tile center of a cell (P2). */
+  def cellCenter(cell: Column): Column = col(CellCenterExpr(expr(cell)))
+
+  /** Pack/unpack helpers as plain column math (no custom expr needed). */
+  def packCell(z: Int, tx: Column, ty: Column): Column =
+    (lit(z.toLong) * lit(1L << 58)) + (tx.cast(LongType) % lit(1L << 29)) * lit(1L << 29) + (ty.cast(LongType) % lit(1L << 29))
+  def cellZ(cell: Column): Column = shiftrightunsigned(cell, 58).cast(IntegerType)
+  def cellTx(cell: Column): Column = shiftrightunsigned(cell, 29) % lit(1L << 29)
+  def cellTy(cell: Column): Column = cell % lit(1L << 29)
+
+  /** Fixed-point micro-degree key (P6): floor(x*1e6) as long. */
+  def milCol(c: Column): Column = floor(c * lit(1000000.0)).cast(LongType)
+}

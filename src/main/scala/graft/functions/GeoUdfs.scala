@@ -1,0 +1,167 @@
+package graft.functions
+
+import graft.core._
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * Per-geometry and per-image functions exposed as Scala UDFs. These run
+ * once per way/polygon/tile-mosaic (thousands of rows), not once per point
+ * (billions), so UDF dispatch cost is negligible; the per-point hot path
+ * uses the codegen expressions in [[GeoExpressions]].
+ *
+ * The rasterizers reproduce cv2 semantics via [[graft.core.CvRaster]]
+ * (reference lib/helpers.py:67-94) and return painted cells as packed ids:
+ * distributed rasterization = `explode(rasterize_*(...)) -> distinct`,
+ * replacing the reference's shared mutable canvas with a relational form
+ * that unions across any number of tasks (SURVEY.md §2.5 A2).
+ */
+object GeoUdfs {
+  /** Canvas extent with MercatorPainter semantics (whole-tile expansion of
+    * the bbox, reference lib/helpers.py:42-54). */
+  final case class Extent(z: Int, offX: Double, offY: Double, txmin: Long, tymin: Long,
+                          width: Int, height: Int) {
+    def cellCount: Long = width.toLong * height
+  }
+  object Extent {
+    def ofBbox(w: Double, s: Double, e: Double, n: Double, z: Int,
+               offX: Double = 0, offY: Double = 0): Extent = {
+      val (txmin, tymin) = Mercator.tileAtWgs(n, w, z, offX, offY)
+      val (txmax, tymax) = Mercator.tileAtWgs(s, e, z, offX, offY)
+      Extent(z, offX, offY, txmin, tymin, (txmax - txmin + 1).toInt, (tymax - tymin + 1).toInt)
+    }
+  }
+
+  /** cells painted by a width-`thickness` closed polyline (roads; reference
+    * always passes isClosed=True, lib/helpers.py:88). */
+  def rasterizePolyline(ext: Extent, thickness: Int)(lats: Column, lngs: Column): Column = {
+    val f = udf { (la: Seq[Double], ln: Seq[Double]) =>
+      val xs = new Array[Int](la.length); val ys = new Array[Int](la.length)
+      var i = 0
+      while (i < la.length) {
+        val c = GeoKernel.cellAtWgs(la(i), ln(i), ext.z, ext.offX, ext.offY)
+        xs(i) = (CellId.tx(c) - ext.txmin).toInt
+        ys(i) = (CellId.ty(c) - ext.tymin).toInt
+        i += 1
+      }
+      val canvas = new CvRaster.Canvas(ext.width, ext.height)
+      CvRaster.polyLine(canvas, xs, ys, isClosed = true, thickness, 4)
+      canvas.paintedPixels.map { case (x, y) =>
+        CellId.pack(ext.z, ext.txmin + x, ext.tymin + y) }.toArray
+    }
+    f(lats, lngs)
+  }
+
+  /** cells painted by cv2.fillPoly (exclusion zones; lib/helpers.py:90-94). */
+  def rasterizeFill(ext: Extent)(lats: Column, lngs: Column): Column = {
+    val f = udf { (la: Seq[Double], ln: Seq[Double]) =>
+      val xs = new Array[Int](la.length); val ys = new Array[Int](la.length)
+      var i = 0
+      while (i < la.length) {
+        val c = GeoKernel.cellAtWgs(la(i), ln(i), ext.z, ext.offX, ext.offY)
+        xs(i) = (CellId.tx(c) - ext.txmin).toInt
+        ys(i) = (CellId.ty(c) - ext.tymin).toInt
+        i += 1
+      }
+      val canvas = new CvRaster.Canvas(ext.width, ext.height)
+      CvRaster.fillPoly(canvas, xs, ys, 4)
+      canvas.paintedPixels.map { case (x, y) =>
+        CellId.pack(ext.z, ext.txmin + x, ext.tymin + y) }.toArray
+    }
+    f(lats, lngs)
+  }
+
+  /** All cells of the extent — the grid side of the negative anti-join
+    * (J6). Relational form: sequence×sequence explode, no driver loop. */
+  def gridCells(spark: org.apache.spark.sql.SparkSession, ext: Extent): org.apache.spark.sql.DataFrame = {
+    spark.range(ext.txmin, ext.txmin + ext.width).toDF("tx")
+      .crossJoin(spark.range(ext.tymin, ext.tymin + ext.height).toDF("ty"))
+      .select(GeoF.packCell(ext.z, col("tx"), col("ty")).as("cell_id"))
+  }
+
+  /** Square-viewport cover cells (J3; square quirk preserved) + in-mosaic
+    * point offset struct<rx,ry> (python round = half-even). */
+  def viewportCells(z: Int, h: Int, offX: Double = 0, offY: Double = 0)(lat: Column, lng: Column): Column = {
+    val f = udf { (la: Double, ln: Double) =>
+      val (txmin, txmax, tymin, tymax, _, _) = Viewport.tilesNearWgs(la, ln, z, h, h, offX, offY)
+      (for (ty <- tymin to tymax; tx <- txmin to txmax) yield CellId.pack(z, tx, ty)).toArray
+    }
+    f(lat, lng)
+  }
+
+  def viewportOffset(z: Int, h: Int, offX: Double = 0, offY: Double = 0)(lat: Column, lng: Column): Column = {
+    val f = udf { (la: Double, ln: Double) =>
+      val (_, _, _, _, rx, ry) = Viewport.tilesNearWgs(la, ln, z, h, h, offX, offY)
+      (rx, ry)
+    }
+    f(lat, lng).cast("struct<rx:bigint,ry:bigint>")
+  }
+
+  /** Way cover with padding + %256 wrap (J5/P11): returns
+    * struct<txmin,txmax,tymin,tymax,xmin,ymin,xmax,ymax>. */
+  def wayCover(z: Int, offX: Double = 0, offY: Double = 0,
+               padPct: Double = 0.25, padPx: Double = 48)(lats: Column, lngs: Column): Column = {
+    val f = udf { (la: Seq[Double], ln: Seq[Double]) =>
+      Viewport.tilesWay(la.toArray, ln.toArray, z, offX, offY, padPct, padPx)
+    }
+    f(lats, lngs).cast(
+      "struct<txmin:bigint,txmax:bigint,tymin:bigint,tymax:bigint,xmin:bigint,ymin:bigint,xmax:bigint,ymax:bigint>")
+  }
+
+  /** image_id string of a cell — reference tile path scheme. */
+  val cellImageId: Column => Column = {
+    val f = udf { (cell: Long) =>
+      s"z${CellId.z(cell)}/x${CellId.tx(cell)}y${CellId.ty(cell)}"
+    }
+    c => f(c)
+  }
+}
+
+/** Image column functions (decode/encode/stitch/crop run per example —
+  * thousands of rows with ~200KB payloads; UDFs are appropriate, the cost
+  * is the pixel work itself). */
+object ImageUdfs {
+  import ImageCodec._
+
+  /** Stitch a collected list of (dx, dy, bytes) tiles into one mosaic and
+    * center-crop: the distributed form of getcrop_wgs (lib/layers.py:180-210).
+    * dx/dy are tile offsets within the mosaic; rx/ry the point offset. */
+  val stitchCrop = udf { (tiles: Seq[org.apache.spark.sql.Row], wtiles: Int, htiles: Int,
+                          rx: Int, ry: Int, h: Int, w: Int) =>
+    val canvas = Raw(htiles * 256, wtiles * 256, new Array[Byte](htiles * 256 * wtiles * 256 * 3))
+    tiles.foreach { r =>
+      val dx = r.getInt(0); val dy = r.getInt(1); val bytes = r.getAs[Array[Byte]](2)
+      if (bytes != null) blit(canvas, decode(bytes), dx * 256, dy * 256)
+    }
+    val cropped = centerCrop(canvas, rx, ry, h, w)
+    encode(cropped, "jpeg")
+  }
+
+  /** Stitch and crop to explicit bounds (roofshape way mosaics,
+    * lib/layers.py:212-243). */
+  val stitchCropBox = udf { (tiles: Seq[org.apache.spark.sql.Row], wtiles: Int, htiles: Int,
+                             xmin: Int, ymin: Int, xmax: Int, ymax: Int) =>
+    val canvas = Raw(htiles * 256, wtiles * 256, new Array[Byte](htiles * 256 * wtiles * 256 * 3))
+    tiles.foreach { r =>
+      val dx = r.getInt(0); val dy = r.getInt(1); val bytes = r.getAs[Array[Byte]](2)
+      if (bytes != null) blit(canvas, decode(bytes), dx * 256, dy * 256)
+    }
+    val cropped = crop(canvas, ymin, ymax, xmin, xmax)
+    (cropped.h, cropped.w, encode(cropped, "jpeg"))
+  }
+
+  val decodeDims = udf { (bytes: Array[Byte]) =>
+    val r = decode(bytes); (r.h, r.w)
+  }
+
+  val phashUdf = udf { (bytes: Array[Byte]) => phash(decode(bytes)) }
+
+  val psnrUdf = udf { (a: Array[Byte], b: Array[Byte]) =>
+    val ra = decode(a); val rb = decode(b)
+    if (ra.h != rb.h || ra.w != rb.w) -1.0 else psnr(ra, rb)
+  }
+
+  val meanColorUdf = udf { (bytes: Array[Byte]) =>
+    val (b, g, r) = meanColor(decode(bytes)); Array(b, g, r)
+  }
+}
