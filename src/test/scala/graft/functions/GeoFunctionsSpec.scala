@@ -28,8 +28,11 @@ class GeoFunctionsSpec extends AnyFunSuite {
       .withColumn("lng", $"id" * 0.0001 + 27.0)
       .withColumn("cell", GeoF.cellAtWgs($"lat", $"lng", 19))
       .withColumn("ok", GeoF.edgeOk($"lat", $"lng", 19))
+    // "*(1) Project [... cell_at_wgs(...)]" — the * marks a codegen stage
+    // containing the custom expressions (no CodegenFallback projection)
     val planStr = ranged.queryExecution.executedPlan.toString
-    assert(planStr.contains("WholeStageCodegen"), "expression must not break codegen")
+    assert(planStr.contains("*(1) Project"), s"expression must not break codegen:\n$planStr")
+    assert(planStr.contains("cell_at_wgs"), "custom expr present in codegen'd project")
     assert(ranged.where($"ok").count() > 0)
   }
 
