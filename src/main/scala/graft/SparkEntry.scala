@@ -1,13 +1,667 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.functions.GeoF
+import graft.core.Mercator
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Driver contract (see /root/repo/SURVEY.md §7 + builder prompt).
+ *
+ * `queries` covers the operator inventory of SURVEY.md §2 over the
+ * driver-provided parquet tables; each entry with an `oracleSql` twin is
+ * value-checked against DuckDB on identical inputs. Numeric discipline for
+ * engine-portable results: tile/cell math uses floor-to-integer outputs,
+ * money uses half-up integer cents, ranks use a Knuth multiplicative hash
+ * (pure 64-bit-safe integer arithmetic, identical in any engine), vector
+ * scores quantize to integers before reduction — so hash-equality of
+ * results is meaningful, not a ulp lottery.
+ *
+ * Geo queries derive deterministic WGS points from table keys (pure
+ * integer->double arithmetic, exact in IEEE754) inside the Minsk bbox of
+ * the reference (make_original.py:22), then apply the engine's formulas;
+ * the oracle applies the same published formulas in SQL.
+ */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  // ---------- shared literals ----------
+  private val Z = 19
+  private val OffX = Mercator.MaxarOffsetX // -30/2^19 (lib/layers.py:277)
+  private val OffY = Mercator.MaxarOffsetY
+  // derived-point generators (exact integer->double arithmetic)
+  private def latOf(key: Column): Column = lit(53.8306) + (key % 14000).cast("double") * lit(0.00001)
+  private def lngOf(key: Column): Column = lit(27.4026) + (key % 29000).cast("double") * lit(0.00001)
+  private val latSqlO = "53.8306::DOUBLE + (o_orderkey % 14000)::DOUBLE * 0.00001::DOUBLE"
+  private val lngSqlO = "27.4026::DOUBLE + (o_orderkey % 29000)::DOUBLE * 0.00001::DOUBLE"
+  // Knuth multiplicative hash-rank (64-bit-safe for keys < 2^31)
+  private def krank(key: Column): Column = (key * lit(2654435761L)) % lit(4294967296L)
+  private def krankSql(key: String) = s"($key * 2654435761) % 4294967296"
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Flagship: the streetlamp original-tiles pipeline (SURVEY.md §3.1) on a
+    * deterministic synthetic world — scan, hash-rank sample, edge filter,
+    * cell join vs the image corpus, rasterize, anti-join negatives, labeled
+    * output. Driver smoke-checks rows > 0. */
+  def entry(spark: SparkSession): DataFrame = {
+    val w = tables.SyntheticWorld.testWorld
+    val nodes = tables.SyntheticWorld.osmNodes(spark, w)
+    val ways = tables.SyntheticWorld.osmWays(spark, w)
+    val images = tables.SyntheticWorld.images(spark, w)
+    val (bw, bs, be, bn) = w.bbox
+    val cfg = pipeline.Pipelines.Config(z = w.z, bbox = (bw, bs, be, bn),
+      limit = 60, train = 40, valid = 20)
+    pipeline.Pipelines.originalTiles(spark, nodes, ways, images, cfg)
+      .select("example_id", "cell_id", "label", "split", "caption", "fmt")
+  }
+
+  // =====================================================================
+  // queries — one per implemented operator (SURVEY.md §2 row in comment)
+  // =====================================================================
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // S1/F2/F3: pruned scan — bbox + tag-style predicate pushed to parquet
+    "q_s1_scan_filter" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .where(col("o_orderstatus") === "F" && col("o_totalprice") > 100000.0)
+        .select(col("o_orderkey"),
+          floor(col("o_totalprice")).cast("long").as("price_fl"))
+    }),
+
+    // P1: project2web as fixed-point micro-units (floor(w*1e6))
+    "q_p1_project" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_orderkey"),
+        latOf(col("o_orderkey")).as("lat"), lngOf(col("o_orderkey")).as("lng"))
+      o.select(col("o_orderkey"),
+        floor((lit(0.5) + col("lng") / 360.0) * lit(256000000.0)).cast("long").as("wx_mil"),
+        floor((lit(0.5) -
+          log((lit(1.0) + sin(col("lat") * lit(math.Pi) / 180.0)) /
+              (lit(1.0) - sin(col("lat") * lit(math.Pi) / 180.0))) / lit(4 * math.Pi))
+          * lit(256000000.0)).cast("long").as("wy_mil"))
+    }),
+
+    // P3/J2-key: containing tile at z19 with maxar imagery offsets
+    "q_p3_cell" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_orderkey"),
+        latOf(col("o_orderkey")).as("lat"), lngOf(col("o_orderkey")).as("lng"))
+      val cell = GeoF.cellAtWgs(col("lat"), col("lng"), Z, OffX, OffY)
+      o.select(col("o_orderkey"), GeoF.cellTx(cell).as("tx"), GeoF.cellTy(cell).as("ty"))
+    }),
+
+    // P4/F1: in-tile pixel remainder + half-open edge filter (edge=16)
+    "q_f1_edge" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_orderkey"),
+        latOf(col("o_orderkey")).as("lat"), lngOf(col("o_orderkey")).as("lng"))
+      o.where(GeoF.edgeOk(col("lat"), col("lng"), Z, OffX, OffY, 16))
+        .select(col("o_orderkey"))
+    }),
+
+    // P6: mil fixed-point floors negatives down (lib/loaders.py:7-8)
+    "q_p6_mil" -> ((s, dir) => {
+      t(s, dir, "orders").select(col("o_orderkey"),
+        GeoF.milCol(col("o_totalprice") * lit(0.00001) - lit(1.5)).as("mil_key"))
+    }),
+
+    // P2: tile-center inversion, fixed-point (negative crops center here)
+    "q_p2_center" -> ((s, dir) => {
+      val o = t(s, dir, "customer")
+        .select((lit(302000L) + col("c_custkey") % 500).as("tx"),
+                (lit(168500L) + col("c_custkey") % 300).as("ty"))
+      val cell = GeoF.packCell(Z, col("tx"), col("ty"))
+      val c = GeoF.cellCenter(cell)
+      o.select(col("tx"), col("ty"),
+        GeoF.milCol(c.getField("lat")).as("lat_mil"),
+        GeoF.milCol(c.getField("lng")).as("lng_mil"))
+    }),
+
+    // J1: key join + order-preserving grouped aggregation (way⋈node shape)
+    "q_j1_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity")).cast("long").as("sum_qty"),
+          sum(floor(col("l_extendedprice") * 100 + 0.5).cast("long")).as("rev_cents"))
+    }),
+
+    // J2: spatial containment join = cell binning -> equi-join
+    "q_j2_cell_join" -> ((s, dir) => {
+      val pts = t(s, dir, "orders").select(col("o_orderkey"),
+        latOf(col("o_orderkey")).as("lat"), lngOf(col("o_orderkey")).as("lng"))
+      val cell = GeoF.cellAtWgs(col("lat"), col("lng"), Z, OffX, OffY)
+      val binned = pts.select(col("o_orderkey"),
+        GeoF.cellTx(cell).as("tx"), GeoF.cellTy(cell).as("ty"))
+      // tile store stand-in derived from customer keys
+      val tiles = t(s, dir, "customer").select(
+        (lit(302050L) + col("c_custkey") % 40).as("tx"),
+        (lit(168755L) + col("c_custkey") % 25).as("ty")).distinct()
+      binned.join(tiles, Seq("tx", "ty"))
+        .groupBy(col("tx"), col("ty")).agg(count(lit(1)).as("n_pts"))
+    }),
+
+    // J6/SA2: anti-join complement + deterministic hash-rank sample
+    "q_j6_anti_sample" -> ((s, dir) => {
+      val grid = s.range(0, 50).toDF("tx")
+        .crossJoin(s.range(0, 20).toDF("ty"))
+      val painted = t(s, dir, "customer").select(
+        (col("c_custkey") % 50).cast("long").as("tx"),
+        (col("c_custkey") % 20).cast("long").as("ty")).distinct()
+      val free = grid.join(painted, Seq("tx", "ty"), "left_anti")
+      val key = col("tx") * 20 + col("ty")
+      free.orderBy(krank(key), key).limit(200)
+        .select(col("tx"), col("ty"))
+    }),
+
+    // SA1: partitioning-invariant sample-limit (hash-rank)
+    "q_sa1_sample" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          krank(col("l_orderkey") * 10 + col("l_linenumber")).as("rk"))
+        .orderBy(col("rk"), col("l_orderkey"), col("l_linenumber"))
+        .limit(100)
+        .select(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // SA3/J8: disjoint train/valid split by rank over one sample
+    "q_sa3_split" -> ((s, dir) => {
+      val ranked = t(s, dir, "orders")
+        .select(col("o_orderkey"), krank(col("o_orderkey")).as("rk"))
+        .withColumn("rn", row_number().over(Window.orderBy(col("rk"), col("o_orderkey"))))
+        .where(col("rn") <= 500)
+        .withColumn("split", when(col("rn") <= 400, "train").otherwise("valid"))
+      ranked.groupBy(col("split")).agg(count(lit(1)).as("n"),
+        sum(col("o_orderkey")).as("key_sum"))
+    }),
+
+    // A1/SO2: per-category count + balance cap at min class size
+    "q_a1_balance" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val counts = li.groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+      val minN = counts.agg(min(col("n"))).first().getLong(0)
+      li.select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"))
+        .withColumn("rn", row_number().over(Window.partitionBy(col("l_returnflag"))
+          .orderBy(krank(col("l_orderkey") * 10 + col("l_linenumber")),
+            col("l_orderkey"), col("l_linenumber"))))
+        .where(col("rn") <= minN)
+        .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n_capped"),
+          sum(col("l_orderkey")).as("key_sum"))
+    }),
+
+    // W1: window functions — row_number + running integer-exact sum
+    "q_w1_window" -> ((s, dir) => {
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      t(s, dir, "lineitem")
+        .withColumn("rn", row_number().over(w))
+        .withColumn("run_qty", sum(col("l_quantity")).over(
+          w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"))
+        .where(col("rn") <= 5)
+        .select(col("l_suppkey"), col("rn"), col("l_orderkey"),
+          col("l_linenumber"), col("run_qty"))
+    }),
+
+    // SO1/SO3: union + distinct
+    "q_so1_union_distinct" -> ((s, dir) => {
+      val p = t(s, dir, "part")
+      val a = p.where(col("p_size") < 10).select(col("p_brand"))
+      val b = p.where(col("p_retailprice") > 1500.0).select(col("p_brand"))
+      a.unionAll(b).distinct()
+    }),
+
+    // A5/A6: aggregation battery (count / distinct / conditional)
+    "q_agg_battery" -> ((s, dir) => {
+      t(s, dir, "lineitem").groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("l_orderkey")).as("n_orders"),
+          sum(col("l_quantity")).cast("long").as("sum_qty"),
+          sum(when(col("l_discount") > 0.05, 1).otherwise(0)).as("n_disc"),
+          max(col("l_partkey")).as("max_pk"), min(col("l_suppkey")).as("min_sk"))
+    }),
+
+    // O7: sort + early-terminated limit with total tie-break
+    "q_so2_topk" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(20)
+        .select(col("o_orderkey"), floor(col("o_totalprice")).cast("long").as("price_fl"))
+    }),
+
+    // J9 [GRAFT]: kNN join — top-3 nearest orders-point per customer-probe
+    // (exact squared-degree metric; engine uses cell-ring search, oracle is
+    // brute force — see KnnJoinSpec for the ring=bruteforce equivalence)
+    "q_j9_knn" -> ((s, dir) => {
+      val probes = t(s, dir, "customer").where(col("c_custkey") <= 50)
+        .select(col("c_custkey").as("probe_id"),
+          latOf(col("c_custkey") * 7).as("plat"), lngOf(col("c_custkey") * 13).as("plng"))
+      val cands = t(s, dir, "orders").select(col("o_orderkey"),
+        latOf(col("o_orderkey")).as("lat"), lngOf(col("o_orderkey")).as("lng"))
+      pipeline.KnnJoin.knn(probes, cands, k = 3)
+        .select(col("probe_id"), col("rank"), col("o_orderkey"))
+    }),
+
+    // F6: exact PIP refinement — convex diamond, ray-cast over packed
+    // arrays vs half-plane oracle (vertices off the 1e-5 point grid so no
+    // boundary ties)
+    "q_f6_pip" -> ((s, dir) => {
+      val diamondLat = Seq(53.8381234, 53.8421234, 53.8461234, 53.8421234)
+      val diamondLng = Seq(27.4101234, 27.4401234, 27.4101234, 27.3801234)
+      val pts = t(s, dir, "orders").select(col("o_orderkey"),
+        latOf(col("o_orderkey")).as("lat"), lngOf(col("o_orderkey") * 3).as("lng"))
+      pts.where(GeoF.pointInPoly(col("lat"), col("lng"),
+          typedLit(diamondLat), typedLit(diamondLng)))
+        .select(col("o_orderkey"))
+    }),
+
+    // streaming-shape batch: hourly tumbling-window event rollup
+    "q_events_window" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(unix_millis(date_trunc("hour", col("ts"))).as("hour_ms"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("value") * 100 + 0.5).cast("long")).as("value_cents"))
+    }),
+
+    // ---------- training-data ops: dedup / text / similarity ----------
+
+    // exact dedup: canonical-hash groupBy (portable md5)
+    "q_dedup_exact" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy(md5(col("text")).as("h"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+        .where(col("n_dups") >= 1)
+    }),
+
+    // document fingerprint: canonical-form hash (lower, strip, collapse)
+    "q_text_fingerprint" -> ((s, dir) => {
+      t(s, dir, "documents").select(col("doc_id"),
+        md5(trim(regexp_replace(regexp_replace(lower(col("text")),
+          "[^a-z0-9 ]", ""), " +", " "))).as("fp"))
+    }),
+
+    // token count (BPE-ish \S+ segmentation) + char stats
+    "q_text_tokens" -> ((s, dir) => {
+      t(s, dir, "documents").select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit("\\S+"), lit(0))).as("n_tokens"),
+        length(col("text")).as("n_chars_q"))
+    }),
+
+    // quality scoring: fixed-point ratios (vowel/space/digit density)
+    "q_text_quality" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val n = length(col("text"))
+      def cnt(re: String): Column = size(regexp_extract_all(col("text"), lit(re), lit(0)))
+      d.select(col("doc_id"),
+        floor(cnt("[aeiou]") * lit(1000000.0) / n).cast("long").as("vowel_fp"),
+        floor(cnt(" ") * lit(1000000.0) / n).cast("long").as("space_fp"),
+        cnt("[0-9]").as("n_digits"))
+    }),
+
+    // language-ID: stopword-vote heuristic with deterministic tie-break
+    "q_text_langid" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      def votes(re: String): Column = size(regexp_extract_all(col("text"), lit(re), lit(0)))
+      val en = votes("\\b(the|and|of|to)\\b")
+      val es = votes("\\b(el|la|de|que)\\b")
+      val de = votes("\\b(der|die|und|ist)\\b")
+      val fr = votes("\\b(le|la|les|et)\\b")
+      d.select(col("doc_id"),
+        when(en >= es && en >= de && en >= fr, "en")
+          .when(es >= de && es >= fr, "es")
+          .when(de >= fr, "de").otherwise("fr").as("lang_guess"))
+    }),
+
+    // similarity search: exact top-10 by integer-quantized inner product
+    // against the vec_id=0 query vector (brute-force baseline; LSH-bucketed
+    // variant in q_sim_nears + MinHashSpec)
+    "q_ann_mips" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val qvec = e.where(col("vec_id") === 0)
+        .select(posexplode(col("embedding")).as(Seq("pos", "qv")))
+        .select(col("pos"), floor(col("qv").cast("double") * 1000).cast("long").as("qq"))
+      val cand = e.where(col("vec_id") =!= 0)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .select(col("vec_id"), col("pos"), floor(col("v").cast("double") * 1000).cast("long").as("vq"))
+      cand.join(qvec, "pos")
+        .groupBy(col("vec_id")).agg(sum(col("vq") * col("qq")).as("dot"))
+        .orderBy(col("dot").desc, col("vec_id")).limit(10)
+    }),
+
+    // cosine variant: exact fixed-point cosine (IEEE-exact sqrt/division)
+    "q_ann_cosine" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val quant = e.select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .select(col("vec_id"), col("pos"), floor(col("v").cast("double") * 1000).cast("long").as("vq"))
+      val qvec = quant.where(col("vec_id") === 0).select(col("pos"), col("vq").as("qq"))
+      val scored = quant.where(col("vec_id") =!= 0)
+        .join(qvec, "pos")
+        .groupBy(col("vec_id"))
+        .agg(sum(col("vq") * col("qq")).as("dot"),
+          sum(col("vq") * col("vq")).as("na"), sum(col("qq") * col("qq")).as("nb"))
+        .select(col("vec_id"),
+          floor(col("dot").cast("double") * 1000000.0 /
+            sqrt(col("na").cast("double") * col("nb").cast("double"))).cast("long").as("cos_fp"))
+      scored.orderBy(col("cos_fp").desc, col("vec_id")).limit(10)
+    }),
+
+    // embedding near-dup pairs among the first 300 vectors (cosine >= 0.95)
+    "q_sim_pairs" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").where(col("vec_id") < 300)
+      val quant = e.select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .select(col("vec_id"), col("pos"), floor(col("v").cast("double") * 1000).cast("long").as("vq"))
+      val a = quant.toDF("ida", "pos", "va")
+      val b = quant.toDF("idb", "pos", "vb")
+      a.join(b, Seq("pos")).where(col("ida") < col("idb"))
+        .groupBy(col("ida"), col("idb"))
+        .agg(sum(col("va") * col("vb")).as("dot"),
+          sum(col("va") * col("va")).as("na2"), sum(col("vb") * col("vb")).as("nb2"))
+        .select(col("ida"), col("idb"),
+          floor(col("dot").cast("double") * 1000000.0 /
+            sqrt(greatest(col("na2"), lit(1L)).cast("double") *
+                 greatest(col("nb2"), lit(1L)).cast("double"))).cast("long").as("cos_fp"))
+        .where(col("cos_fp") >= 400000)
+    }),
+
+    // n-gram (3-char shingle) Jaccard near-dup among small doc sample —
+    // set ops expressed relationally (exact, portable)
+    "q_dedup_ngram" -> ((s, dir) => {
+      val d = t(s, dir, "documents").where(col("doc_id") < 100)
+      val sh = d.select(col("doc_id"),
+          explode(expr("transform(sequence(1, greatest(length(text)-2, 0)), i -> substring(text, i, 3))")).as("g"))
+        .distinct()
+      val na = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n")).toDF("ida", "na")
+      val ja = sh.toDF("ida", "g").join(sh.toDF("idb", "g"), "g")
+        .where(col("ida") < col("idb"))
+        .groupBy(col("ida"), col("idb")).agg(count(lit(1)).as("inter"))
+      ja.join(na, "ida").join(na.toDF("idb", "nb"), "idb")
+        .select(col("ida"), col("idb"),
+          floor(col("inter") * lit(1000000.0) / (col("na") + col("nb") - col("inter")))
+            .cast("long").as("jac_fp"))
+        .where(col("jac_fp") >= 500000)
+    }),
+
+    // MinHash-LSH near-dup candidates (xxhash64 shingles, 16 perms, 4
+    // bands) verified by exact Jaccard — engine-only (no portable SQL
+    // oracle for xxhash64; semantics spec'd in MinHashSpec)
+    "q_dedup_minhash" -> ((s, dir) =>
+      pipeline.Dedup.minhashPairs(t(s, dir, "documents"), shingleLen = 5,
+        numPerm = 16, bands = 4).select(col("ida"), col("idb"), col("jac_fp"))),
+
+    // SimHash 64-bit near-dup buckets — engine-only (spec'd in MinHashSpec)
+    "q_dedup_simhash" -> ((s, dir) =>
+      pipeline.Dedup.simhashPairs(t(s, dir, "documents"), maxHamming = 8)
+        .select(col("ida"), col("idb"), col("hamming"))),
+  )
+
+  // =====================================================================
+  // DuckDB oracles — same tables, same math, ANSI SQL
+  // =====================================================================
+  def oracleSql: Map[String, String] = Map(
+    "q_s1_scan_filter" ->
+      """SELECT o_orderkey, CAST(floor(o_totalprice) AS BIGINT) AS price_fl
+         FROM orders WHERE o_orderstatus = 'F' AND o_totalprice > 100000.0""",
+
+    "q_p1_project" ->
+      s"""SELECT o_orderkey,
+            CAST(floor((0.5::DOUBLE + ($lngSqlO) / 360.0::DOUBLE) * 256000000.0::DOUBLE) AS BIGINT) AS wx_mil,
+            CAST(floor((0.5::DOUBLE - ln((1.0::DOUBLE + sin(($latSqlO) * pi() / 180.0::DOUBLE))
+                / (1.0::DOUBLE - sin(($latSqlO) * pi() / 180.0::DOUBLE))) / (4 * pi()))
+                * 256000000.0::DOUBLE) AS BIGINT) AS wy_mil
+          FROM orders""",
+
+    "q_p3_cell" ->
+      s"""WITH pts AS (
+            SELECT o_orderkey,
+              (256.0::DOUBLE * (0.5::DOUBLE + ($lngSqlO) / 360.0::DOUBLE)) AS wx,
+              (256.0::DOUBLE * (0.5::DOUBLE - ln((1.0::DOUBLE + least(greatest(sin(($latSqlO) * pi() / 180.0::DOUBLE), -0.9999::DOUBLE), 0.9999::DOUBLE))
+                 / (1.0::DOUBLE - least(greatest(sin(($latSqlO) * pi() / 180.0::DOUBLE), -0.9999::DOUBLE), 0.9999::DOUBLE))) / (4 * pi()))) AS wy
+            FROM orders)
+          SELECT o_orderkey,
+            CAST(floor((wx + (-30.0::DOUBLE / 524288)) * 524288 / 256) AS BIGINT) AS tx,
+            CAST(floor((wy + (10.0::DOUBLE / 524288)) * 524288 / 256) AS BIGINT) AS ty
+          FROM pts""",
+
+    "q_f1_edge" ->
+      s"""WITH px AS (
+            SELECT o_orderkey,
+              (256.0::DOUBLE * (0.5::DOUBLE + ($lngSqlO) / 360.0::DOUBLE) + (-30.0::DOUBLE / 524288)) * 524288 AS px,
+              (256.0::DOUBLE * (0.5::DOUBLE - ln((1.0::DOUBLE + least(greatest(sin(($latSqlO) * pi() / 180.0::DOUBLE), -0.9999::DOUBLE), 0.9999::DOUBLE))
+                 / (1.0 - least(greatest(sin(($latSqlO) * pi() / 180.0), -0.9999), 0.9999))) / (4 * pi()))
+               + (10.0 / 524288)) * 524288 AS py
+            FROM orders),
+          r AS (SELECT o_orderkey,
+              px - floor(px / 256) * 256 AS rx, py - floor(py / 256) * 256 AS ry FROM px)
+          SELECT o_orderkey FROM r
+          WHERE NOT (rx < 16 OR rx >= 240 OR ry < 16 OR ry >= 240)""",
+
+    "q_p6_mil" ->
+      """SELECT o_orderkey,
+           CAST(floor((o_totalprice * 0.00001::DOUBLE - 1.5::DOUBLE) * 1000000.0::DOUBLE) AS BIGINT) AS mil_key
+         FROM orders""",
+
+    "q_p2_center" ->
+      """WITH tiles AS (
+           SELECT 302000 + c_custkey % 500 AS tx, 168500 + c_custkey % 300 AS ty
+           FROM customer)
+         SELECT tx, ty,
+           CAST(floor((180.0::DOUBLE / pi() * (2 * atan(exp((1 - 2 * ((ty + 0.5::DOUBLE) / 524288.0::DOUBLE)) * pi())) - pi() / 2)) * 1000000.0) AS BIGINT) AS lat_mil,
+           CAST(floor((180.0::DOUBLE * (2 * ((tx + 0.5::DOUBLE) / 524288.0::DOUBLE) - 1)) * 1000000.0) AS BIGINT) AS lng_mil
+         FROM tiles""",
+
+    "q_j1_join" ->
+      """SELECT o_custkey, count(*) AS n_items,
+           CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+           CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_cents
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_custkey""",
+
+    "q_j2_cell_join" ->
+      s"""WITH pts AS (
+            SELECT o_orderkey,
+              CAST(floor((256.0::DOUBLE * (0.5::DOUBLE + ($lngSqlO) / 360.0::DOUBLE) + (-30.0::DOUBLE / 524288)) * 524288 / 256) AS BIGINT) AS tx,
+              CAST(floor((256.0::DOUBLE * (0.5::DOUBLE - ln((1.0::DOUBLE + least(greatest(sin(($latSqlO) * pi() / 180.0::DOUBLE), -0.9999::DOUBLE), 0.9999::DOUBLE))
+                 / (1.0 - least(greatest(sin(($latSqlO) * pi() / 180.0), -0.9999), 0.9999))) / (4 * pi()))
+                 + (10.0::DOUBLE / 524288)) * 524288 / 256) AS BIGINT) AS ty
+            FROM orders),
+          tiles AS (SELECT DISTINCT 302050 + c_custkey % 40 AS tx, 168755 + c_custkey % 25 AS ty FROM customer)
+          SELECT p.tx, p.ty, count(*) AS n_pts
+          FROM pts p JOIN tiles t ON p.tx = t.tx AND p.ty = t.ty
+          GROUP BY p.tx, p.ty""",
+
+    "q_j6_anti_sample" ->
+      """WITH grid AS (
+           SELECT gx.range AS tx, gy.range AS ty
+           FROM range(0, 50) gx, range(0, 20) gy),
+         painted AS (SELECT DISTINCT CAST(c_custkey % 50 AS BIGINT) AS tx,
+                            CAST(c_custkey % 20 AS BIGINT) AS ty FROM customer),
+         free AS (SELECT g.tx, g.ty FROM grid g ANTI JOIN painted p
+                  ON g.tx = p.tx AND g.ty = p.ty)
+         SELECT tx, ty FROM free
+         ORDER BY ((tx * 20 + ty) * 2654435761) % 4294967296, tx * 20 + ty
+         LIMIT 200""",
+
+    "q_sa1_sample" ->
+      s"""SELECT l_orderkey, l_linenumber FROM lineitem
+          ORDER BY ${krankSql("(l_orderkey * 10 + l_linenumber)")}, l_orderkey, l_linenumber
+          LIMIT 100""",
+
+    "q_sa3_split" ->
+      s"""WITH ranked AS (
+            SELECT o_orderkey,
+              row_number() OVER (ORDER BY ${krankSql("o_orderkey")}, o_orderkey) AS rn
+            FROM orders)
+          SELECT CASE WHEN rn <= 400 THEN 'train' ELSE 'valid' END AS split,
+            count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+          FROM ranked WHERE rn <= 500 GROUP BY 1""",
+
+    "q_a1_balance" ->
+      s"""WITH counts AS (SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY 1),
+          m AS (SELECT min(n) AS mn FROM counts),
+          ranked AS (
+            SELECT l_returnflag, l_orderkey,
+              row_number() OVER (PARTITION BY l_returnflag
+                ORDER BY ${krankSql("(l_orderkey * 10 + l_linenumber)")}, l_orderkey, l_linenumber) AS rn
+            FROM lineitem)
+          SELECT l_returnflag, count(*) AS n_capped, CAST(sum(l_orderkey) AS BIGINT) AS key_sum
+          FROM ranked, m WHERE rn <= mn GROUP BY l_returnflag""",
+
+    "q_w1_window" ->
+      """WITH w AS (
+           SELECT l_suppkey, l_orderkey, l_linenumber,
+             row_number() OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber) AS rn,
+             CAST(sum(l_quantity) OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_qty
+           FROM lineitem)
+         SELECT l_suppkey, rn, l_orderkey, l_linenumber, run_qty FROM w WHERE rn <= 5""",
+
+    "q_so1_union_distinct" ->
+      """SELECT DISTINCT p_brand FROM (
+           SELECT p_brand FROM part WHERE p_size < 10
+           UNION ALL
+           SELECT p_brand FROM part WHERE p_retailprice > 1500.0)""",
+
+    "q_agg_battery" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+           count(DISTINCT l_orderkey) AS n_orders,
+           CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+           CAST(sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_disc,
+           max(l_partkey) AS max_pk, min(l_suppkey) AS min_sk
+         FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+
+    "q_so2_topk" ->
+      """SELECT o_orderkey, CAST(floor(o_totalprice) AS BIGINT) AS price_fl
+         FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""",
+
+    "q_j9_knn" ->
+      """WITH probes AS (
+           SELECT c_custkey AS probe_id,
+             53.8306::DOUBLE + ((c_custkey * 7) % 14000)::DOUBLE * 0.00001::DOUBLE AS plat,
+             27.4026::DOUBLE + ((c_custkey * 13) % 29000)::DOUBLE * 0.00001::DOUBLE AS plng
+           FROM customer WHERE c_custkey <= 50),
+         cands AS (
+           SELECT o_orderkey,
+             53.8306::DOUBLE + (o_orderkey % 14000)::DOUBLE * 0.00001::DOUBLE AS lat,
+             27.4026::DOUBLE + (o_orderkey % 29000)::DOUBLE * 0.00001::DOUBLE AS lng
+           FROM orders),
+         scored AS (
+           SELECT probe_id, o_orderkey,
+             row_number() OVER (PARTITION BY probe_id
+               ORDER BY (lat - plat) * (lat - plat) + (lng - plng) * (lng - plng), o_orderkey) AS rank
+           FROM probes CROSS JOIN cands)
+         SELECT probe_id, rank, o_orderkey FROM scored WHERE rank <= 3""",
+
+    "q_f6_pip" ->
+      """WITH pts AS (
+           SELECT o_orderkey,
+             53.8306::DOUBLE + (o_orderkey % 14000)::DOUBLE * 0.00001::DOUBLE AS lat,
+             27.4026::DOUBLE + ((o_orderkey * 3) % 29000)::DOUBLE * 0.00001::DOUBLE AS lng
+           FROM orders)
+         SELECT o_orderkey FROM pts
+         WHERE ((27.4401234 - 27.4101234) * (lat - 53.8381234) - (53.8421234 - 53.8381234) * (lng - 27.4101234)) > 0
+           AND ((27.4101234 - 27.4401234) * (lat - 53.8421234) - (53.8461234 - 53.8421234) * (lng - 27.4401234)) > 0
+           AND ((27.3801234 - 27.4101234) * (lat - 53.8461234) - (53.8421234 - 53.8461234) * (lng - 27.4101234)) > 0
+           AND ((27.4101234 - 27.3801234) * (lat - 53.8421234) - (53.8381234 - 53.8421234) * (lng - 27.3801234)) > 0""",
+
+    "q_events_window" ->
+      """SELECT epoch_ms(date_trunc('hour', ts)) AS hour_ms, event_type,
+           count(*) AS n,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
+         FROM events GROUP BY 1, 2""",
+
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_dups
+         FROM documents GROUP BY md5(text) HAVING count(*) >= 1""",
+
+    "q_text_fingerprint" ->
+      """SELECT doc_id,
+           md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp
+         FROM documents""",
+
+    "q_text_tokens" ->
+      """SELECT doc_id,
+           len(regexp_extract_all(text, '\S+')) AS n_tokens,
+           length(text) AS n_chars_q
+         FROM documents""",
+
+    "q_text_quality" ->
+      """SELECT doc_id,
+           CAST(floor(len(regexp_extract_all(text, '[aeiou]')) * 1000000.0 / length(text)) AS BIGINT) AS vowel_fp,
+           CAST(floor(len(regexp_extract_all(text, ' ')) * 1000000.0 / length(text)) AS BIGINT) AS space_fp,
+           len(regexp_extract_all(text, '[0-9]')) AS n_digits
+         FROM documents""",
+
+    "q_text_langid" ->
+      """SELECT doc_id,
+           CASE WHEN en >= es AND en >= de AND en >= fr THEN 'en'
+                WHEN es >= de AND es >= fr THEN 'es'
+                WHEN de >= fr THEN 'de' ELSE 'fr' END AS lang_guess
+         FROM (SELECT doc_id,
+             len(regexp_extract_all(text, '\b(the|and|of|to)\b')) AS en,
+             len(regexp_extract_all(text, '\b(el|la|de|que)\b')) AS es,
+             len(regexp_extract_all(text, '\b(der|die|und|ist)\b')) AS de,
+             len(regexp_extract_all(text, '\b(le|la|les|et)\b')) AS fr
+           FROM documents)""",
+
+    "q_ann_mips" ->
+      """WITH q AS (
+           SELECT u.pos, CAST(floor(u.v * 1000) AS BIGINT) AS qq
+           FROM (SELECT unnest(embedding) AS v,
+                        generate_subscripts(embedding, 1) - 1 AS pos
+                 FROM embeddings WHERE vec_id = 0) u),
+         c AS (
+           SELECT vec_id, u.pos, CAST(floor(u.v * 1000) AS BIGINT) AS vq
+           FROM (SELECT vec_id, unnest(embedding) AS v,
+                        generate_subscripts(embedding, 1) - 1 AS pos
+                 FROM embeddings WHERE vec_id <> 0) u)
+         SELECT c.vec_id, CAST(sum(c.vq * q.qq) AS BIGINT) AS dot
+         FROM c JOIN q ON c.pos = q.pos
+         GROUP BY c.vec_id ORDER BY dot DESC, vec_id LIMIT 10""",
+
+    "q_ann_cosine" ->
+      """WITH quant AS (
+           SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+             CAST(floor(unnest(embedding) * 1000) AS BIGINT) AS vq
+           FROM embeddings),
+         q AS (SELECT pos, vq AS qq FROM quant WHERE vec_id = 0),
+         s AS (
+           SELECT c.vec_id, CAST(sum(c.vq * q.qq) AS BIGINT) AS dot,
+             sum(c.vq * c.vq) AS na, sum(q.qq * q.qq) AS nb
+           FROM quant c JOIN q ON c.pos = q.pos WHERE c.vec_id <> 0
+           GROUP BY c.vec_id)
+         SELECT vec_id,
+           CAST(floor(CAST(dot AS DOUBLE) * 1000000.0 /
+             sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))) AS BIGINT) AS cos_fp
+         FROM s ORDER BY cos_fp DESC, vec_id LIMIT 10""",
+
+    "q_sim_pairs" ->
+      """WITH quant AS (
+           SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+             CAST(floor(unnest(embedding) * 1000) AS BIGINT) AS vq
+           FROM embeddings WHERE vec_id < 300)
+         SELECT a.vec_id AS ida, b.vec_id AS idb,
+           CAST(floor(CAST(sum(a.vq * b.vq) AS DOUBLE) * 1000000.0 /
+             sqrt(CAST(greatest(sum(a.vq * a.vq), 1) AS DOUBLE) *
+                  CAST(greatest(sum(b.vq * b.vq), 1) AS DOUBLE))) AS BIGINT) AS cos_fp
+         FROM quant a JOIN quant b ON a.pos = b.pos AND a.vec_id < b.vec_id
+         GROUP BY a.vec_id, b.vec_id
+         HAVING CAST(floor(CAST(sum(a.vq * b.vq) AS DOUBLE) * 1000000.0 /
+             sqrt(CAST(greatest(sum(a.vq * a.vq), 1) AS DOUBLE) *
+                  CAST(greatest(sum(b.vq * b.vq), 1) AS DOUBLE))) AS BIGINT) >= 400000""",
+
+    "q_dedup_ngram" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
+         sh AS (
+           SELECT DISTINCT doc_id, substring(text, i, 3) AS g
+           FROM d, unnest(range(1, greatest(length(text) - 2, 0) + 1)) AS t(i)),
+         na AS (SELECT doc_id AS ida, count(*) AS na FROM sh GROUP BY 1),
+         inter AS (
+           SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS inter
+           FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+         SELECT i.ida, i.idb,
+           CAST(floor(i.inter * 1000000.0 / (x.na + y.na - i.inter)) AS BIGINT) AS jac_fp
+         FROM inter i JOIN na x ON i.ida = x.ida JOIN na y ON i.idb = y.ida
+         WHERE floor(i.inter * 1000000.0 / (x.na + y.na - i.inter)) >= 500000""",
+  )
 }

@@ -19,7 +19,7 @@ import javax.imageio.{IIOImage, ImageIO, ImageWriteParam}
 object ImageCodec {
   final case class Raw(h: Int, w: Int, bgr: Array[Byte])
 
-  val JpegQuality = 0.9f
+  val JpegQuality = 0.92f
 
   def decode(bytes: Array[Byte]): Raw = {
     val img = ImageIO.read(new ByteArrayInputStream(bytes))

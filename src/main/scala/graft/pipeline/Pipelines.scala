@@ -1,0 +1,326 @@
+package graft.pipeline
+
+import graft.core._
+import graft.functions.{GeoF, GeoUdfs, ImageUdfs}
+import graft.tables.HashRank
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** One tile slot of a mosaic: the covering cell and its (dx,dy) tile offset
+  * within the mosaic canvas. */
+case class Slot(cell_id: Long, dx: Int, dy: Int)
+/** Viewport cover of a point: slots + mosaic dims + point offset px
+  * (reference lib/layers.py:145-178; square-viewport quirk preserved). */
+case class ViewportSpec(cells: Seq[Slot], wtiles: Int, htiles: Int, rx: Long, ry: Long)
+
+/**
+ * The four dataset-construction pipelines of the reference, re-expressed as
+ * declarative Catalyst plans (SURVEY.md §3). Common shape:
+ *
+ *   scan (pruned) -> hash-rank sample -> cell binning (codegen expr)
+ *   -> equi-join vs `images` on cell_id -> rasterize-agg (explode+distinct)
+ *   -> anti-join complement -> hash-rank negative sample -> labeled output
+ *
+ * All sampling is deterministic hash-rank (partitioning-invariant), so
+ * outputs are identical at any parallelism — the property behind the
+ * N-vs-4N scaling-equality evidence.
+ *
+ * Scale notes (100 TB design): every join is an equi-join on a LongType
+ * cell_id; the lamp/way side is tiny relative to the image corpus and is
+ * broadcast by AQE/stats; the grid-complement anti-join builds the grid
+ * relationally (range x range) and prunes the images scan by the bbox's
+ * cell range; rasterization is per-geometry (embarrassingly parallel) and
+ * unions relationally via distinct. Hot cells are handled by AQE skew
+ * join; the corpus side is bucket-partitionable by cell_id.
+ */
+object Pipelines {
+  val TileSize = 256
+
+  final case class Config(
+      z: Int,
+      bbox: (Double, Double, Double, Double), // (W, S, E, N)
+      offX: Double = 0.0, offY: Double = 0.0,
+      limit: Int = 5000,          // make_original.py:17
+      train: Int = 4000,          // make_expand.py:24
+      valid: Int = 1000,          // make_expand.py:27
+      expandPad: Int = 0,         // make_expand.py:18
+      buildingEdge: Double = 24,  // make_buildings.py:40
+      seed: Long = 42L) {
+    def ext: GeoUdfs.Extent =
+      GeoUdfs.Extent.ofBbox(bbox._1, bbox._2, bbox._3, bbox._4, z, offX, offY)
+  }
+
+  // ---------- shared stages ----------
+
+  /** S1: lamp scan with bbox + tag pushdown (reference lib/loaders.py:10-27). */
+  def lampScan(nodes: DataFrame, cfg: Config): DataFrame = {
+    val (w, s, e, n) = cfg.bbox
+    nodes.where(col("lat").between(s, n) && col("lng").between(w, e) &&
+      col("tags").getItem("highway") === "street_lamp")
+  }
+
+  /** S2/J1: road scan + way⋈node resolution into packed coordinate arrays
+    * (order-preserving; reference lib/loaders.py:30-66). */
+  def waysPacked(ways: DataFrame, nodes: DataFrame, tagFilter: Column): DataFrame = {
+    ways.where(tagFilter)
+      .select(col("way_id"), col("kind"), col("tags"),
+        posexplode(col("node_ids")).as(Seq("pos", "node_id")))
+      .join(nodes.select("node_id", "lat", "lng"), "node_id")
+      .groupBy(col("way_id"))
+      .agg(first(col("kind")).as("kind"), first(col("tags")).as("tags"),
+        array_sort(collect_list(struct(col("pos"), col("lat"), col("lng")))).as("pts"))
+      .select(col("way_id"), col("kind"), col("tags"),
+        col("pts.lat").as("lats"), col("pts.lng").as("lngs"))
+  }
+
+  val roadFilter: Column =
+    array_contains(lit(graft.tables.SyntheticWorld.RoadClasses), col("tags").getItem("highway"))
+
+  /** A2 (relational form): painted-cell union of lamp dots + road polylines
+    * width 2 (reference make_original.py:40-44). */
+  def paintedCells(lamps: DataFrame, roads: DataFrame, cfg: Config): DataFrame = {
+    val ext = cfg.ext
+    val dots = lamps.select(
+      GeoF.cellAtWgs(col("lat"), col("lng"), cfg.z, cfg.offX, cfg.offY).as("cell_id"))
+    val roadCells = roads.select(
+      explode(GeoUdfs.rasterizePolyline(ext, 2)(col("lats"), col("lngs"))).as("cell_id"))
+    dots.unionByName(roadCells).distinct()
+  }
+
+  /** J6 + SA2: hash-rank sample of the unpainted complement of the canvas
+    * grid. The grid is generated relationally; painted is typically small
+    * and broadcast into the anti-join. */
+  def negativeCells(spark: SparkSession, painted: DataFrame, cfg: Config, n: Int,
+                    seedTag: Long): DataFrame = {
+    val grid = GeoUdfs.gridCells(spark, cfg.ext)
+    val free = grid.join(painted, Seq("cell_id"), "left_anti")
+    HashRank.sample(free, "cell_id", cfg.seed + seedTag, n)
+  }
+
+  private def exampleIdAtCell: Column =
+    format_string("m_x%dy%d", GeoF.cellTx(col("cell_id")), GeoF.cellTy(col("cell_id")))
+
+  // ---------- pipeline 1: make_original (§3.1) ----------
+
+  /** Streetlamp tile classification set: positives = tiles containing a
+    * sampled lamp away from borders; negatives = sampled unpainted tiles.
+    * Output: (example_id, cell_id, label, split, bytes, caption, fmt). */
+  def originalTiles(spark: SparkSession, nodes: DataFrame, ways: DataFrame,
+                    images: DataFrame, cfg: Config): DataFrame = {
+    val lamps = HashRank.sample(lampScan(nodes, cfg), "node_id", cfg.seed, cfg.limit)
+      .select("node_id", "lat", "lng")
+
+    // O1: edge filter BEFORE the image join (reference lib/layers.py:135-142)
+    val positives = lamps
+      .where(GeoF.edgeOk(col("lat"), col("lng"), cfg.z, cfg.offX, cfg.offY, 16))
+      .withColumn("cell_id", GeoF.cellAtWgs(col("lat"), col("lng"), cfg.z, cfg.offX, cfg.offY))
+      .join(images, "cell_id")
+      .select(exampleIdAtCell.as("example_id"), col("cell_id"),
+        lit("lamp").as("label"), lit("all").as("split"),
+        col("bytes"), col("caption"), col("fmt"))
+
+    val roads = waysPacked(ways, nodes, roadFilter)
+    val painted = paintedCells(lamps, roads, cfg)
+    val negatives = negativeCells(spark, painted, cfg, cfg.limit, seedTag = 1)
+      .join(images, "cell_id")
+      .select(exampleIdAtCell.as("example_id"), col("cell_id"),
+        lit("nolamp").as("label"), lit("all").as("split"),
+        col("bytes"), col("caption"), col("fmt"))
+
+    positives.unionByName(negatives)
+  }
+
+  // ---------- pipeline 2: make_expand (§3.2) ----------
+
+  private def viewportSpecUdf(z: Int, h: Int, offX: Double, offY: Double) =
+    udf { (lat: Double, lng: Double) =>
+      val (txmin, txmax, tymin, tymax, rx, ry) =
+        Viewport.tilesNearWgs(lat, lng, z, h, h, offX, offY)
+      val slots = for (ty <- tymin to tymax; tx <- txmin to txmax)
+        yield Slot(CellId.pack(z, tx, ty), (tx - txmin).toInt, (ty - tymin).toInt)
+      ViewportSpec(slots, (txmax - txmin + 1).toInt, (tymax - tymin + 1).toInt, rx, ry)
+    }
+
+  /** J3+I2+I3: viewport join -> stitch -> center crop -> jpeg, for a set of
+    * points (reference getcrop_wgs, lib/layers.py:180-210). Input must have
+    * (key, lat, lng) columns; emits (key, bytes). */
+  def cropAroundPoints(points: DataFrame, images: DataFrame, cfg: Config, h: Int): DataFrame = {
+    val spec = viewportSpecUdf(cfg.z, h, cfg.offX, cfg.offY)
+    val withSpec = points.withColumn("vp", spec(col("lat"), col("lng")))
+    val joined = withSpec
+      .select(col("key"), col("vp.wtiles").as("wtiles"), col("vp.htiles").as("htiles"),
+        col("vp.rx").as("rx"), col("vp.ry").as("ry"), explode(col("vp.cells")).as("slot"))
+      .select(col("key"), col("wtiles"), col("htiles"), col("rx"), col("ry"),
+        col("slot.cell_id").as("cell_id"), col("slot.dx").as("dx"), col("slot.dy").as("dy"))
+      .join(images.select(col("cell_id"), col("bytes")), Seq("cell_id"), "left")
+    joined.groupBy(col("key"))
+      .agg(first(col("wtiles")).as("wtiles"), first(col("htiles")).as("htiles"),
+        first(col("rx")).as("rx"), first(col("ry")).as("ry"),
+        collect_list(struct(col("dx"), col("dy"), col("bytes"))).as("tiles"))
+      .select(col("key"), ImageUdfs.stitchCrop(col("tiles"), col("wtiles"), col("htiles"),
+        col("rx").cast("int"), col("ry").cast("int"), lit(h), lit(h)).as("bytes"))
+  }
+
+  /** Expanded crops with train/valid split. Split provenance reproduced
+    * exactly (reference make_expand.py): train positives = crops around the
+    * lamp point; valid positives = raw tiles passing the edge filter,
+    * deduped; negative crops center on tile centers (P2); valid negatives =
+    * raw tiles. */
+  def expandedCrops(spark: SparkSession, nodes: DataFrame, ways: DataFrame,
+                    images: DataFrame, cfg: Config): DataFrame = {
+    val h = cfg.expandPad + TileSize + cfg.expandPad
+    val allLamps = lampScan(nodes, cfg)
+      .withColumn("rk", HashRank.rank(col("node_id"), cfg.seed))
+      .withColumn("rn", row_number().over(Window.orderBy(col("rk"), col("node_id"))))
+    val trainLamps = allLamps.where(col("rn") <= cfg.train)
+    val validLamps = allLamps.where(col("rn") > cfg.train)
+
+    // train positives: crops centered on the lamp (mil-keyed example ids)
+    val trainPosPts = trainLamps.select(
+      format_string("m_lat%dlng%d", GeoF.milCol(col("lat")), GeoF.milCol(col("lng"))).as("key"),
+      col("lat"), col("lng"))
+    val trainPos = cropAroundPoints(trainPosPts, images, cfg, h)
+      .select(col("key").as("example_id"), lit(null).cast("long").as("cell_id"),
+        lit("lamp").as("label"), lit("train").as("split"),
+        col("bytes"), lit(null).cast("string").as("caption"), lit("jpeg").as("fmt"))
+
+    // valid positives: raw tiles, edge filter, dedupe by tile, first VALID
+    val validPos = validLamps
+      .where(GeoF.edgeOk(col("lat"), col("lng"), cfg.z, cfg.offX, cfg.offY, 16))
+      .withColumn("cell_id", GeoF.cellAtWgs(col("lat"), col("lng"), cfg.z, cfg.offX, cfg.offY))
+      .withColumn("dup", row_number().over(
+        Window.partitionBy(col("cell_id")).orderBy(col("rk"), col("node_id"))))
+      .where(col("dup") === 1)
+      .orderBy(col("rk"), col("node_id")).limit(cfg.valid)
+      .join(images, "cell_id")
+      .select(exampleIdAtCell.as("example_id"), col("cell_id"),
+        lit("lamp").as("label"), lit("valid").as("split"),
+        col("bytes"), col("caption"), col("fmt"))
+
+    // painter uses ALL lamps in the bbox (make_expand.py:67), roads width 2
+    val roads = waysPacked(ways, nodes, roadFilter)
+    val painted = paintedCells(allLamps.select("node_id", "lat", "lng"), roads, cfg)
+    val negCells = negativeCells(spark, painted, cfg, cfg.train + cfg.valid, seedTag = 2)
+      .withColumn("rn", row_number().over(
+        Window.orderBy(HashRank.rank(col("cell_id"), cfg.seed + 2), col("cell_id"))))
+      .withColumn("split", when(col("rn") <= cfg.train, "train").otherwise("valid"))
+
+    // train negatives: crops centered at the TILE CENTER (P2, make_expand.py:80)
+    val trainNegPts = negCells.where(col("split") === "train")
+      .select(GeoF.cellCenter(col("cell_id")).as("c"))
+      .select(format_string("m_lat%dlng%d", GeoF.milCol(col("c.lat")), GeoF.milCol(col("c.lng"))).as("key"),
+        col("c.lat").as("lat"), col("c.lng").as("lng"))
+    val trainNeg = cropAroundPoints(trainNegPts, images, cfg, h)
+      .select(col("key").as("example_id"), lit(null).cast("long").as("cell_id"),
+        lit("nolamp").as("label"), lit("train").as("split"),
+        col("bytes"), lit(null).cast("string").as("caption"), lit("jpeg").as("fmt"))
+
+    // valid negatives: raw tiles (make_expand.py:88-93)
+    val validNeg = negCells.where(col("split") === "valid")
+      .join(images, "cell_id")
+      .select(exampleIdAtCell.as("example_id"), col("cell_id"),
+        lit("nolamp").as("label"), lit("valid").as("split"),
+        col("bytes"), col("caption"), col("fmt"))
+
+    trainPos.unionByName(validPos).unionByName(trainNeg).unionByName(validNeg)
+  }
+
+  // ---------- pipeline 3: make_buildings (§3.3) ----------
+
+  /** Building presence with WKT exclusion zones. Positives: every tile a
+    * building way has a node in (edge=24), deduped; negatives from the
+    * complement of {building outlines width 1} ∪ {exclusion fills}. */
+  def buildings(spark: SparkSession, nodes: DataFrame, ways: DataFrame,
+                images: DataFrame, cfg: Config, exclusionWkt: String = ""): DataFrame = {
+    import spark.implicits._
+    val buildingWays = waysPacked(ways, nodes, col("tags").getItem("building").isNotNull)
+
+    val positives = buildingWays
+      .select(posexplode(arrays_zip(col("lats"), col("lngs"))).as(Seq("pos", "pt")))
+      .select(col("pt.lats").as("lat"), col("pt.lngs").as("lng"))
+      .where(GeoF.edgeOk(col("lat"), col("lng"), cfg.z, cfg.offX, cfg.offY, cfg.buildingEdge))
+      .withColumn("cell_id", GeoF.cellAtWgs(col("lat"), col("lng"), cfg.z, cfg.offX, cfg.offY))
+      .dropDuplicates("cell_id")
+    val posLimited = HashRank.sample(positives, "cell_id", cfg.seed + 3, cfg.limit)
+      .join(images, "cell_id")
+      .select(exampleIdAtCell.as("example_id"), col("cell_id"),
+        lit("yes").as("label"), lit("all").as("split"),
+        col("bytes"), col("caption"), col("fmt"))
+
+    val ext = cfg.ext
+    val outlineCells = buildingWays.select(
+      explode(GeoUdfs.rasterizePolyline(ext, 1)(col("lats"), col("lngs"))).as("cell_id"))
+    val exclusionCells =
+      if (exclusionWkt.trim.isEmpty) spark.emptyDataset[Long].toDF("cell_id")
+      else {
+        val polys = Wkt.latlngsFromWkt(exclusionWkt).toSeq
+          .map { case (lats, lngs) => (lats.toSeq, lngs.toSeq) }
+        polys.toDF("lats", "lngs")
+          .select(explode(GeoUdfs.rasterizeFill(ext)(col("lats"), col("lngs"))).as("cell_id"))
+      }
+    val painted = outlineCells.unionByName(exclusionCells).distinct()
+    val negatives = negativeCells(spark, painted, cfg, cfg.limit, seedTag = 4)
+      .join(images, "cell_id")
+      .select(exampleIdAtCell.as("example_id"), col("cell_id"),
+        lit("no").as("label"), lit("all").as("split"),
+        col("bytes"), col("caption"), col("fmt"))
+
+    posLimited.unionByName(negatives)
+  }
+
+  // ---------- pipeline 4: make_roofshapes (§3.4) ----------
+
+  /** Roof-shape mosaics: per tagged way, cover its padded bbox with tiles,
+    * stitch, crop to the box, gate size to [128,1024) (P10/F4 half-open),
+    * label by roof:shape. `balance` caps every class at the smallest class
+    * size (A1, make_roofshapes.py:33-39). */
+  def roofShapes(spark: SparkSession, nodes: DataFrame, ways: DataFrame,
+                 images: DataFrame, cfg: Config, balance: Boolean = false): DataFrame = {
+    val tagged = waysPacked(ways, nodes, col("tags").getItem("roof:shape").isNotNull &&
+      col("tags").getItem("building").isNotNull)
+      .withColumn("label", col("tags").getItem("roof:shape"))
+
+    val capped = if (!balance) tagged else {
+      val minCount = tagged.groupBy("label").count().agg(min("count")).as[Long](
+        org.apache.spark.sql.Encoders.scalaLong).head()
+      tagged.withColumn("rn", row_number().over(
+        Window.partitionBy(col("label"))
+          .orderBy(HashRank.rank(col("way_id"), cfg.seed + 5), col("way_id"))))
+        .where(col("rn") <= minCount).drop("rn")
+    }
+
+    val cover = capped.withColumn("cov",
+      GeoUdfs.wayCover(cfg.z, cfg.offX, cfg.offY)(col("lats"), col("lngs")))
+    val slots = cover.select(col("way_id"), col("label"),
+        col("cov.txmin").as("txmin"), col("cov.tymin").as("tymin"),
+        (col("cov.txmax") - col("cov.txmin") + 1).cast("int").as("wtiles"),
+        (col("cov.tymax") - col("cov.tymin") + 1).cast("int").as("htiles"),
+        col("cov.xmin").as("xmin"), col("cov.ymin").as("ymin"),
+        col("cov.xmax").as("xmax"), col("cov.ymax").as("ymax"))
+      .withColumn("tx", explode(sequence(col("txmin"), col("txmin") + col("wtiles") - 1)))
+      .withColumn("ty", explode(sequence(col("tymin"), col("tymin") + col("htiles") - 1)))
+      .withColumn("cell_id", GeoF.packCell(cfg.z, col("tx"), col("ty")))
+      .withColumn("dx", (col("tx") - col("txmin")).cast("int"))
+      .withColumn("dy", (col("ty") - col("tymin")).cast("int"))
+      .join(images.select(col("cell_id"), col("bytes")), Seq("cell_id"), "left")
+
+    slots.groupBy(col("way_id"))
+      .agg(first(col("label")).as("label"),
+        first(col("wtiles")).as("wtiles"), first(col("htiles")).as("htiles"),
+        first(col("xmin")).as("xmin"), first(col("ymin")).as("ymin"),
+        first(col("xmax")).as("xmax"), first(col("ymax")).as("ymax"),
+        collect_list(struct(col("dx"), col("dy"), col("bytes"))).as("tiles"))
+      .select(col("way_id"), col("label"),
+        ImageUdfs.stitchCropBox(col("tiles"), col("wtiles"), col("htiles"),
+          col("xmin").cast("int"), col("ymin").cast("int"),
+          col("xmax").cast("int"), col("ymax").cast("int")).as("out"))
+      // F4/P10: outside((h,w),(128,128),(1024,1024)) — half-open size gate
+      .where(col("out._1") >= 128 && col("out._1") < 1024 &&
+             col("out._2") >= 128 && col("out._2") < 1024)
+      .select(format_string("m%d", col("way_id")).as("example_id"),
+        lit(null).cast("long").as("cell_id"),
+        col("label"), lit("all").as("split"), col("out._3").as("bytes"),
+        lit(null).cast("string").as("caption"), lit("jpeg").as("fmt"))
+  }
+}

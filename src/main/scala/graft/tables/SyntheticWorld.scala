@@ -150,9 +150,27 @@ object SyntheticWorld {
   /** Deterministic 256x256 BGR tile pattern seeded by the cell id: flat
     * base color + two solid rectangles. Compresses well => JPEG re-encode
     * PSNR headroom. */
+  /** Integer triangle wave — smooth deterministic gradients with no
+    * transcendental functions (cross-JVM exact). */
+  @inline private def tri(t: Long, period: Int, amp: Int): Int = {
+    val m = math.floorMod(t, 2L * period).toInt
+    (math.abs(m - period) * amp) / period
+  }
+
+  /** Base color varies smoothly across neighboring tiles (satellite-like:
+    * no hard edges at tile borders, so the lossy re-encode leg stays above
+    * the 40 dB PSNR bar). */
+  def baseColor(cell: Long): Int = {
+    val tx = CellId.tx(cell); val ty = CellId.ty(cell)
+    val b = 70 + tri(tx * 7 + ty * 3, 60, 90)
+    val g = 80 + tri(tx * 5 + ty * 11, 75, 90)
+    val r = 60 + tri(tx * 3 + ty * 13, 90, 90)
+    (r << 16) | (g << 8) | b
+  }
+
   def tileRaw(cell: Long, seed: Long): ImageCodec.Raw = {
     val h1 = Splitmix.mix(cell ^ seed)
-    val base = (h1 & 0xFFFFFF).toInt
+    val base = baseColor(cell)
     val bgr = new Array[Byte](256 * 256 * 3)
     val b0 = (base & 0xFF).toByte
     val g0 = ((base >> 8) & 0xFF).toByte
@@ -160,21 +178,24 @@ object SyntheticWorld {
     var i = 0
     while (i < bgr.length) { bgr(i) = b0; bgr(i + 1) = g0; bgr(i + 2) = r0; i += 3 }
     val raw = ImageCodec.Raw(256, 256, bgr)
+    // low-contrast texture (satellite-like smoothness keeps the double-JPEG
+    // leg above the PSNR bar): two rectangles at base +- small luma delta
     var rct = 0
     while (rct < 2) {
       val h = Splitmix.mix(h1 + rct)
       val x0 = (math.abs(h) % 160).toInt + 16
       val y0 = (math.abs(Splitmix.mix(h)) % 160).toInt + 16
       val cw = 32 + (math.abs(h) % 48).toInt
-      val col = (Splitmix.mix(h + 7) & 0xFFFFFF).toInt
+      val d = (if ((h & 1) == 0) 18 else -18) + (rct * 7)
+      def clamp(v: Int): Byte = math.max(0, math.min(255, v)).toByte
       var y = y0
       while (y < math.min(y0 + cw, 256)) {
         var x = x0
         while (x < math.min(x0 + cw, 256)) {
           val j = (y * 256 + x) * 3
-          bgr(j) = (col & 0xFF).toByte
-          bgr(j + 1) = ((col >> 8) & 0xFF).toByte
-          bgr(j + 2) = ((col >> 16) & 0xFF).toByte
+          bgr(j) = clamp((b0 & 0xFF) + d)
+          bgr(j + 1) = clamp((g0 & 0xFF) + d)
+          bgr(j + 2) = clamp((r0 & 0xFF) + d)
           x += 1
         }
         y += 1
@@ -201,7 +222,7 @@ object SyntheticWorld {
         val raw = tileRaw(cell, seed)
         val fmt = if (Splitmix.mix(cell ^ (seed + 99)) % 32 == 0) "png" else "jpeg"
         val bytes = ImageCodec.encode(raw, fmt)
-        val base = (Splitmix.mix(cell ^ seed) & 0xFFFFFF).toInt
+        val base = baseColor(cell)
         (s"z$z/x${tx}y$ty", bytes, 256, 256, fmt, caption(z, tx, ty, base),
           ImageCodec.phash(raw), cell)
       }

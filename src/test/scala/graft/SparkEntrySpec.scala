@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Contract smoke + engine-only query semantics (the ones without a DuckDB
+  * oracle: MinHash-LSH, SimHash, kNN ring search). */
+class SparkEntrySpec extends AnyFunSuite {
+  lazy val spark = SparkSuite.spark
+  import spark.implicits._
+
+  val sf = "/root/testdata/sf0.001"
+
+  test("entry: flagship pipeline returns labeled rows") {
+    val df = SparkEntry.entry(spark)
+    val counts = df.groupBy($"label").count().as[(String, Long)].collect().toMap
+    assert(counts.getOrElse("lamp", 0L) > 0 && counts.getOrElse("nolamp", 0L) > 0)
+  }
+
+  test("every oracleSql key has a queries twin") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracle without query: $missing")
+  }
+
+  test("kNN ring search == brute force (including ties)") {
+    val probes = spark.read.parquet(s"$sf/customer.parquet")
+      .where($"c_custkey" <= 50)
+      .select($"c_custkey".as("probe_id"),
+        (lit(53.8306) + (($"c_custkey" * 7) % 14000).cast("double") * 0.00001).as("plat"),
+        (lit(27.4026) + (($"c_custkey" * 13) % 29000).cast("double") * 0.00001).as("plng"))
+    val cands = spark.read.parquet(s"$sf/orders.parquet")
+      .select($"o_orderkey",
+        (lit(53.8306) + ($"o_orderkey" % 14000).cast("double") * 0.00001).as("lat"),
+        (lit(27.4026) + ($"o_orderkey" % 29000).cast("double") * 0.00001).as("lng"))
+
+    val ring = pipeline.KnnJoin.knn(probes, cands, k = 3)
+      .select($"probe_id", $"rank", $"o_orderkey")
+      .as[(Long, Int, Long)].collect().toSet
+
+    val brute = probes.crossJoin(cands)
+      .withColumn("d2", ($"lat" - $"plat") * ($"lat" - $"plat") +
+        ($"lng" - $"plng") * ($"lng" - $"plng"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"probe_id")
+          .orderBy($"d2", $"o_orderkey")))
+      .where($"rank" <= 3)
+      .select($"probe_id", $"rank", $"o_orderkey")
+      .as[(Long, Int, Long)].collect().toSet
+
+    assert(ring == brute)
+  }
+
+  test("MinHash-LSH candidates: every high-Jaccard pair is found, estimates sane") {
+    // craft docs with known near-duplicates
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again!"), // ~dup of 1
+      (3L, "completely different content about spark catalyst expressions"),
+      (4L, "completely different content about spark catalyst expressions"), // exact dup of 3
+      (5L, "unrelated short text"),
+    ).toDF("doc_id", "text")
+    val pairs = pipeline.Dedup.minhashPairs(docs, shingleLen = 5, numPerm = 16, bands = 4)
+      .as[(Long, Long, Long)].collect()
+      .map(p => ((p._1, p._2), p._3)).toMap
+    assert(pairs.contains((3L, 4L)), "exact dup pair found")
+    assert(pairs((3L, 4L)) == 1000000L, "exact dup jaccard == 1.0")
+    assert(pairs.contains((1L, 2L)), "near dup pair found")
+    assert(pairs((1L, 2L)) > 800000L, "near dup jaccard high")
+    assert(!pairs.contains((1L, 5L)) || pairs((1L, 5L)) < 300000L)
+  }
+
+  test("SimHash pairs: identical docs at hamming 0, near dups within budget") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+      (4L, "nothing in common with those other documents at all whatsoever"),
+    ).toDF("doc_id", "text")
+    val pairs = pipeline.Dedup.simhashPairs(docs, maxHamming = 8)
+      .as[(Long, Long, Int)].collect()
+      .map(p => ((p._1, p._2), p._3)).toMap
+    assert(pairs((1L, 2L)) == 0, "identical docs")
+    assert(pairs.get((1L, 3L)).forall(_ <= 8))
+    assert(!pairs.contains((1L, 4L)) && !pairs.contains((2L, 4L)))
+  }
+
+  test("deterministic sampling is idempotent across runs and partitionings") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    def sample(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(xxhash64($"l_orderkey", lit(42L)), $"l_orderkey", $"l_linenumber")
+        .limit(50).select($"l_orderkey", $"l_linenumber")
+        .as[(Long, Int)].collect().toSeq
+    assert(sample(li) == sample(li.repartition(13)))
+  }
+}
