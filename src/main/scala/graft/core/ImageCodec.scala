@@ -19,12 +19,62 @@ import javax.imageio.{IIOImage, ImageIO, ImageWriteParam}
 object ImageCodec {
   final case class Raw(h: Int, w: Int, bgr: Array[Byte])
 
+  // ImageIO defaults to a disk-backed stream cache whose temp-file
+  // creation serializes concurrent encoders — memory cache keeps N
+  // executor threads independent.
+  ImageIO.setUseCache(false)
+
   val JpegQuality = 0.92f
 
+  // ImageIO.read / getImageWritersByFormatName walk a synchronized service
+  // registry on EVERY call — a global lock that inverts scaling at high
+  // thread counts. Resolve the providers once, instantiate per thread.
+  private val jpegReaderSpi = {
+    val r = ImageIO.getImageReadersByFormatName("jpeg").next()
+    val spi = r.getOriginatingProvider; r.dispose(); spi
+  }
+  private val pngReaderSpi = {
+    val r = ImageIO.getImageReadersByFormatName("png").next()
+    val spi = r.getOriginatingProvider; r.dispose(); spi
+  }
+  private val jpegWriterSpi = {
+    val w = ImageIO.getImageWritersByFormatName("jpeg").next()
+    val spi = w.getOriginatingProvider; w.dispose(); spi
+  }
+  private val pngWriterSpi = {
+    val w = ImageIO.getImageWritersByFormatName("png").next()
+    val spi = w.getOriginatingProvider; w.dispose(); spi
+  }
+  private val jpegReader = ThreadLocal.withInitial[javax.imageio.ImageReader](() => jpegReaderSpi.createReaderInstance())
+  private val pngReader = ThreadLocal.withInitial[javax.imageio.ImageReader](() => pngReaderSpi.createReaderInstance())
+  private val jpegWriter = ThreadLocal.withInitial[javax.imageio.ImageWriter](() => jpegWriterSpi.createWriterInstance())
+  private val pngWriter = ThreadLocal.withInitial[javax.imageio.ImageWriter](() => pngWriterSpi.createWriterInstance())
+
   def decode(bytes: Array[Byte]): Raw = {
-    val img = ImageIO.read(new ByteArrayInputStream(bytes))
+    // magic-byte sniff -> thread-local codec (no registry walk)
+    val reader =
+      if (bytes.length >= 2 && (bytes(0) & 0xFF) == 0xFF && (bytes(1) & 0xFF) == 0xD8)
+        jpegReader.get()
+      else if (bytes.length >= 2 && (bytes(0) & 0xFF) == 0x89 && bytes(1) == 'P')
+        pngReader.get()
+      else null
+    val img =
+      if (reader != null) {
+        // direct MemoryCacheImageInputStream: no ImageIO registry walk
+        val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+          new ByteArrayInputStream(bytes))
+        try { reader.setInput(iis, true, true); reader.read(0) }
+        finally { reader.setInput(null); iis.close() }
+      } else ImageIO.read(new ByteArrayInputStream(bytes))
     require(img != null, "undecodable image bytes")
     val h = img.getHeight; val w = img.getWidth
+    // fast path: JPEG/PNG decoders produce TYPE_3BYTE_BGR whose raster
+    // buffer IS the row-major BGR layout — copy once, no per-pixel calls
+    if (img.getType == BufferedImage.TYPE_3BYTE_BGR) {
+      val data = img.getRaster.getDataBuffer
+        .asInstanceOf[java.awt.image.DataBufferByte].getData
+      if (data.length == h * w * 3) return Raw(h, w, data.clone())
+    }
     val out = new Array[Byte](h * w * 3)
     var y = 0
     while (y < h) {
@@ -43,31 +93,29 @@ object ImageCodec {
   }
 
   def encode(raw: Raw, fmt: String): Array[Byte] = {
-    val img = new BufferedImage(raw.w, raw.h, BufferedImage.TYPE_INT_RGB)
-    var y = 0
-    while (y < raw.h) {
-      var x = 0
-      while (x < raw.w) {
-        val i = (y * raw.w + x) * 3
-        val b = raw.bgr(i) & 0xFF; val g = raw.bgr(i + 1) & 0xFF; val r = raw.bgr(i + 2) & 0xFF
-        img.setRGB(x, y, (r << 16) | (g << 8) | b)
-        x += 1
-      }
-      y += 1
-    }
+    // TYPE_3BYTE_BGR raster wraps our layout directly — bulk copy, no
+    // per-pixel setRGB
+    val img = new BufferedImage(raw.w, raw.h, BufferedImage.TYPE_3BYTE_BGR)
+    val data = img.getRaster.getDataBuffer
+      .asInstanceOf[java.awt.image.DataBufferByte].getData
+    System.arraycopy(raw.bgr, 0, data, 0, math.min(raw.bgr.length, data.length))
     val bos = new ByteArrayOutputStream()
     fmt.toLowerCase match {
       case "jpeg" | "jpg" =>
-        val writer = ImageIO.getImageWritersByFormatName("jpeg").next()
+        val writer = jpegWriter.get()
         val param = writer.getDefaultWriteParam
         param.setCompressionMode(ImageWriteParam.MODE_EXPLICIT)
         param.setCompressionQuality(JpegQuality)
-        val ios = ImageIO.createImageOutputStream(bos)
+        val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
         writer.setOutput(ios)
         writer.write(null, new IIOImage(img, null, null), param)
-        ios.close(); writer.dispose()
+        ios.close(); writer.setOutput(null)
       case "png" =>
-        ImageIO.write(img, "png", bos)
+        val writer = pngWriter.get()
+        val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+        writer.setOutput(ios)
+        writer.write(null, new IIOImage(img, null, null), writer.getDefaultWriteParam)
+        ios.close(); writer.setOutput(null)
       case other => throw new IllegalArgumentException(s"unsupported fmt: $other")
     }
     bos.toByteArray

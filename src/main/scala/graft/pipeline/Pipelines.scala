@@ -96,6 +96,7 @@ object Pipelines {
     val grid = GeoUdfs.gridCells(spark, cfg.ext)
     val free = grid.join(painted, Seq("cell_id"), "left_anti")
     HashRank.sample(free, "cell_id", cfg.seed + seedTag, n)
+      .repartition(col("cell_id"))
   }
 
   private def exampleIdAtCell: Column =
@@ -108,8 +109,12 @@ object Pipelines {
     * Output: (example_id, cell_id, label, split, bytes, caption, fmt). */
   def originalTiles(spark: SparkSession, nodes: DataFrame, ways: DataFrame,
                     images: DataFrame, cfg: Config): DataFrame = {
+    // hash-rank limit (TakeOrderedAndProject) emits a single partition and
+    // the images join is typically a broadcast, which would pin the whole
+    // downstream chain to one task — redistribute the (tiny) lamp set
     val lamps = HashRank.sample(lampScan(nodes, cfg), "node_id", cfg.seed, cfg.limit)
       .select("node_id", "lat", "lng")
+      .repartition(col("node_id"))
 
     // O1: edge filter BEFORE the image join (reference lib/layers.py:135-142)
     val positives = lamps
@@ -173,8 +178,11 @@ object Pipelines {
     val allLamps = lampScan(nodes, cfg)
       .withColumn("rk", HashRank.rank(col("node_id"), cfg.seed))
       .withColumn("rn", row_number().over(Window.orderBy(col("rk"), col("node_id"))))
-    val trainLamps = allLamps.where(col("rn") <= cfg.train)
-    val validLamps = allLamps.where(col("rn") > cfg.train)
+    // the global row_number window runs in one partition (unavoidable for
+    // an exact global rank, but it carries only the tiny lamp set);
+    // repartition so the image-heavy downstream fans back out
+    val trainLamps = allLamps.where(col("rn") <= cfg.train).repartition(col("node_id"))
+    val validLamps = allLamps.where(col("rn") > cfg.train).repartition(col("node_id"))
 
     // train positives: crops centered on the lamp (mil-keyed example ids)
     val trainPosPts = trainLamps.select(
@@ -193,6 +201,7 @@ object Pipelines {
         Window.partitionBy(col("cell_id")).orderBy(col("rk"), col("node_id"))))
       .where(col("dup") === 1)
       .orderBy(col("rk"), col("node_id")).limit(cfg.valid)
+      .repartition(col("cell_id"))
       .join(images, "cell_id")
       .select(exampleIdAtCell.as("example_id"), col("cell_id"),
         lit("lamp").as("label"), lit("valid").as("split"),
@@ -205,6 +214,7 @@ object Pipelines {
       .withColumn("rn", row_number().over(
         Window.orderBy(HashRank.rank(col("cell_id"), cfg.seed + 2), col("cell_id"))))
       .withColumn("split", when(col("rn") <= cfg.train, "train").otherwise("valid"))
+      .repartition(col("cell_id"))
 
     // train negatives: crops centered at the TILE CENTER (P2, make_expand.py:80)
     val trainNegPts = negCells.where(col("split") === "train")
@@ -243,6 +253,7 @@ object Pipelines {
       .withColumn("cell_id", GeoF.cellAtWgs(col("lat"), col("lng"), cfg.z, cfg.offX, cfg.offY))
       .dropDuplicates("cell_id")
     val posLimited = HashRank.sample(positives, "cell_id", cfg.seed + 3, cfg.limit)
+      .repartition(col("cell_id"))
       .join(images, "cell_id")
       .select(exampleIdAtCell.as("example_id"), col("cell_id"),
         lit("yes").as("label"), lit("all").as("split"),
