@@ -392,7 +392,87 @@ object SparkEntry {
     "q_dedup_simhash" -> ((s, dir) =>
       pipeline.Dedup.simhashPairs(t(s, dir, "documents"), maxHamming = 8)
         .select(col("ida"), col("idb"), col("hamming"))),
+
+    // ---------- streaming ----------
+
+    // Structured Streaming: tumbling hourly window with watermark over the
+    // events table driven to completion via an in-memory sink; value-equal
+    // to the batch oracle (same rollup as q_events_window)
+    "q_stream_window" -> ((s, dir) => {
+      val schema = t(s, dir, "events").schema
+      // the streaming file source wants a directory; expose the single
+      // events file through a temp dir of symlinks
+      val streamDir = java.nio.file.Files.createTempDirectory("graft_stream")
+      java.nio.file.Files.createSymbolicLink(
+        streamDir.resolve("events.parquet"),
+        java.nio.file.Paths.get(s"$dir/events.parquet").toAbsolutePath)
+      val stream = s.readStream.schema(schema).parquet(streamDir.toString)
+      val agg = stream
+        .withColumn("ts", col("ts").cast("timestamp")) // NTZ -> event-time type
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("value") * 100 + 0.5).cast("long")).as("value_cents"))
+        .select(unix_millis(col("window.start")).as("hour_ms"), col("event_type"),
+          col("n"), col("value_cents"))
+      val qname = s"stream_window_${System.nanoTime()}"
+      val q = agg.writeStream.outputMode("complete").format("memory").queryName(qname).start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(qname)
+    }),
+
+    // ---------- multimodal / image ops over the synthetic corpus ----------
+    // (engine-only rows checks: the sf dirs carry no image table; these run
+    // on the deterministic synthetic world regardless of `dir`)
+
+    // I1: decode + metadata extraction; verifies stored w/h/phash per row
+    "q_i1_decode_meta" -> ((s, _) => {
+      val images = tables.SyntheticWorld.images(s, tables.SyntheticWorld.testWorld)
+      images.select(col("image_id"),
+          functions.ImageUdfs.decodeDims(col("bytes")).as("dims"),
+          functions.ImageUdfs.phashUdf(col("bytes")).as("ph"), col("phash"), col("fmt"))
+        .select(col("image_id"), col("dims._1").as("h"), col("dims._2").as("w"),
+          bit_count(col("ph").bitwiseXOR(col("phash"))).as("phash_drift"))
+        .where(col("h") === 256 && col("w") === 256 && col("phash_drift") <= 8)
+    }),
+
+    // A3/S18: minimap — mean tile color per cell (diagnostic aggregate)
+    "q_a3_minimap" -> ((s, _) => {
+      val images = tables.SyntheticWorld.images(s, tables.SyntheticWorld.testWorld)
+      images.select(col("cell_id"), functions.ImageUdfs.meanColorUdf(col("bytes")).as("bgr"))
+        .select(col("cell_id"), floor(col("bgr")(0)).cast("long").as("b"),
+          floor(col("bgr")(1)).cast("long").as("g"), floor(col("bgr")(2)).cast("long").as("r"))
+    }),
+
+    // phash near-dup buckets over the corpus (perceptual dedup; I-ops + LSH
+    // banding reused from SimHash machinery)
+    "q_phash_neardup" -> ((s, _) => {
+      val images = tables.SyntheticWorld.images(s, tables.SyntheticWorld.testWorld)
+      val hs = images.select(col("cell_id").as("doc_id"), col("phash").as("sh"),
+        lit("").as("text"))
+      // reuse the pigeonhole chunk banding on the stored phash
+      pipeline.Dedup.simhashPairsFromHashes(hs.select(col("doc_id"), col("sh")), maxHamming = 6)
+        .select(col("ida"), col("idb"), col("hamming"))
+    }),
+
+    // ---------- the four reference pipelines end-to-end (rows checks;
+    // full semantics pinned by PipelineSpec goldens) ----------
+    "q_pipeline_original" -> ((s, _) => pipelineCounts(s)(pipeline.Pipelines.originalTiles(s, _, _, _, _))),
+    "q_pipeline_expand" -> ((s, _) => pipelineCounts(s)(pipeline.Pipelines.expandedCrops(s, _, _, _, _))),
+    "q_pipeline_buildings" -> ((s, _) => pipelineCounts(s)(pipeline.Pipelines.buildings(s, _, _, _, _, ""))),
+    "q_pipeline_roofshapes" -> ((s, _) => pipelineCounts(s)(pipeline.Pipelines.roofShapes(s, _, _, _, _, false))),
   )
+
+  private def pipelineCounts(s: SparkSession)(
+      f: (DataFrame, DataFrame, DataFrame, pipeline.Pipelines.Config) => DataFrame): DataFrame = {
+    val w = tables.SyntheticWorld.testWorld
+    val (bw, bs, be, bn) = w.bbox
+    val cfg = pipeline.Pipelines.Config(z = w.z, bbox = (bw, bs, be, bn),
+      limit = 60, train = 40, valid = 20)
+    f(tables.SyntheticWorld.osmNodes(s, w), tables.SyntheticWorld.osmWays(s, w),
+      tables.SyntheticWorld.images(s, w), cfg)
+      .groupBy(col("label"), col("split")).agg(count(lit(1)).as("n"))
+  }
 
   // =====================================================================
   // DuckDB oracles — same tables, same math, ANSI SQL
@@ -564,6 +644,13 @@ object SparkEntry {
            AND ((27.4101234 - 27.3801234) * (lat - 53.8421234) - (53.8381234 - 53.8421234) * (lng - 27.3801234)) > 0""",
 
     "q_events_window" ->
+      """SELECT epoch_ms(date_trunc('hour', ts)) AS hour_ms, event_type,
+           count(*) AS n,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
+         FROM events GROUP BY 1, 2""",
+
+    // the streaming rollup must equal the batch oracle exactly
+    "q_stream_window" ->
       """SELECT epoch_ms(date_trunc('hour', ts)) AS hour_ms, event_type,
            count(*) AS n,
            CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents

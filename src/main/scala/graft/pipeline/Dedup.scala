@@ -90,10 +90,15 @@ object Dedup {
 
   /** Candidate pairs with hamming(simhash) <= maxHamming via pigeonhole
     * banding into maxHamming+1 chunks. */
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 8): DataFrame = {
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 8): DataFrame =
+    simhashPairsFromHashes(simhash(docs), maxHamming)
+
+  /** Same banding over any precomputed 64-bit hash column (doc_id, sh) —
+    * also used for phash perceptual near-dup buckets. */
+  def simhashPairsFromHashes(hashes: DataFrame, maxHamming: Int): DataFrame = {
     val chunks = maxHamming + 1
     val width = 64 / chunks // last chunk absorbs the remainder bits
-    val hs = simhash(docs).cache()
+    val hs = hashes.cache()
     val banded = (0 until chunks).map { cIdx =>
       val lo = cIdx * width
       val w = if (cIdx == chunks - 1) 64 - lo else width

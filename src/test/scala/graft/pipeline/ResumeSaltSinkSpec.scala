@@ -1,0 +1,99 @@
+package graft.pipeline
+
+import graft.SparkSuite
+import graft.tables.{Sinks, StageRunner, SyntheticWorld}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.{Files, Paths}
+
+/** North-rule items: checkpoint-resume with per-partition lineage/metrics,
+  * explicit hot-cell salting, labeled sinks + deterministic tar. */
+class ResumeSaltSinkSpec extends AnyFunSuite {
+  lazy val spark = SparkSuite.spark
+  import spark.implicits._
+
+  val w = SyntheticWorld.testWorld
+  lazy val nodes = SyntheticWorld.osmNodes(spark, w).cache()
+  lazy val ways = SyntheticWorld.osmWays(spark, w).cache()
+  lazy val images = SyntheticWorld.images(spark, w).cache()
+  val (bw, bs, be, bn) = w.bbox
+  val cfg = Pipelines.Config(z = w.z, bbox = (bw, bs, be, bn), limit = 40, train = 30, valid = 10)
+
+  test("staged pipeline: atomic manifests, lineage, per-partition metrics, resume skips work") {
+    val dir = Files.createTempDirectory("graft_stages").toString
+    val out1 = StagedOriginalTiles.run(spark, nodes, ways, images, cfg, dir)
+      .select($"example_id", $"label").orderBy($"example_id", $"label").collect().toSeq
+
+    val runner = new StageRunner(spark, dir)
+    for (st <- Seq("lamps_sample", "painted_cells", "negative_cells", "labeled")) {
+      assert(runner.isCommitted(st), s"$st committed")
+      val m = runner.manifest(st).get
+      assert(m.contains("\"rows\":") && m.contains("\"partitions\":[{\"pid\""), s"$st metrics")
+    }
+    assert(runner.manifest("labeled").get.contains("negative_cells"), "lineage recorded")
+    assert(runner.rowCount("negative_cells").contains(cfg.limit.toLong))
+
+    // resume: stamp manifests, rerun, assert nothing recomputed + same output
+    val stamps = Seq("lamps_sample", "painted_cells", "negative_cells", "labeled")
+      .map(s => s -> Files.getLastModifiedTime(runner.manifestPath(s))).toMap
+    val out2 = StagedOriginalTiles.run(spark, nodes, ways, images, cfg, dir)
+      .select($"example_id", $"label").orderBy($"example_id", $"label").collect().toSeq
+    assert(out2 == out1, "resume output identical")
+    for ((s, t) <- stamps)
+      assert(Files.getLastModifiedTime(runner.manifestPath(s)) == t, s"$s not recomputed")
+
+    // partial resume: drop the last stage only; earlier stages stay, final recomputes
+    import scala.reflect.io.Directory
+    new Directory(new java.io.File(s"$dir/labeled")).deleteRecursively()
+    val out3 = StagedOriginalTiles.run(spark, nodes, ways, images, cfg, dir)
+      .select($"example_id", $"label").orderBy($"example_id", $"label").collect().toSeq
+    assert(out3 == out1, "recovered output identical after losing the final stage")
+    assert(Files.getLastModifiedTime(runner.manifestPath("lamps_sample")) == stamps("lamps_sample"))
+  }
+
+  test("salted hot-cell join == plain join, row for row") {
+    val skewed = SyntheticWorld.testWorld.copy(lamps = 400, hotCellSkew = 0.5, seed = 7L)
+    val pts = SyntheticWorld.osmNodes(spark, skewed)
+      .where($"tags".getItem("highway") === "street_lamp")
+      .withColumn("cell_id", graft.functions.GeoF.cellAtWgs($"lat", $"lng", skewed.z))
+    val imgs = SyntheticWorld.images(spark, skewed).select($"cell_id", $"image_id")
+
+    val hot = SaltedJoin.detectHotCells(pts, threshold = 4.0)
+    assert(hot.nonEmpty, "skewed world has detectable hot cells")
+
+    val plain = pts.join(imgs, "cell_id").select($"node_id", $"image_id")
+      .as[(Long, String)].collect().sorted.toSeq
+    val salted = SaltedJoin.joinOnCell(pts, imgs, hot, saltFactor = 8)
+      .select($"node_id", $"image_id").as[(Long, String)].collect().sorted.toSeq
+    assert(salted == plain)
+  }
+
+  test("labeled sink: partitioned table + reference folder layout + valid tar") {
+    val out = Pipelines.originalTiles(spark, nodes, ways, images, cfg)
+    val base = Files.createTempDirectory("graft_sink").toString
+
+    Sinks.writeLabeledTable(out, s"$base/table")
+    val back = spark.read.parquet(s"$base/table")
+    assert(back.count() == out.count())
+    assert(Files.list(Paths.get(s"$base/table")).toArray.map(_.toString)
+      .exists(_.contains("label=lamp")), "partitioned by label")
+
+    Sinks.writeFolderTree(out.limit(12), s"$base/tree/lamps-orig")
+    val jpgs = Files.walk(Paths.get(s"$base/tree")).toArray.map(_.toString)
+      .filter(p => p.endsWith(".jpg") || p.endsWith(".png"))
+    assert(jpgs.length == 12)
+    assert(jpgs.forall(p => p.contains("/lamp/") || p.contains("/nolamp/")))
+
+    Sinks.tarDirectory(s"$base/tree/lamps-orig", s"$base/lamps-orig.tar")
+    // validate with system tar (the consumer the reference targets)
+    import scala.sys.process._
+    val listing = Seq("tar", "tf", s"$base/lamps-orig.tar").!!.trim.split("\n")
+    assert(listing.length == 12, s"tar entries: ${listing.length}")
+    assert(listing.forall(_.startsWith("lamps-orig/")))
+    // deterministic: same input -> byte-identical archive
+    Sinks.tarDirectory(s"$base/tree/lamps-orig", s"$base/again.tar")
+    assert(java.util.Arrays.equals(
+      Files.readAllBytes(Paths.get(s"$base/lamps-orig.tar")),
+      Files.readAllBytes(Paths.get(s"$base/again.tar"))))
+  }
+}
