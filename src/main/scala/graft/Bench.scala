@@ -25,7 +25,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val gridSide = sys.env.getOrElse("SPARK_GRAFT_WORLD", "96").toInt
+    val gridSide = sys.env.getOrElse("SPARK_GRAFT_WORLD", "64").toInt
     val builder0 = SparkSession.builder()
       .master(s"local[$cpus]")
       // = cores: local-mode task scheduling is a serial path (~ms/task);

@@ -175,16 +175,19 @@ object SparkEntry {
         sum(col("o_orderkey")).as("key_sum"))
     }),
 
-    // A1/SO2: per-category count + balance cap at min class size
+    // A1/SO2: per-category count + balance cap at min class size (single
+    // plan: the min class size joins in as a broadcast scalar, no separate
+    // driver-side action)
     "q_a1_balance" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
-      val counts = li.groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
-      val minN = counts.agg(min(col("n"))).first().getLong(0)
+      val minN = li.groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+        .agg(min(col("n")).as("mn"))
       li.select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"))
         .withColumn("rn", row_number().over(Window.partitionBy(col("l_returnflag"))
           .orderBy(krank(col("l_orderkey") * 10 + col("l_linenumber")),
             col("l_orderkey"), col("l_linenumber"))))
-        .where(col("rn") <= minN)
+        .crossJoin(broadcast(minN))
+        .where(col("rn") <= col("mn"))
         .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n_capped"),
           sum(col("l_orderkey")).as("key_sum"))
     }),

@@ -159,12 +159,15 @@ object Pipelines {
       .select(col("key"), col("wtiles"), col("htiles"), col("rx"), col("ry"),
         col("slot.cell_id").as("cell_id"), col("slot.dx").as("dx"), col("slot.dy").as("dy"))
       .join(images.select(col("cell_id"), col("bytes")), Seq("cell_id"), "left")
+    // I2 via TypedImperativeAggregate: tiles decode+blit into the mosaic
+    // buffer as they arrive (no collect_list materialization)
     joined.groupBy(col("key"))
-      .agg(first(col("wtiles")).as("wtiles"), first(col("htiles")).as("htiles"),
-        first(col("rx")).as("rx"), first(col("ry")).as("ry"),
-        collect_list(struct(col("dx"), col("dy"), col("bytes"))).as("tiles"))
-      .select(col("key"), ImageUdfs.stitchCrop(col("tiles"), col("wtiles"), col("htiles"),
-        col("rx").cast("int"), col("ry").cast("int"), lit(h), lit(h)).as("bytes"))
+      .agg(first(col("rx")).as("rx"), first(col("ry")).as("ry"),
+        graft.functions.Stitch.stitchAgg(struct(col("dx").cast("int"), col("dy").cast("int"),
+          col("wtiles").cast("int"), col("htiles").cast("int"), col("bytes"))).as("mosaic"))
+      .select(col("key"), graft.functions.Stitch.cropEncode(col("mosaic.h"), col("mosaic.w"),
+        col("mosaic.bgr"), col("rx").cast("int"), col("ry").cast("int"),
+        lit(h), lit(h)).as("bytes"))
   }
 
   /** Expanded crops with train/valid split. Split provenance reproduced
