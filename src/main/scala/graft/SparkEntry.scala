@@ -384,14 +384,15 @@ object SparkEntry {
         .where(col("jac_fp") >= 500000)
     }),
 
-    // MinHash-LSH near-dup candidates (xxhash64 shingles, 16 perms, 4
-    // bands) verified by exact Jaccard — engine-only (no portable SQL
-    // oracle for xxhash64; semantics spec'd in MinHashSpec)
+    // MinHash-LSH near-dup candidates (md5-derived 60-bit permutation
+    // hashes, 16 perms, 4 bands) verified by exact Jaccard — the full
+    // signature/banding/verification chain has an exact DuckDB twin
     "q_dedup_minhash" -> ((s, dir) =>
       pipeline.Dedup.minhashPairs(t(s, dir, "documents"), shingleLen = 5,
         numPerm = 16, bands = 4).select(col("ida"), col("idb"), col("jac_fp"))),
 
-    // SimHash 64-bit near-dup buckets — engine-only (spec'd in MinHashSpec)
+    // SimHash 60-bit near-dup pairs via 15-bit chunk banding (guaranteed
+    // recall at hamming<=3, best-effort to 8) — exact DuckDB twin
     "q_dedup_simhash" -> ((s, dir) =>
       pipeline.Dedup.simhashPairs(t(s, dir, "documents"), maxHamming = 8)
         .select(col("ida"), col("idb"), col("hamming"))),
@@ -451,10 +452,9 @@ object SparkEntry {
     // banding reused from SimHash machinery)
     "q_phash_neardup" -> ((s, _) => {
       val images = tables.SyntheticWorld.images(s, tables.SyntheticWorld.testWorld)
-      val hs = images.select(col("cell_id").as("doc_id"), col("phash").as("sh"),
-        lit("").as("text"))
-      // reuse the pigeonhole chunk banding on the stored phash
-      pipeline.Dedup.simhashPairsFromHashes(hs.select(col("doc_id"), col("sh")), maxHamming = 6)
+      val hs = images.select(col("cell_id").as("doc_id"), col("phash").as("sh"))
+      // reuse the 16-bit chunk banding on the stored 64-bit phash
+      pipeline.Dedup.simhashPairsFromHashes(hs, maxHamming = 6, hashBits = 64)
         .select(col("ida"), col("idb"), col("hamming"))
     }),
 
@@ -738,6 +738,72 @@ object SparkEntry {
          HAVING CAST(floor(CAST(sum(a.vq * b.vq) AS DOUBLE) * 1000000.0 /
              sqrt(CAST(greatest(sum(a.vq * a.vq), 1) AS DOUBLE) *
                   CAST(greatest(sum(b.vq * b.vq), 1) AS DOUBLE))) AS BIGINT) >= 400000""",
+
+    // exact SQL twin of Dedup.minhashPairs: same md5-derived 60-bit
+    // permutation hashes, same '_'-joined band keys, same verification
+    "q_dedup_minhash" -> {
+      val minAggs = (0 until 16).map(p =>
+        s"min(CAST('0x' || substr(md5(g || '|$p'), 1, 15) AS BIGINT)) AS h$p").mkString(",\n             ")
+      val bandSelects = (0 until 4).map { b =>
+        val cols = (b * 4 until (b + 1) * 4).map(p => s"h$p").mkString(", ")
+        s"SELECT doc_id, $b AS band, concat_ws('_', $cols) AS bh FROM sig"
+      }.mkString("\n           UNION ALL ")
+      s"""WITH sh AS (
+           SELECT DISTINCT doc_id, substring(text, i, 5) AS g
+           FROM documents, unnest(range(1, greatest(length(text) - 4, 0) + 1)) AS t(i)),
+         sig AS (
+           SELECT doc_id,
+             $minAggs
+           FROM sh GROUP BY doc_id),
+         banded AS (
+           $bandSelects),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+           FROM banded a JOIN banded b
+             ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+         na AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         inter AS (
+           SELECT c.ida, c.idb, count(*) AS inter
+           FROM cand c JOIN sh x ON x.doc_id = c.ida
+                       JOIN sh y ON y.doc_id = c.idb AND y.g = x.g
+           GROUP BY c.ida, c.idb)
+         SELECT c.ida, c.idb,
+           CAST(floor(coalesce(i.inter, 0) * 1000000.0 /
+             (a.n + b.n - coalesce(i.inter, 0))) AS BIGINT) AS jac_fp
+         FROM cand c
+         LEFT JOIN inter i ON i.ida = c.ida AND i.idb = c.idb
+         JOIN na a ON a.doc_id = c.ida
+         JOIN na b ON b.doc_id = c.idb"""
+    },
+
+    // exact SQL twin of Dedup.simhashPairs: 60-bit sign-aggregated token
+    // hash, 4x15-bit chunk banding, popcount verification
+    "q_dedup_simhash" ->
+      """WITH toks AS (
+           SELECT doc_id, t FROM (
+             SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS t
+             FROM documents) u
+           WHERE t <> ''),
+         th AS (
+           SELECT doc_id, CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) AS h
+           FROM toks),
+         bits AS (
+           SELECT doc_id, j.range AS j,
+             sum(CASE WHEN ((h >> j.range) & 1) = 1 THEN 1 ELSE -1 END) AS cnt
+           FROM th, range(0, 60) j GROUP BY doc_id, j.range),
+         shv AS (
+           SELECT doc_id,
+             CAST(sum(CASE WHEN cnt > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INTEGER)) ELSE 0 END) AS BIGINT) AS sh
+           FROM bits GROUP BY doc_id),
+         banded AS (
+           SELECT doc_id, sh, c.range AS chunk,
+             (sh >> CAST(c.range * 15 AS INTEGER)) & 32767 AS ck
+           FROM shv, range(0, 4) c)
+         SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb,
+           CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
+         FROM banded a JOIN banded b
+           ON a.chunk = b.chunk AND a.ck = b.ck AND a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.sh, b.sh)) <= 8""",
 
     "q_dedup_ngram" ->
       """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),

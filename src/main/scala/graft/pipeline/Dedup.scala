@@ -4,22 +4,54 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /**
- * Near-duplicate detection suite for training-data pipelines. All methods
- * are deterministic (keyed xxhash64 / JVM-spec string hashing, no RNG) and
- * shuffle only on short keys:
+ * Near-duplicate detection suite for training-data pipelines. All hashing
+ * is md5-derived (engine-portable: Spark, DuckDB and the Scala kernel
+ * produce bit-identical values), so every method here has an exact ANSI-SQL
+ * twin and is value-checked by the DuckDB oracle — no JVM-only hash
+ * functions anywhere in the family.
  *
  *  - exact: canonical-hash groupBy (see SparkEntry q_dedup_exact).
  *  - MinHash + LSH: shingle -> per-permutation min-hash signature -> band
  *    buckets -> candidate pairs by bucket equi-join -> exact-Jaccard
  *    verification of candidates only. The verification join touches only
  *    LSH candidates, never the n² pair space.
- *  - SimHash: 64-bit sign-aggregated token hash; candidate pairs by
- *    pigeonhole chunk banding (hamming <= m pairs share one of m+1 equal
- *    chunks), verified by exact popcount.
+ *  - SimHash: 60-bit sign-aggregated token hash; candidate pairs by
+ *    fixed 15-bit chunk banding (4 chunks), verified by exact popcount.
  *  - n-gram Jaccard (exact, small scopes): SparkEntry q_dedup_ngram.
  *  - embedding cosine near-dup: SparkEntry q_sim_pairs / q_ann_*.
+ *
+ * Banding scale contract (two-stage design): candidates are pairs sharing
+ * at least one of 4 wide chunks (15 bits for the 60-bit simhash, 16 bits
+ * for a 64-bit phash). By pigeonhole this guarantees recall for pairs with
+ * hamming <= 3; pairs with 3 < hamming <= maxHamming are emitted when they
+ * happen to collide (best-effort recall, deterministic either way). Narrow
+ * chunks (the alternative that guarantees larger budgets) collapse to
+ * ~n²/2^width candidate pairs at corpus scale — with 15-bit chunks the
+ * bucket space is 32768 per chunk, keeping expected candidates per row flat
+ * in corpus size for any realistically-clustered hash distribution (see
+ * BandingScaleSpec).
  */
 object Dedup {
+  /** Portable 60-bit hash: first 15 hex chars of md5(s), parsed base 16.
+    * Spark: conv(substr(md5 ..)); DuckDB: CAST('0x' || substr(md5 ..) AS
+    * BIGINT); kernel: [[md5h60]]. Always non-negative (fits 60 bits), so
+    * signed/unsigned shift semantics never diverge across engines. */
+  def h60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Kernel twin of [[h60]] for row-level UDF loops. */
+  def md5h60(s: String): Long = {
+    val d = digest.get().digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (d(i) & 0xFFL); i += 1 }
+    (v << 4) | ((d(7) & 0xFF) >>> 4)
+  }
+  private val digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
   /** Distinct character shingles of `text`. */
   private def shingles(docs: DataFrame, shingleLen: Int): DataFrame =
     docs.select(col("doc_id"),
@@ -29,21 +61,29 @@ object Dedup {
 
   /** MinHash signature + LSH banding. Returns candidate pairs with their
     * exact Jaccard similarity (fixed-point x1e6) — candidates only, so the
-    * expensive verification is bounded by bucket collisions. */
+    * expensive verification is bounded by bucket collisions. The signature
+    * aggregation runs exactly once: band keys are emitted in a single
+    * select (array+explode) and the banded table is cached before the
+    * self-join. */
   def minhashPairs(docs: DataFrame, shingleLen: Int = 5, numPerm: Int = 16,
                    bands: Int = 4): DataFrame = {
     require(numPerm % bands == 0, "bands must divide numPerm")
     val rowsPerBand = numPerm / bands
     val sh = shingles(docs, shingleLen).cache()
 
-    val aggs = (0 until numPerm).map(p => min(xxhash64(col("g"), lit(p))).as(s"h$p"))
+    // permutation p hash of shingle g = h60(g || "|p")
+    val aggs = (0 until numPerm).map(p => min(h60(concat(col("g"), lit(s"|$p")))).as(s"h$p"))
     val sig = sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
 
-    // band hash = xxhash64 over the band's signature slice
-    val banded = (0 until bands).map { b =>
-      val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(p => col(s"h$p"))
-      sig.select(col("doc_id"), lit(b).as("band"), xxhash64(cols: _*).as("bh"))
-    }.reduce(_ unionByName _)
+    // all band keys in one pass over sig; band key = '_'-joined slice
+    val bandStructs = array((0 until bands).map { b =>
+      val cols = (b * rowsPerBand until (b + 1) * rowsPerBand)
+        .map(p => col(s"h$p").cast("string"))
+      struct(lit(b).as("band"), concat_ws("_", cols: _*).as("bh"))
+    }: _*)
+    val banded = sig.select(col("doc_id"), explode(bandStructs).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.bh").as("bh"))
+      .cache() // tiny: one short row per (doc, band); feeds both join sides
 
     val candidates = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
@@ -66,46 +106,51 @@ object Dedup {
           (col("na") + col("nb") - coalesce(col("inter"), lit(0L)))).cast("long").as("jac_fp"))
   }
 
-  /** 64-bit SimHash over whitespace tokens. Deterministic: token hash =
-    * splitmix64(java String.hashCode) — both JVM-spec stable. */
+  /** 60-bit SimHash over whitespace tokens (duplicates counted). Token
+    * hash = [[md5h60]]; docs with no non-empty token are dropped (matching
+    * the SQL twin, where token-less docs simply vanish from the unnest). */
   private val simhashUdf = udf { (tokens: Seq[String]) =>
-    val counts = new Array[Int](64)
+    val counts = new Array[Int](60)
     tokens.foreach { t =>
-      val h = graft.core.Splitmix.mix(t.hashCode.toLong)
+      val h = md5h60(t)
       var j = 0
-      while (j < 64) {
+      while (j < 60) {
         if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
         j += 1
       }
     }
     var out = 0L
     var j = 0
-    while (j < 64) { if (counts(j) > 0) out |= 1L << j; j += 1 }
+    while (j < 60) { if (counts(j) > 0) out |= 1L << j; j += 1 }
     out
   }
 
   def simhash(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
-      simhashUdf(split(col("text"), "\\s+")).as("sh"))
+        filter(split(col("text"), "\\s+"), t => t =!= "").as("toks"))
+      .where(size(col("toks")) > 0)
+      .select(col("doc_id"), simhashUdf(col("toks")).as("sh"))
 
-  /** Candidate pairs with hamming(simhash) <= maxHamming via pigeonhole
-    * banding into maxHamming+1 chunks. */
+  /** Candidate pairs with hamming(simhash) <= maxHamming (guaranteed for
+    * hamming <= 3, best-effort above — see class doc). */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 8): DataFrame =
-    simhashPairsFromHashes(simhash(docs), maxHamming)
+    simhashPairsFromHashes(simhash(docs), maxHamming, hashBits = 60)
 
-  /** Same banding over any precomputed 64-bit hash column (doc_id, sh) —
-    * also used for phash perceptual near-dup buckets. */
-  def simhashPairsFromHashes(hashes: DataFrame, maxHamming: Int): DataFrame = {
-    val chunks = maxHamming + 1
-    val width = 64 / chunks // last chunk absorbs the remainder bits
-    val hs = hashes.cache()
-    val banded = (0 until chunks).map { cIdx =>
-      val lo = cIdx * width
-      val w = if (cIdx == chunks - 1) 64 - lo else width
-      val mask = if (w >= 64) -1L else (1L << w) - 1
-      hs.select(col("doc_id"), col("sh"), lit(cIdx).as("chunk"),
-        (shiftrightunsigned(col("sh"), lo).bitwiseAND(lit(mask))).as("ck"))
-    }.reduce(_ unionByName _)
+  /** Same banding over any precomputed hash column (doc_id, sh) — also
+    * used for phash perceptual near-dup buckets (hashBits = 64). Fixed 4
+    * chunks of hashBits/4 bits each. */
+  def simhashPairsFromHashes(hashes: DataFrame, maxHamming: Int,
+                             hashBits: Int = 60): DataFrame = {
+    val chunks = 4
+    val width = hashBits / chunks
+    val mask = (1L << width) - 1
+    val chunkStructs = array((0 until chunks).map { c =>
+      struct(lit(c).as("chunk"),
+        shiftrightunsigned(col("sh"), c * width).bitwiseAND(lit(mask)).as("ck"))
+    }: _*)
+    val banded = hashes.select(col("doc_id"), col("sh"), explode(chunkStructs).as("cs"))
+      .select(col("doc_id"), col("sh"), col("cs.chunk").as("chunk"), col("cs.ck").as("ck"))
+      .cache() // tiny: 4 short rows per doc; feeds both join sides
     banded.as("a").join(banded.as("b"),
         col("a.chunk") === col("b.chunk") && col("a.ck") === col("b.ck") &&
         col("a.doc_id") < col("b.doc_id"))

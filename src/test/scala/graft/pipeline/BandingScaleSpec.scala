@@ -1,0 +1,57 @@
+package graft.pipeline
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Scale contract of the chunk-banding candidate generator (VERDICT r1
+  * "What's wrong" #4): with 4 wide chunks (15-16 bits = 32k-64k buckets
+  * each), candidate-pair volume on a large corpus must grow ~linearly in
+  * corpus size, not quadratically — the failure mode of narrow (7-bit)
+  * chunks, where every chunk has only 128 bucket values and candidates
+  * degenerate toward all-pairs. */
+class BandingScaleSpec extends AnyFunSuite {
+  lazy val spark = SparkSuite.spark
+
+  /** Synthetic corpus shaped like real near-dup data: clusters of ~4 hashes
+    * within small hamming of a centroid + a uniform background. All
+    * deterministic (md5-derived bits). */
+  private def corpus(n: Long) = {
+    import org.apache.spark.sql.Column
+    def h60(c: Column) = Dedup.h60(c)
+    spark.range(0, n).toDF("doc_id")
+      .withColumn("centroid", h60(concat(lit("c"), (col("doc_id") / 4).cast("long").cast("string"))))
+      // flip up to 2 low-weight bits per member to emulate near-dups
+      .withColumn("sh", col("centroid")
+        .bitwiseXOR(shiftleft(col("doc_id") % 2, 3))
+        .bitwiseXOR(shiftleft((col("doc_id") / 2) % 2, 40)))
+      .select(col("doc_id"), col("sh"))
+  }
+
+  test("candidate volume grows ~linearly from 25k to 100k docs") {
+    val small = Dedup.simhashPairsFromHashes(corpus(25000), maxHamming = 8).count()
+    val large = Dedup.simhashPairsFromHashes(corpus(100000), maxHamming = 8).count()
+    // clusters of 4 -> ~6 intra-cluster pairs per cluster -> linear term;
+    // quadratic background would blow past 16x (7-bit chunks give ~512x
+    // more bucket collisions). Allow 6x for residual background collisions.
+    assert(large > 0)
+    assert(large.toDouble / small.toDouble < 6.0,
+      s"candidate growth $small -> $large is super-linear")
+  }
+
+  test("recall guarantee: every pair at hamming <= 3 is emitted") {
+    import spark.implicits._
+    // adversarial pairs: flips placed to straddle chunk boundaries
+    val base = Dedup.md5h60("base")
+    val rows = Seq(
+      (1L, base), (2L, base ^ (1L << 14) ^ (1L << 15) ^ (1L << 29)), // 3 flips, 3 chunks hit
+      (3L, base ^ (1L << 0) ^ (1L << 59)),                            // 2 flips, 2 chunks
+      (4L, base ^ (1L << 7)),                                         // 1 flip
+      (5L, ~base & ((1L << 60) - 1))                                  // far away
+    ).toDF("doc_id", "sh")
+    val got = Dedup.simhashPairsFromHashes(rows, maxHamming = 3)
+      .select($"ida", $"idb").as[(Long, Long)].collect().toSet
+    assert(Set((1L, 2L), (1L, 3L), (1L, 4L)).subsetOf(got))
+    assert(!got.contains((1L, 5L)))
+  }
+}
