@@ -421,7 +421,14 @@ object SparkEntry {
           col("n"), col("value_cents"))
       val qname = s"stream_window_${System.nanoTime()}"
       val q = agg.writeStream.outputMode("complete").format("memory").queryName(qname).start()
-      try q.processAllAvailable() finally q.stop()
+      try q.processAllAvailable() finally {
+        q.stop()
+        // drop the per-invocation symlink dir (r1 leaked one per call)
+        try {
+          java.nio.file.Files.deleteIfExists(streamDir.resolve("events.parquet"))
+          java.nio.file.Files.deleteIfExists(streamDir)
+        } catch { case _: java.io.IOException => () }
+      }
       s.table(qname)
     }),
 

@@ -120,12 +120,17 @@ object GeoF {
   /** struct<lat,lng> tile center of a cell (P2). */
   def cellCenter(cell: Column): Column = col(CellCenterExpr(expr(cell)))
 
-  /** Pack/unpack helpers as plain column math (no custom expr needed). */
+  /** Pack/unpack helpers as plain column math (no custom expr needed).
+    * Masking uses bitwiseAND (not %, which preserves sign in Spark) so
+    * negative tx/ty — a provider offset past the world edge — pack
+    * identically to the kernel's `CellId.pack` `& 0x1FFFFFFF`. */
   def packCell(z: Int, tx: Column, ty: Column): Column =
-    (lit(z.toLong) * lit(1L << 58)) + (tx.cast(LongType) % lit(1L << 29)) * lit(1L << 29) + (ty.cast(LongType) % lit(1L << 29))
+    (lit(z.toLong) * lit(1L << 58)) +
+      tx.cast(LongType).bitwiseAND(lit(0x1FFFFFFFL)) * lit(1L << 29) +
+      ty.cast(LongType).bitwiseAND(lit(0x1FFFFFFFL))
   def cellZ(cell: Column): Column = shiftrightunsigned(cell, 58).cast(IntegerType)
-  def cellTx(cell: Column): Column = shiftrightunsigned(cell, 29) % lit(1L << 29)
-  def cellTy(cell: Column): Column = cell % lit(1L << 29)
+  def cellTx(cell: Column): Column = shiftrightunsigned(cell, 29).bitwiseAND(lit(0x1FFFFFFFL))
+  def cellTy(cell: Column): Column = cell.bitwiseAND(lit(0x1FFFFFFFL))
 
   /** Fixed-point micro-degree key (P6): floor(x*1e6) as long. */
   def milCol(c: Column): Column = floor(c * lit(1000000.0)).cast(LongType)

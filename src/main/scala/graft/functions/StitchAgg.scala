@@ -58,6 +58,10 @@ case class StitchAggExpr(
   override def merge(b1: StitchBuffer, b2: StitchBuffer): StitchBuffer = {
     if (b2.bgr == null) return b1
     if (b1.bgr == null) return b2
+    // partials of one group must agree on mosaic dims — inconsistent
+    // wtiles/htiles rows in a group would otherwise truncate or AIOOBE
+    require(b1.h == b2.h && b1.w == b2.w && b1.bgr.length == b2.bgr.length,
+      s"stitch merge shape mismatch: ${b1.h}x${b1.w} vs ${b2.h}x${b2.w}")
     // overlay: b2's written regions are non-zero only where tiles landed;
     // tiles are disjoint per mosaic, so byte-wise OR merges partials
     var i = 0
@@ -100,7 +104,15 @@ final class StitchBuffer {
   var w: Int = 0
   var bgr: Array[Byte] = null
   def ensure(hh: Int, ww: Int): Unit =
-    if (bgr == null) { h = hh; w = ww; bgr = new Array[Byte](hh * ww * 3) }
+    if (bgr == null) {
+      // bounded-buffer guard: callers gate mosaic extents upstream (e.g.
+      // roofShapes' pre-stitch size gate bounds covers to <=6 tiles); an
+      // unbounded way bbox must fail loudly, not allocate gigabytes
+      require(hh > 0 && ww > 0 && hh <= MaxDim && ww <= MaxDim,
+        s"stitch canvas ${hh}x$ww exceeds ${MaxDim}x$MaxDim — gate covers before stitching")
+      h = hh; w = ww; bgr = new Array[Byte](hh * ww * 3)
+    }
+  private def MaxDim = 8192
 }
 
 object Stitch {
@@ -112,6 +124,14 @@ object Stitch {
   val cropEncode = org.apache.spark.sql.functions.udf {
     (h: Int, w: Int, bgr: Array[Byte], rx: Int, ry: Int, ch: Int, cw: Int) =>
       val cropped = ImageCodec.centerCrop(ImageCodec.Raw(h, w, bgr), rx, ry, ch, cw)
+      ImageCodec.encode(cropped, "jpeg")
+  }
+
+  /** Crop a raw mosaic to an explicit box [ymin,ymax)x[xmin,xmax) and
+    * encode jpeg (roofshape way mosaics, reference lib/layers.py:212-243). */
+  val cropBoxEncode = org.apache.spark.sql.functions.udf {
+    (h: Int, w: Int, bgr: Array[Byte], ymin: Int, ymax: Int, xmin: Int, xmax: Int) =>
+      val cropped = ImageCodec.crop(ImageCodec.Raw(h, w, bgr), ymin, ymax, xmin, xmax)
       ImageCodec.encode(cropped, "jpeg")
   }
 }
