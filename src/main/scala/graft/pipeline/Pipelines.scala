@@ -53,6 +53,37 @@ object Pipelines {
 
   // ---------- shared stages ----------
 
+  /** O2: restrict the image corpus to the bbox's padded tile range BEFORE
+    * any join — at 10^12 images no pipeline may open with a full-corpus
+    * scan. On a cell-bucketed table ([[graft.tables.ImagesTable]], with
+    * pty/ptx partition columns) the parent-range predicates prune
+    * directories at planning time (PartitionFilters — asserted in
+    * PlanAuditSpec); on any other source they evaluate as cheap bit-field
+    * filters on cell_id. `padTiles` absorbs viewports/way covers that poke
+    * past the bbox (expand crops: <=2 tiles at pad 88; roofshape covers:
+    * <=4 at the 1024px gate). Assumes no antimeridian %256 wrap (the
+    * reference's latent tilesWay quirk) — a wrapped cover would fetch from
+    * the far side of the world, which the pruned corpus cannot serve. */
+  def imagesInBbox(images: DataFrame, cfg: Config, padTiles: Int = 8): DataFrame = {
+    val ext = cfg.ext
+    val (txlo, txhi) = (ext.txmin - padTiles, ext.txmin + ext.width - 1 + padTiles)
+    val (tylo, tyhi) = (ext.tymin - padTiles, ext.tymin + ext.height - 1 + padTiles)
+    // the table's bucketing granularity travels as column metadata set by
+    // ImagesTable.read — without it the partition fast path is skipped
+    // (the leaf filter below is always correct on its own)
+    val dzOpt = images.schema.fields.find(_.name == "pty")
+      .filter(_.metadata.contains(graft.tables.ImagesTable.DeltaZMetaKey))
+      .map(_.metadata.getLong(graft.tables.ImagesTable.DeltaZMetaKey).toInt)
+    val base = dzOpt match {
+      case Some(dz) if images.columns.contains("ptx") =>
+        images.where(col("pty").between(tylo >> dz, tyhi >> dz) &&
+                     col("ptx").between(txlo >> dz, txhi >> dz))
+      case _ => images
+    }
+    base.where(GeoF.cellTx(col("cell_id")).between(txlo, txhi) &&
+               GeoF.cellTy(col("cell_id")).between(tylo, tyhi))
+  }
+
   /** S1: lamp scan with bbox + tag pushdown (reference lib/loaders.py:10-27). */
   def lampScan(nodes: DataFrame, cfg: Config): DataFrame = {
     val (w, s, e, n) = cfg.bbox
@@ -128,6 +159,7 @@ object Pipelines {
     * Output: (example_id, cell_id, label, split, bytes, caption, fmt). */
   def originalTiles(spark: SparkSession, nodes: DataFrame, ways: DataFrame,
                     images: DataFrame, cfg: Config): DataFrame = {
+    val img = imagesInBbox(images, cfg)
     // hash-rank limit (TakeOrderedAndProject) emits a single partition and
     // the images join is typically a broadcast, which would pin the whole
     // downstream chain to one task — redistribute the (tiny) lamp set
@@ -139,7 +171,7 @@ object Pipelines {
     val positives = lamps
       .where(GeoF.edgeOk(col("lat"), col("lng"), cfg.z, cfg.offX, cfg.offY, 16))
       .withColumn("cell_id", GeoF.cellAtWgs(col("lat"), col("lng"), cfg.z, cfg.offX, cfg.offY))
-      .join(images, "cell_id")
+      .join(img, "cell_id")
       .select(exampleIdAtCell.as("example_id"), col("cell_id"),
         lit("lamp").as("label"), lit("all").as("split"),
         col("bytes"), col("caption"), col("fmt"))
@@ -147,7 +179,7 @@ object Pipelines {
     val roads = waysPacked(ways, nodes, roadFilter)
     val painted = paintedCells(lamps, roads, cfg)
     val negatives = negativeCells(spark, painted, cfg, cfg.limit, seedTag = 1)
-      .join(images, "cell_id")
+      .join(img, "cell_id")
       .select(exampleIdAtCell.as("example_id"), col("cell_id"),
         lit("nolamp").as("label"), lit("all").as("split"),
         col("bytes"), col("caption"), col("fmt"))
@@ -197,6 +229,7 @@ object Pipelines {
   def expandedCrops(spark: SparkSession, nodes: DataFrame, ways: DataFrame,
                     images: DataFrame, cfg: Config): DataFrame = {
     val h = cfg.expandPad + TileSize + cfg.expandPad
+    val img = imagesInBbox(images, cfg)
     val allLamps = lampScan(nodes, cfg)
       .withColumn("rk", HashRank.rank(col("node_id"), cfg.seed))
     // exact global train/valid split via broadcast rank threshold — no
@@ -219,7 +252,7 @@ object Pipelines {
         Window.partitionBy(col("key")).orderBy(col("rk"), col("node_id"))))
       .where(col("dupk") === 1)
       .select(col("key"), col("lat"), col("lng"))
-    val trainPos = cropAroundPoints(trainPosPts, images, cfg, h)
+    val trainPos = cropAroundPoints(trainPosPts, img, cfg, h)
       .select(col("key").as("example_id"), lit(null).cast("long").as("cell_id"),
         lit("lamp").as("label"), lit("train").as("split"),
         col("bytes"), lit(null).cast("string").as("caption"), lit("jpeg").as("fmt"))
@@ -233,7 +266,7 @@ object Pipelines {
       .where(col("dup") === 1)
       .orderBy(col("rk"), col("node_id")).limit(cfg.valid)
       .repartition(col("cell_id"))
-      .join(images, "cell_id")
+      .join(img, "cell_id")
       .select(exampleIdAtCell.as("example_id"), col("cell_id"),
         lit("lamp").as("label"), lit("valid").as("split"),
         col("bytes"), col("caption"), col("fmt"))
@@ -254,14 +287,14 @@ object Pipelines {
       .select(GeoF.cellCenter(col("cell_id")).as("c"))
       .select(format_string("m_lat%dlng%d", GeoF.milCol(col("c.lat")), GeoF.milCol(col("c.lng"))).as("key"),
         col("c.lat").as("lat"), col("c.lng").as("lng"))
-    val trainNeg = cropAroundPoints(trainNegPts, images, cfg, h)
+    val trainNeg = cropAroundPoints(trainNegPts, img, cfg, h)
       .select(col("key").as("example_id"), lit(null).cast("long").as("cell_id"),
         lit("nolamp").as("label"), lit("train").as("split"),
         col("bytes"), lit(null).cast("string").as("caption"), lit("jpeg").as("fmt"))
 
     // valid negatives: raw tiles (make_expand.py:88-93)
     val validNeg = negCells.where(col("split") === "valid")
-      .join(images, "cell_id")
+      .join(img, "cell_id")
       .select(exampleIdAtCell.as("example_id"), col("cell_id"),
         lit("nolamp").as("label"), lit("valid").as("split"),
         col("bytes"), col("caption"), col("fmt"))
@@ -277,6 +310,7 @@ object Pipelines {
   def buildings(spark: SparkSession, nodes: DataFrame, ways: DataFrame,
                 images: DataFrame, cfg: Config, exclusionWkt: String = ""): DataFrame = {
     import spark.implicits._
+    val img = imagesInBbox(images, cfg)
     val buildingWays = waysPacked(ways, nodes, col("tags").getItem("building").isNotNull)
 
     val positives = buildingWays
@@ -287,7 +321,7 @@ object Pipelines {
       .dropDuplicates("cell_id")
     val posLimited = HashRank.sample(positives, "cell_id", cfg.seed + 3, cfg.limit)
       .repartition(col("cell_id"))
-      .join(images, "cell_id")
+      .join(img, "cell_id")
       .select(exampleIdAtCellBare.as("example_id"), col("cell_id"),
         lit("yes").as("label"), lit("all").as("split"),
         col("bytes"), col("caption"), col("fmt"))
@@ -305,7 +339,7 @@ object Pipelines {
       }
     val painted = outlineCells.unionByName(exclusionCells).distinct()
     val negatives = negativeCells(spark, painted, cfg, cfg.limit, seedTag = 4)
-      .join(images, "cell_id")
+      .join(img, "cell_id")
       .select(exampleIdAtCell.as("example_id"), col("cell_id"),
         lit("no").as("label"), lit("all").as("split"),
         col("bytes"), col("caption"), col("fmt"))
@@ -321,6 +355,7 @@ object Pipelines {
     * size (A1, make_roofshapes.py:33-39). */
   def roofShapes(spark: SparkSession, nodes: DataFrame, ways: DataFrame,
                  images: DataFrame, cfg: Config, balance: Boolean = false): DataFrame = {
+    val img = imagesInBbox(images, cfg)
     val tagged = waysPacked(ways, nodes, col("tags").getItem("roof:shape").isNotNull &&
       col("tags").getItem("building").isNotNull)
       .withColumn("label", col("tags").getItem("roof:shape"))
@@ -359,7 +394,7 @@ object Pipelines {
       .withColumn("cell_id", GeoF.packCell(cfg.z, col("tx"), col("ty")))
       .withColumn("dx", (col("tx") - col("txmin")).cast("int"))
       .withColumn("dy", (col("ty") - col("tymin")).cast("int"))
-      .join(images.select(col("cell_id"), col("bytes")), Seq("cell_id"), "left")
+      .join(img.select(col("cell_id"), col("bytes")), Seq("cell_id"), "left")
 
     // I2 via StitchAgg: tiles decode+blit into the mosaic buffer as they
     // arrive — never a collect_list of encoded image bytes

@@ -1,0 +1,103 @@
+package graft.tables
+
+import graft.functions.GeoF
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.nio.charset.StandardCharsets
+
+/**
+ * Cell-bucketed image corpus with manifest min/max pruning — the
+ * Iceberg-lite table layout of SURVEY.md §4 O2 / §7.5 (SnapshotTable
+ * "partition stats, skipping"). The reference's analog is server-side bbox
+ * pushdown (lib/loaders.py:19); at 10^12 images a pipeline must never
+ * start with a full-corpus scan, so:
+ *
+ *  - **layout**: rows are partitioned by the parent tile `deltaZ` zoom
+ *    levels up (`pty`/`ptx` directory columns, each parent = 2^deltaZ ×
+ *    2^deltaZ leaf tiles) and sorted by `cell_id` within partitions —
+ *    a space-filling-adjacent layout that keeps any bbox query local to a
+ *    handful of directories.
+ *  - **manifest**: per-partition row counts and min/max cell_id, committed
+ *    with an atomic rename (same contract as [[StageRunner]]).
+ *  - **pruning**: [[readForBbox]] selects directories from the manifest
+ *    (the scan never lists pruned dirs); the plain [[read]] +
+ *    `Pipelines.imagesInBbox` route prunes via Catalyst partition filters
+ *    on `pty`/`ptx` instead. Both produce identical rows.
+ */
+object ImagesTable {
+  /** Default parent zoom delta: 2^6 = 64×64 leaf tiles per partition dir —
+    * ~4k dirs for a z19 metro extent, parquet files in the 100MB+ range at
+    * corpus density. */
+  val DefaultDeltaZ = 6
+
+  def dataPath(dir: String) = s"$dir/data"
+  private def manifestPath(dir: String) = Paths.get(s"$dir/manifest.json")
+
+  /** Write `images` (must carry cell_id) bucketed by parent cell. */
+  def writeBucketed(spark: SparkSession, images: DataFrame, dir: String,
+                    deltaZ: Int = DefaultDeltaZ): Unit = {
+    val df = images
+      .withColumn("pty", shiftrightunsigned(GeoF.cellTy(col("cell_id")), deltaZ))
+      .withColumn("ptx", shiftrightunsigned(GeoF.cellTx(col("cell_id")), deltaZ))
+    df.repartition(col("pty"), col("ptx"))
+      .sortWithinPartitions(col("cell_id"))
+      .write.mode("overwrite").partitionBy("pty", "ptx").parquet(dataPath(dir))
+
+    // partition dir values are re-inferred as INT on read-back; normalize
+    val stats = spark.read.parquet(dataPath(dir))
+      .groupBy(col("pty").cast("long").as("pty"), col("ptx").cast("long").as("ptx"))
+      .agg(count(lit(1)).as("rows"), min(col("cell_id")).as("cmin"), max(col("cell_id")).as("cmax"))
+      .orderBy(col("pty"), col("ptx"))
+      .collect()
+      .map(r => s"""{"pty":${r.getLong(0)},"ptx":${r.getLong(1)},"rows":${r.getLong(2)},""" +
+        s""""cell_min":${r.getLong(3)},"cell_max":${r.getLong(4)}}""")
+    val manifest =
+      s"""{"table":"images","delta_z":$deltaZ,"partitions":[${stats.mkString(",")}],
+         |"committed_at":"${java.time.Instant.now()}"}""".stripMargin
+    val tmp = Paths.get(s"$dir/manifest.json.tmp")
+    Files.createDirectories(Paths.get(dir))
+    Files.write(tmp, manifest.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, manifestPath(dir), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Metadata key carrying the table's parent zoom delta on the pty
+    * column, so `Pipelines.imagesInBbox` can derive the correct parent
+    * range for its partition filters. */
+  val DeltaZMetaKey = "graft.deltaZ"
+
+  /** Full-table read (partition columns pty/ptx present — bbox filters on
+    * them prune at planning time, see PlanAuditSpec). */
+  def read(spark: SparkSession, dir: String): DataFrame = {
+    val md = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong(DeltaZMetaKey, deltaZ(dir).toLong).build()
+    spark.read.parquet(dataPath(dir))
+      .withColumn("pty", col("pty").as("pty", md))
+  }
+
+  def deltaZ(dir: String): Int = {
+    val m = new String(Files.readAllBytes(manifestPath(dir)), StandardCharsets.UTF_8)
+    """"delta_z":(\d+)""".r.findFirstMatchIn(m).map(_.group(1).toInt)
+      .getOrElse(DefaultDeltaZ)
+  }
+
+  /** Manifest-pruned read: only directories whose parent cell intersects
+    * the padded tile range are ever listed — file skipping driven by table
+    * metadata, not directory discovery. */
+  def readForBbox(spark: SparkSession, dir: String,
+                  txRange: (Long, Long), tyRange: (Long, Long)): DataFrame = {
+    val dz = deltaZ(dir)
+    val (pxlo, pxhi) = (txRange._1 >> dz, txRange._2 >> dz)
+    val (pylo, pyhi) = (tyRange._1 >> dz, tyRange._2 >> dz)
+    val m = new String(Files.readAllBytes(manifestPath(dir)), StandardCharsets.UTF_8)
+    val part = """\{"pty":(\d+),"ptx":(\d+),"rows":\d+""".r
+    val dirs = part.findAllMatchIn(m)
+      .map(g => (g.group(1).toLong, g.group(2).toLong))
+      .filter { case (pty, ptx) => pty >= pylo && pty <= pyhi && ptx >= pxlo && ptx <= pxhi }
+      .map { case (pty, ptx) => s"${dataPath(dir)}/pty=$pty/ptx=$ptx" }
+      .toSeq
+    if (dirs.isEmpty) read(spark, dir).where(lit(false))
+    else spark.read.option("basePath", dataPath(dir)).parquet(dirs: _*)
+  }
+}

@@ -84,6 +84,64 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.toLowerCase.contains("codegenfallback"), "hot path must not fall back")
   }
 
+  test("O2: cell-bucketed images table prunes a small-bbox read to few partitions") {
+    import graft.tables.ImagesTable
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val dir = java.nio.file.Files.createTempDirectory("graft_bucketed").toString
+    // deltaZ=3 -> 8x8-tile parents -> the 24x24 world spans a 3x3 parent grid
+    ImagesTable.writeBucketed(spark, SyntheticWorld.images(spark, w), dir, deltaZ = 3)
+
+    val full = ImagesTable.read(spark, dir)
+    val allRows = full.collect()
+    assert(allRows.length == w.tileCount)
+    val fullFiles = full.queryExecution.executedPlan
+      .collect { case f: FileSourceScanExec => f }.head.metrics("numFiles").value
+
+    // small bbox: a 4x4 tile block inside one parent cell
+    val (nlat, wlng) = graft.core.Mercator.wgsAtTile(w.tx0 + 8, w.ty0 + 8, w.z)
+    val (slat, elng) = graft.core.Mercator.wgsAtTile(w.tx0 + 11, w.ty0 + 11, w.z)
+    val cfg = pipeline.Pipelines.Config(z = w.z, bbox = (wlng, slat, elng, nlat))
+    val pruned = pipeline.Pipelines.imagesInBbox(full, cfg, padTiles = 0)
+    val rows = pruned.collect()
+    assert(rows.length == 16, s"expected the 4x4 block, got ${rows.length}")
+
+    val scan = pruned.queryExecution.executedPlan
+      .collect { case f: FileSourceScanExec => f }.head
+    val planStr = scan.toString
+    assert(planStr.contains("PartitionFilters:") && planStr.contains("pty"),
+      s"partition filters missing from scan:\n$planStr")
+    val prunedFiles = scan.metrics("numFiles").value
+    assert(prunedFiles < fullFiles,
+      s"bbox read should touch fewer files: $prunedFiles vs $fullFiles")
+
+    // manifest-driven read lists only intersecting directories and covers
+    // the same rows once the leaf filter is applied
+    val viaManifest = ImagesTable.readForBbox(spark, dir,
+      (w.tx0 + 8, w.tx0 + 11), (w.ty0 + 8, w.ty0 + 11))
+    assert(viaManifest.count() < allRows.length)
+    val cellsA = pipeline.Pipelines.imagesInBbox(viaManifest, cfg, padTiles = 0)
+      .select($"cell_id").as[Long].collect().toSet
+    assert(cellsA == rows.map(_.getAs[Long]("cell_id")).toSet)
+  }
+
+  test("O2: originalTiles through the bucketed table == in-memory result") {
+    import graft.tables.ImagesTable
+    val dir = java.nio.file.Files.createTempDirectory("graft_bucketed2").toString
+    ImagesTable.writeBucketed(spark, SyntheticWorld.images(spark, w), dir, deltaZ = 3)
+    val nodes = spark.read.parquet(s"$tmp/osm_nodes.parquet")
+    val ways = spark.read.parquet(s"$tmp/osm_ways.parquet")
+    val (bw, bs, be, bn) = w.bbox
+    val cfg = pipeline.Pipelines.Config(z = w.z, bbox = (bw, bs, be, bn),
+      limit = 60, train = 40, valid = 20)
+    val viaBucketed = pipeline.Pipelines.originalTiles(spark, nodes, ways,
+        ImagesTable.read(spark, dir), cfg)
+      .select($"example_id", $"label").as[(String, String)].collect().toSet
+    val viaMemory = pipeline.Pipelines.originalTiles(spark, nodes, ways,
+        SyntheticWorld.images(spark, w), cfg)
+      .select($"example_id", $"label").as[(String, String)].collect().toSet
+    assert(viaBucketed == viaMemory)
+  }
+
   test("kNN ring join plans equi-joins on grid keys, not a cross join") {
     val probes = Seq((1L, 53.85, 27.45), (2L, 53.86, 27.46)).toDF("probe_id", "plat", "plng")
     val cands = spark.range(500).select($"id".as("o_orderkey"),
