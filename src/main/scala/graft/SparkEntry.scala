@@ -257,6 +257,86 @@ object SparkEntry {
         .select(col("o_orderkey"))
     }),
 
+    // S9/P8: tile path codec roundtrip — format z/x{tx}y{ty}.jpg then parse
+    // back with the xy_fromfile inverse (reference lib/layers.py:57-66:
+    // digits between 'x'..'y' and 'y'..'.') — parse must equal source
+    "q_s9_parse" -> ((s, dir) => {
+      val files = t(s, dir, "customer").select(
+        format_string("z19/x%dy%d.jpg", lit(302000L) + col("c_custkey") % 700,
+          lit(168500L) + col("c_custkey") % 450).as("fname")).distinct()
+      files.select(col("fname"),
+        regexp_extract(col("fname"), "x(\\d+)y", 1).cast("long").as("tx"),
+        regexp_extract(col("fname"), "y(\\d+)\\.", 1).cast("long").as("ty"))
+    }),
+
+    // P10/F4: outside() half-open size gate [min, max) on both axes
+    // (reference helpers.outside; roofshapes 128..1024 band)
+    "q_p10_gate" -> ((s, dir) => {
+      t(s, dir, "part").select(col("p_partkey"),
+          (col("p_size").cast("long") * 37 % 1200).as("h"),
+          ((col("p_size").cast("long") * 53 + col("p_partkey")) % 1200).as("w"))
+        .where(col("h") >= 128 && col("h") < 1024 && col("w") >= 128 && col("w") < 1024)
+    }),
+
+    // P11/J4/J5: way bbox + 25%/48px padding + %256 world wrap -> tile
+    // cover range (reference lib/layers.py:245-272) via the wayCover kernel
+    // UDF; oracle reproduces the published formulas in SQL. z=18, no
+    // provider offsets; rint-based crop corners excluded (round-half-even
+    // has no DuckDB twin), tile ranges are floor-exact.
+    "q_p11_cover" -> ((s, dir) => {
+      val pts = t(s, dir, "lineitem").select(
+        (col("l_orderkey") % 500).as("wid"),
+        latOf(col("l_orderkey") * 2 + col("l_linenumber")).as("lat"),
+        lngOf(col("l_orderkey") * 3 + col("l_linenumber")).as("lng"))
+      val grouped = pts.groupBy(col("wid"))
+        .agg(collect_list(col("lat")).as("lats"), collect_list(col("lng")).as("lngs"))
+      grouped.select(col("wid"),
+          functions.GeoUdfs.wayCover(18, 0, 0)(col("lats"), col("lngs")).as("cov"))
+        .select(col("wid"), col("cov.txmin").as("txmin"), col("cov.txmax").as("txmax"),
+          col("cov.tymin").as("tymin"), col("cov.tymax").as("tymax"),
+          ((col("cov.txmax") - col("cov.txmin") + 1) *
+           (col("cov.tymax") - col("cov.tymin") + 1)).as("n_tiles"))
+    }),
+
+    // SA4: take rows until N distinct keys — scale pattern: the first N
+    // distinct keys by hash-rank (TakeOrdered) broadcast-semi-join back
+    "q_sa4_distinct_cap" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val keys = li.select(col("l_orderkey")).distinct()
+        .orderBy(krank(col("l_orderkey")), col("l_orderkey")).limit(50)
+      li.join(broadcast(keys), "l_orderkey")
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("l_quantity")).cast("long").as("sum_qty"))
+    }),
+
+    // S13: WKT source — parse a POLYGON literal with the engine's WKT
+    // reader, then exact PIP over derived points (polygon == q_f6 diamond,
+    // different point derivation; oracle uses the literal half-planes)
+    "q_s13_wkt_pip" -> ((s, dir) => {
+      val wkt = "POLYGON ((27.4101234 53.8381234, 27.4401234 53.8421234, " +
+        "27.4101234 53.8461234, 27.3801234 53.8421234, 27.4101234 53.8381234))"
+      val (lats, lngs) = graft.core.Wkt.latlngsFromWkt(wkt).head
+      val pts = t(s, dir, "orders").select(col("o_orderkey"),
+        latOf(col("o_orderkey") * 11).as("lat"), lngOf(col("o_orderkey") * 7).as("lng"))
+      pts.where(GeoF.pointInPoly(col("lat"), col("lng"),
+          typedLit(lats.toSeq), typedLit(lngs.toSeq)))
+        .select(col("o_orderkey"))
+    }),
+
+    // A4: busy/free index per canvas row — the painted/unpainted counts
+    // behind negative sampling (reference helpers.MercatorPainter busy map)
+    "q_a4_busyfree" -> ((s, dir) => {
+      val grid = s.range(0, 50).toDF("tx").crossJoin(s.range(0, 20).toDF("ty"))
+      val painted = t(s, dir, "customer").select(
+        (col("c_custkey") % 50).cast("long").as("tx"),
+        (col("c_custkey") % 20).cast("long").as("ty")).distinct()
+        .withColumn("busy", lit(1))
+      grid.join(painted, Seq("tx", "ty"), "left")
+        .groupBy(col("tx"))
+        .agg(sum(when(col("busy").isNull, 1).otherwise(0)).as("n_free"),
+          sum(when(col("busy").isNotNull, 1).otherwise(0)).as("n_busy"))
+    }),
+
     // streaming-shape batch: hourly tumbling-window event rollup
     "q_events_window" -> ((s, dir) => {
       t(s, dir, "events")
@@ -481,7 +561,11 @@ object SparkEntry {
       limit = 60, train = 40, valid = 20)
     f(tables.SyntheticWorld.osmNodes(s, w), tables.SyntheticWorld.osmWays(s, w),
       tables.SyntheticWorld.images(s, w), cfg)
-      .groupBy(col("label"), col("split")).agg(count(lit(1)).as("n"))
+      // deterministic per-(label,split) example-ID checksum: any change to
+      // membership (not just counts) flips ids_hash (overflow-free: 40-bit
+      // summands over bounded example counts)
+      .groupBy(col("label"), col("split")).agg(count(lit(1)).as("n"),
+        sum(pmod(xxhash64(col("example_id")), lit(1L << 40))).as("ids_hash"))
   }
 
   // =====================================================================
@@ -652,6 +736,101 @@ object SparkEntry {
            AND ((27.4101234 - 27.4401234) * (lat - 53.8421234) - (53.8461234 - 53.8421234) * (lng - 27.4401234)) > 0
            AND ((27.3801234 - 27.4101234) * (lat - 53.8461234) - (53.8421234 - 53.8461234) * (lng - 27.4101234)) > 0
            AND ((27.4101234 - 27.3801234) * (lat - 53.8421234) - (53.8381234 - 53.8421234) * (lng - 27.3801234)) > 0""",
+
+    "q_s9_parse" ->
+      """WITH files AS (
+           SELECT DISTINCT concat('z19/x', CAST(302000 + c_custkey % 700 AS VARCHAR),
+             'y', CAST(168500 + c_custkey % 450 AS VARCHAR), '.jpg') AS fname
+           FROM customer)
+         SELECT fname,
+           CAST(regexp_extract(fname, 'x(\d+)y', 1) AS BIGINT) AS tx,
+           CAST(regexp_extract(fname, 'y(\d+)\.', 1) AS BIGINT) AS ty
+         FROM files""",
+
+    "q_p10_gate" ->
+      """SELECT p_partkey,
+           CAST(p_size AS BIGINT) * 37 % 1200 AS h,
+           (CAST(p_size AS BIGINT) * 53 + p_partkey) % 1200 AS w
+         FROM part
+         WHERE p_size * 37 % 1200 >= 128 AND p_size * 37 % 1200 < 1024
+           AND (p_size * 53 + p_partkey) % 1200 >= 128
+           AND (p_size * 53 + p_partkey) % 1200 < 1024""",
+
+    // SQL twin of Viewport.tilesWay (z=18, no offsets): project -> bbox ->
+    // 25%/48px pad -> python-% 256 wrap -> floor tile range. All scale
+    // multiplies are powers of two (exact in IEEE754, immune to
+    // reassociation); the wrap mirrors the kernel's branch form.
+    "q_p11_cover" ->
+      """WITH pts AS (
+           SELECT (l_orderkey % 500) AS wid,
+             53.8306::DOUBLE + ((l_orderkey * 2 + l_linenumber) % 14000)::DOUBLE * 0.00001::DOUBLE AS lat,
+             27.4026::DOUBLE + ((l_orderkey * 3 + l_linenumber) % 29000)::DOUBLE * 0.00001::DOUBLE AS lng
+           FROM lineitem),
+         proj AS (
+           SELECT wid,
+             256.0::DOUBLE * (0.5::DOUBLE + lng / 360.0::DOUBLE) AS x,
+             256.0::DOUBLE * (0.5::DOUBLE - ln((1.0::DOUBLE + least(greatest(sin(lat * pi() / 180.0::DOUBLE), -0.9999::DOUBLE), 0.9999::DOUBLE))
+               / (1.0::DOUBLE - least(greatest(sin(lat * pi() / 180.0::DOUBLE), -0.9999::DOUBLE), 0.9999::DOUBLE))) / (4 * pi())) AS y
+           FROM pts),
+         box AS (
+           SELECT wid, min(x) AS wmin, max(x) AS emax, min(y) AS nmin, max(y) AS smax
+           FROM proj GROUP BY wid),
+         pad AS (
+           SELECT wid, wmin, emax, nmin, smax,
+             CASE WHEN ((emax - wmin) * 0.25::DOUBLE) * 262144.0::DOUBLE < 48.0::DOUBLE
+                  THEN 48.0::DOUBLE / 262144.0::DOUBLE ELSE (emax - wmin) * 0.25::DOUBLE END AS padwe,
+             CASE WHEN ((smax - nmin) * 0.25::DOUBLE) * 262144.0::DOUBLE < 48.0::DOUBLE
+                  THEN 48.0::DOUBLE / 262144.0::DOUBLE ELSE (smax - nmin) * 0.25::DOUBLE END AS padns
+           FROM box),
+         wrapped AS (
+           SELECT wid,
+             CASE WHEN ((wmin - padwe) % 256.0::DOUBLE) < 0 THEN ((wmin - padwe) % 256.0::DOUBLE) + 256.0::DOUBLE ELSE ((wmin - padwe) % 256.0::DOUBLE) END AS w1,
+             CASE WHEN ((emax + padwe) % 256.0::DOUBLE) < 0 THEN ((emax + padwe) % 256.0::DOUBLE) + 256.0::DOUBLE ELSE ((emax + padwe) % 256.0::DOUBLE) END AS e1,
+             CASE WHEN ((nmin - padns) % 256.0::DOUBLE) < 0 THEN ((nmin - padns) % 256.0::DOUBLE) + 256.0::DOUBLE ELSE ((nmin - padns) % 256.0::DOUBLE) END AS n1,
+             CASE WHEN ((smax + padns) % 256.0::DOUBLE) < 0 THEN ((smax + padns) % 256.0::DOUBLE) + 256.0::DOUBLE ELSE ((smax + padns) % 256.0::DOUBLE) END AS s1
+           FROM pad),
+         tiles AS (
+           SELECT wid,
+             CAST(floor((w1 * 262144.0::DOUBLE) / 256.0::DOUBLE) AS BIGINT) AS txmin,
+             CAST(floor((e1 * 262144.0::DOUBLE) / 256.0::DOUBLE) AS BIGINT) AS txmax,
+             CAST(floor((n1 * 262144.0::DOUBLE) / 256.0::DOUBLE) AS BIGINT) AS tymin,
+             CAST(floor((s1 * 262144.0::DOUBLE) / 256.0::DOUBLE) AS BIGINT) AS tymax
+           FROM wrapped)
+         SELECT wid, txmin, txmax, tymin, tymax,
+           (txmax - txmin + 1) * (tymax - tymin + 1) AS n_tiles
+         FROM tiles""",
+
+    "q_sa4_distinct_cap" ->
+      s"""WITH keys AS (
+            SELECT DISTINCT l_orderkey FROM lineitem
+            ORDER BY ${krankSql("l_orderkey")}, l_orderkey LIMIT 50)
+          SELECT l.l_orderkey, count(*) AS n_rows,
+            CAST(sum(l.l_quantity) AS BIGINT) AS sum_qty
+          FROM lineitem l JOIN keys k ON l.l_orderkey = k.l_orderkey
+          GROUP BY l.l_orderkey""",
+
+    "q_s13_wkt_pip" ->
+      """WITH pts AS (
+           SELECT o_orderkey,
+             53.8306::DOUBLE + ((o_orderkey * 11) % 14000)::DOUBLE * 0.00001::DOUBLE AS lat,
+             27.4026::DOUBLE + ((o_orderkey * 7) % 29000)::DOUBLE * 0.00001::DOUBLE AS lng
+           FROM orders)
+         SELECT o_orderkey FROM pts
+         WHERE ((27.4401234 - 27.4101234) * (lat - 53.8381234) - (53.8421234 - 53.8381234) * (lng - 27.4101234)) > 0
+           AND ((27.4101234 - 27.4401234) * (lat - 53.8421234) - (53.8461234 - 53.8421234) * (lng - 27.4401234)) > 0
+           AND ((27.3801234 - 27.4101234) * (lat - 53.8461234) - (53.8421234 - 53.8461234) * (lng - 27.4101234)) > 0
+           AND ((27.4101234 - 27.3801234) * (lat - 53.8421234) - (53.8381234 - 53.8421234) * (lng - 27.3801234)) > 0""",
+
+    "q_a4_busyfree" ->
+      """WITH grid AS (
+           SELECT gx.range AS tx, gy.range AS ty FROM range(0, 50) gx, range(0, 20) gy),
+         painted AS (SELECT DISTINCT CAST(c_custkey % 50 AS BIGINT) AS tx,
+                            CAST(c_custkey % 20 AS BIGINT) AS ty, 1 AS busy FROM customer)
+         SELECT g.tx,
+           CAST(sum(CASE WHEN p.busy IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_free,
+           CAST(sum(CASE WHEN p.busy IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_busy
+         FROM grid g LEFT JOIN painted p ON g.tx = p.tx AND g.ty = p.ty
+         GROUP BY g.tx""",
 
     "q_events_window" ->
       """SELECT epoch_ms(date_trunc('hour', ts)) AS hour_ms, event_type,
