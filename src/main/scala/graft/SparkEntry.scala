@@ -41,6 +41,13 @@ object SparkEntry {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Integer-quantized embedding (floor(v*1000) per dim) and exact array
+    * dot — order-free integer math, shared by the ANN query family. */
+  private def quantArr(emb: Column): Column =
+    transform(emb, v => floor(v.cast("double") * 1000).cast("long"))
+  private def intDot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
   /** Flagship: the streetlamp original-tiles pipeline (SURVEY.md §3.1) on a
     * deterministic synthetic world — scan, hash-rank sample, edge filter,
     * cell join vs the image corpus, rasterize, anti-join negatives, labeled
@@ -396,55 +403,58 @@ object SparkEntry {
     }),
 
     // similarity search: exact top-10 by integer-quantized inner product
-    // against the vec_id=0 query vector (brute-force baseline; LSH-bucketed
-    // variant in q_sim_nears + MinHashSpec)
+    // against the vec_id=0 query vector. Scale shape: per-row zip_with
+    // array dot (NO posexplode — r1 shuffled n×d rows) + broadcast of the
+    // single probe + TakeOrdered; an embarrassingly-parallel full scan.
+    // LSH-routed variant: q_ann_lsh.
     "q_ann_mips" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
-      val qvec = e.where(col("vec_id") === 0)
-        .select(posexplode(col("embedding")).as(Seq("pos", "qv")))
-        .select(col("pos"), floor(col("qv").cast("double") * 1000).cast("long").as("qq"))
-      val cand = e.where(col("vec_id") =!= 0)
-        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
-        .select(col("vec_id"), col("pos"), floor(col("v").cast("double") * 1000).cast("long").as("vq"))
-      cand.join(qvec, "pos")
-        .groupBy(col("vec_id")).agg(sum(col("vq") * col("qq")).as("dot"))
+      val qvec = e.where(col("vec_id") === 0).select(quantArr(col("embedding")).as("qq"))
+      e.where(col("vec_id") =!= 0)
+        .crossJoin(broadcast(qvec))
+        .select(col("vec_id"), intDot(quantArr(col("embedding")), col("qq")).as("dot"))
         .orderBy(col("dot").desc, col("vec_id")).limit(10)
     }),
 
     // cosine variant: exact fixed-point cosine (IEEE-exact sqrt/division)
     "q_ann_cosine" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
-      val quant = e.select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
-        .select(col("vec_id"), col("pos"), floor(col("v").cast("double") * 1000).cast("long").as("vq"))
-      val qvec = quant.where(col("vec_id") === 0).select(col("pos"), col("vq").as("qq"))
-      val scored = quant.where(col("vec_id") =!= 0)
-        .join(qvec, "pos")
-        .groupBy(col("vec_id"))
-        .agg(sum(col("vq") * col("qq")).as("dot"),
-          sum(col("vq") * col("vq")).as("na"), sum(col("qq") * col("qq")).as("nb"))
+      val qvec = e.where(col("vec_id") === 0).select(quantArr(col("embedding")).as("qq"))
+      val scored = e.where(col("vec_id") =!= 0)
+        .crossJoin(broadcast(qvec))
+        .select(col("vec_id"), quantArr(col("embedding")).as("vq"), col("qq"))
+        .select(col("vec_id"), intDot(col("vq"), col("qq")).as("dot"),
+          intDot(col("vq"), col("vq")).as("na"), intDot(col("qq"), col("qq")).as("nb"))
         .select(col("vec_id"),
           floor(col("dot").cast("double") * 1000000.0 /
             sqrt(col("na").cast("double") * col("nb").cast("double"))).cast("long").as("cos_fp"))
       scored.orderBy(col("cos_fp").desc, col("vec_id")).limit(10)
     }),
 
-    // embedding near-dup pairs among the first 300 vectors (cosine >= 0.95)
+    // embedding near-dup pairs among the first 300 vectors: broadcast
+    // nested-loop over the scoped side with per-pair array dots (no
+    // shingle-style n×d explode)
     "q_sim_pairs" -> ((s, dir) => {
       val e = t(s, dir, "embeddings").where(col("vec_id") < 300)
-      val quant = e.select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
-        .select(col("vec_id"), col("pos"), floor(col("v").cast("double") * 1000).cast("long").as("vq"))
-      val a = quant.toDF("ida", "pos", "va")
-      val b = quant.toDF("idb", "pos", "vb")
-      a.join(b, Seq("pos")).where(col("ida") < col("idb"))
-        .groupBy(col("ida"), col("idb"))
-        .agg(sum(col("va") * col("vb")).as("dot"),
-          sum(col("va") * col("va")).as("na2"), sum(col("vb") * col("vb")).as("nb2"))
+        .select(col("vec_id"), quantArr(col("embedding")).as("vq"))
+      val a = e.toDF("ida", "va")
+      val b = e.toDF("idb", "vb")
+      a.crossJoin(broadcast(b)).where(col("ida") < col("idb"))
+        .select(col("ida"), col("idb"), intDot(col("va"), col("vb")).as("dot"),
+          intDot(col("va"), col("va")).as("na2"), intDot(col("vb"), col("vb")).as("nb2"))
         .select(col("ida"), col("idb"),
           floor(col("dot").cast("double") * 1000000.0 /
             sqrt(greatest(col("na2"), lit(1L)).cast("double") *
                  greatest(col("nb2"), lit(1L)).cast("double"))).cast("long").as("cos_fp"))
         .where(col("cos_fp") >= 400000)
     }),
+
+    // ANN index: random-hyperplane LSH bucket routing (md5-derived integer
+    // hyperplanes -> 16-bit sign codes -> 4x4-bit chunk buckets), exact
+    // integer scoring of candidates only. The whole index has a DuckDB
+    // twin, so approximation error is pinned, not hidden.
+    "q_ann_lsh" -> ((s, dir) =>
+      pipeline.AnnIndex.topK(t(s, dir, "embeddings"), probeVecId = 0, k = 10, dim = 64)),
 
     // n-gram (3-char shingle) Jaccard near-dup among small doc sample —
     // set ops expressed relationally (exact, portable)
@@ -909,6 +919,38 @@ object SparkEntry {
            CAST(floor(CAST(dot AS DOUBLE) * 1000000.0 /
              sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))) AS BIGINT) AS cos_fp
          FROM s ORDER BY cos_fp DESC, vec_id LIMIT 10""",
+
+    // exact SQL twin of AnnIndex.topK: md5-derived integer hyperplanes ->
+    // sign codes -> 4x4-bit chunk routing -> exact scoring of candidates
+    "q_ann_lsh" ->
+      """WITH hp AS (
+           SELECT j.range AS j, i.range AS i,
+             CAST('0x' || substr(md5('hp|' || CAST(j.range AS VARCHAR) || '|' || CAST(i.range AS VARCHAR)), 1, 15) AS BIGINT) % 2001 - 1000 AS hq
+           FROM range(0, 16) j, range(0, 64) i),
+         quant AS (
+           SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+             CAST(floor(unnest(embedding) * 1000) AS BIGINT) AS vq
+           FROM embeddings),
+         bits AS (
+           SELECT q.vec_id, h.j,
+             CASE WHEN sum(q.vq * h.hq) > 0 THEN 1 ELSE 0 END AS bit
+           FROM quant q JOIN hp h ON q.pos = h.i GROUP BY q.vec_id, h.j),
+         code AS (
+           SELECT vec_id, CAST(sum(bit << CAST(j AS INTEGER)) AS BIGINT) AS code
+           FROM bits GROUP BY vec_id),
+         chunks AS (
+           SELECT vec_id, c.range AS c, (code >> CAST(c.range * 4 AS INTEGER)) & 15 AS ck
+           FROM code, range(0, 4) c),
+         probe AS (SELECT c, ck FROM chunks WHERE vec_id = 0),
+         cand AS (
+           SELECT DISTINCT ch.vec_id FROM chunks ch
+           JOIN probe p ON ch.c = p.c AND ch.ck = p.ck
+           WHERE ch.vec_id <> 0),
+         qv AS (SELECT pos, vq AS qq FROM quant WHERE vec_id = 0)
+         SELECT q.vec_id, CAST(sum(q.vq * v.qq) AS BIGINT) AS dot
+         FROM quant q JOIN cand c ON q.vec_id = c.vec_id JOIN qv v ON q.pos = v.pos
+         GROUP BY q.vec_id
+         ORDER BY dot DESC, q.vec_id LIMIT 10""",
 
     "q_sim_pairs" ->
       """WITH quant AS (

@@ -1,0 +1,63 @@
+package graft.pipeline
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Sign-LSH ANN index contract: full recall on near-dup-strength neighbors
+  * (a planted cluster), a bounded candidate fraction (never a full scan),
+  * and exact agreement with brute force restricted to the candidate set. */
+class AnnIndexSpec extends AnyFunSuite {
+  lazy val spark = SparkSuite.spark
+  import spark.implicits._
+
+  val sf = "/root/testdata/sf0.001"
+  lazy val base = spark.read.parquet(s"$sf/embeddings.parquet")
+
+  /** Corpus + 5 planted near-dups of vec 0 (tiny deterministic per-dim
+    * nudges — cosine > 0.99), ids 100000+i. */
+  lazy val planted = {
+    val q = base.where($"vec_id" === 0).select($"embedding").head().getSeq[Float](0)
+    val dups = (0 until 5).map { i =>
+      (100000L + i, q.zipWithIndex.map { case (v, d) =>
+        v + (if ((d + i) % 7 == 0) 0.003f else -0.002f) }.toArray)
+    }
+    base.select($"vec_id", $"embedding")
+      .unionByName(dups.toDF("vec_id", "embedding"))
+      .cache()
+  }
+
+  test("planted near-dup cluster: full recall through the LSH buckets") {
+    val cands = AnnIndex.candidates(planted, probeVecId = 0, dim = 64)
+      .as[Long].collect().toSet
+    for (i <- 0 until 5)
+      assert(cands.contains(100000L + i), s"planted dup ${100000 + i} missed")
+    val top = AnnIndex.topK(planted, probeVecId = 0, k = 5, dim = 64)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(top == (0 until 5).map(100000L + _).toSet, s"top-5 should be the planted cluster: $top")
+  }
+
+  test("candidate fraction is bounded (routing, not a full scan)") {
+    val n = base.where($"vec_id" =!= 0).count()
+    val c = AnnIndex.candidates(base, probeVecId = 0, dim = 64).count()
+    val frac = c.toDouble / n
+    assert(frac < 0.6, f"candidate fraction $frac%.2f too high")
+    assert(c > 0)
+  }
+
+  test("LSH top-k == brute force restricted to the candidate set") {
+    val cands = AnnIndex.candidates(base, probeVecId = 0, dim = 64)
+    def quant(c: org.apache.spark.sql.Column) =
+      transform(c, v => floor(v.cast("double") * 1000).cast("long"))
+    val qvec = base.where($"vec_id" === 0).select(quant($"embedding").as("qq"))
+    val brute = base.join(cands, "vec_id")
+      .crossJoin(broadcast(qvec))
+      .select($"vec_id", aggregate(zip_with(quant($"embedding"), $"qq",
+        (x, y) => x * y), lit(0L), (a, x) => a + x).as("dot"))
+      .orderBy($"dot".desc, $"vec_id").limit(10)
+      .as[(Long, Long)].collect().toSeq
+    val lsh = AnnIndex.topK(base, probeVecId = 0, k = 10, dim = 64)
+      .as[(Long, Long)].collect().toSeq
+    assert(lsh == brute)
+  }
+}
