@@ -9,17 +9,21 @@ import org.apache.spark.sql.functions._
  * (SURVEY.md §2.4 J9 [GRAFT]; no reference counterpart — mandated by
  * north_rule "kNN feature lookups").
  *
- * Exactness argument: candidates are binned into a δ-degree grid. Searching
- * the (2r+1)² block around a probe's cell covers every point with
- * max(|Δlat|,|Δlng|) < r·δ. If the k-th best squared distance found so far
- * is ≤ (r·δ)², no point outside the block can beat it, so the top-k is
- * final. Probes not yet satisfied re-run with a doubled radius; a bounded
- * number of doublings ends in a brute-force sweep for the (rare) leftovers.
+ * Exactness argument: candidates are binned into a δ-degree grid. After
+ * round t the pool rows for a probe are (top-k of the inner block) ∪ (all
+ * cells of the new annulus), whose top-k equals the top-k of the full
+ * (2r+1)² block: any block point is either inside the inner block (where
+ * membership in the overall top-k implies membership in the inner top-k)
+ * or in the annulus. If the k-th best squared distance is ≤ (r·δ)², no
+ * point outside the block can beat it, so the top-k is final. Unsatisfied
+ * probes re-run with a doubled radius.
  *
- * Scale: the per-round work is one equi-join probe-blocks ⋈ candidate-bins
- * on (gx, gy) — shuffle on short int keys, broadcast when the probe side
- * is small; each round shrinks the probe set. No cross join except for the
- * leftover tail.
+ * Scale: each round gathers ONLY the new annulus (cells with
+ * max(|Δgx|,|Δgy|) in (r_prev, r]) — never the whole block again — and
+ * carries at most k rows per open probe between rounds. The final sweep
+ * for leftover probes is a broadcast nested-loop whose broadcast side is
+ * the leftover probe set, guarded by `tailLimit`: a sparse world cannot
+ * silently degrade into an unbounded probes×candidates product.
  *
  * Metric: squared degrees (pure arithmetic — portable and exact); ranks
  * tie-break on the candidate key, matching the brute-force oracle rank.
@@ -28,39 +32,53 @@ object KnnJoin {
   /** probes: (probe_id, plat, plng); cands: (o_orderkey, lat, lng).
     * Returns (probe_id, rank, o_orderkey, dist2), rank in 1..k. */
   def knn(probes: DataFrame, cands: DataFrame, k: Int, delta: Double = 0.01,
-          maxRounds: Int = 4): DataFrame = {
+          maxRounds: Int = 4, tailLimit: Long = 1000000L): DataFrame = {
     val spark = probes.sparkSession
     val binned = cands
       .withColumn("gx", floor(col("lat") / delta).cast("long"))
       .withColumn("gy", floor(col("lng") / delta).cast("long"))
 
+    val poolCols = Seq("probe_id", "plat", "plng", "o_orderkey", "lat", "lng")
     var remaining = probes
+    var carried: DataFrame = null // top-k pool rows of still-open probes
     var results: DataFrame = null
+    var rPrev = -1
     var r = 1
     var round = 0
     while (round < maxRounds && !remaining.isEmpty) {
       val isLast = round == maxRounds - 1
       val gathered =
-        if (isLast) remaining.crossJoin(binned) // exact tail sweep
-        else {
-          val offsets: List[Int] = (-r to r).toList
+        if (isLast) {
+          // guarded tail sweep: leftover probes are the broadcast side
+          val leftovers = remaining.count()
+          require(leftovers <= tailLimit,
+            s"kNN tail sweep over $leftovers probes exceeds tailLimit=$tailLimit — " +
+              "raise maxRounds or delta for this data density")
+          binned.crossJoin(broadcast(remaining)).select(poolCols.map(col): _*)
+        } else {
+          // annulus only: offsets with Chebyshev radius in (rPrev, r]
+          val offsets = (for {
+            dx <- -r to r; dy <- -r to r
+            if math.max(math.abs(dx), math.abs(dy)) > rPrev
+          } yield (dx, dy)).toList
           remaining
             .withColumn("pgx", floor(col("plat") / delta).cast("long"))
             .withColumn("pgy", floor(col("plng") / delta).cast("long"))
-            .withColumn("dx", explode(typedLit(offsets)))
-            .withColumn("dy", explode(typedLit(offsets)))
-            .withColumn("gx", col("pgx") + col("dx"))
-            .withColumn("gy", col("pgy") + col("dy"))
+            .withColumn("o", explode(typedLit(offsets)))
+            .withColumn("gx", col("pgx") + col("o._1"))
+            .withColumn("gy", col("pgy") + col("o._2"))
             .join(binned, Seq("gx", "gy"))
+            .select(poolCols.map(col): _*)
         }
-      val scored = gathered
+      val pool = if (carried == null) gathered else gathered.unionByName(carried)
+      val ranked = pool
         .withColumn("dist2",
           (col("lat") - col("plat")) * (col("lat") - col("plat")) +
           (col("lng") - col("plng")) * (col("lng") - col("plng")))
         .withColumn("rank", row_number().over(
           Window.partitionBy(col("probe_id")).orderBy(col("dist2"), col("o_orderkey"))))
         .where(col("rank") <= k)
-      val withKth = scored
+      val withKth = ranked
         .withColumn("kth", max(when(col("rank") === k, col("dist2"))).over(
           Window.partitionBy(col("probe_id"))))
       val bound = (r.toDouble * delta) * (r.toDouble * delta)
@@ -72,6 +90,12 @@ object KnnJoin {
       results = if (results == null) donePart else results.unionByName(donePart)
       remaining = remaining.join(donePart.select("probe_id").distinct(),
         Seq("probe_id"), "left_anti").localCheckpoint(false)
+      carried =
+        if (isLast) null
+        else ranked.select(poolCols.map(col): _*)
+          .join(remaining.select("probe_id"), Seq("probe_id"), "left_semi")
+          .localCheckpoint(false)
+      rPrev = r
       r *= 2
       round += 1
     }

@@ -84,6 +84,31 @@ class SparkEntrySpec extends AnyFunSuite {
     assert(!pairs.contains((1L, 4L)) && !pairs.contains((2L, 4L)))
   }
 
+  test("kNN sparse world: far probes resolve via the guarded tail sweep") {
+    // candidates clustered near (53.85, 27.45); probes 2 grid-rounds away,
+    // so rings stay empty and the broadcast tail handles them
+    val cands = spark.range(0, 50).select($"id".as("o_orderkey"),
+      (lit(53.85) + ($"id" % 10).cast("double") * 0.0001).as("lat"),
+      (lit(27.45) + ($"id" % 7).cast("double") * 0.0001).as("lng"))
+    val probes = Seq((1L, 54.9, 28.9), (2L, 52.1, 26.2)).toDF("probe_id", "plat", "plng")
+    val got = pipeline.KnnJoin.knn(probes, cands, k = 3)
+      .select($"probe_id", $"rank", $"o_orderkey").as[(Long, Int, Long)].collect().toSet
+    val brute = probes.crossJoin(cands)
+      .withColumn("d2", ($"lat" - $"plat") * ($"lat" - $"plat") +
+        ($"lng" - $"plng") * ($"lng" - $"plng"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"probe_id")
+          .orderBy($"d2", $"o_orderkey")))
+      .where($"rank" <= 3).select($"probe_id", $"rank", $"o_orderkey")
+      .as[(Long, Int, Long)].collect().toSet
+    assert(got == brute)
+    // the guard refuses an unbounded tail instead of cross-joining it
+    val err = intercept[Exception] {
+      pipeline.KnnJoin.knn(probes, cands, k = 3, tailLimit = 1L).collect()
+    }
+    assert(err.getMessage.contains("tailLimit"))
+  }
+
   test("deterministic sampling is idempotent across runs and partitionings") {
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
     def sample(df: org.apache.spark.sql.DataFrame) =

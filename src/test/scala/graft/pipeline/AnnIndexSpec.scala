@@ -45,6 +45,23 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(c > 0)
   }
 
+  test("minimap: canvas dims, per-tile mean-color pixels, png roundtrip") {
+    val w = graft.tables.SyntheticWorld.testWorld
+    val images = graft.tables.SyntheticWorld.images(spark, w)
+    val (bw, bs, be, bn) = w.bbox
+    val cfg = Pipelines.Config(z = w.z, bbox = (bw, bs, be, bn))
+    val (h, wid, png) = Minimap.render(images, cfg)
+    assert(h == w.gridH + 1 && wid == w.gridW + 1, s"canvas ${h}x$wid")
+    val raw = graft.core.ImageCodec.decode(png)
+    assert(raw.h == h && raw.w == wid)
+    // pixel (0,0) = truncated mean color of the corner tile
+    val corner = graft.core.CellId.pack(w.z, w.tx0, w.ty0)
+    val bytes = images.where($"cell_id" === corner).select($"bytes").head().getAs[Array[Byte]](0)
+    val (mb, mg, mr) = graft.core.ImageCodec.meanColor(graft.core.ImageCodec.decode(bytes))
+    assert((raw.bgr(0) & 0xFF) == mb.toInt && (raw.bgr(1) & 0xFF) == mg.toInt &&
+      (raw.bgr(2) & 0xFF) == mr.toInt)
+  }
+
   test("LSH top-k == brute force restricted to the candidate set") {
     val cands = AnnIndex.candidates(base, probeVecId = 0, dim = 64)
     def quant(c: org.apache.spark.sql.Column) =

@@ -1,4 +1,7 @@
 import duckdb, json, sys, glob
+import numpy as np
+import pandas as pd
+import pyarrow as pa
 import pyarrow.parquet as pq
 
 outdir, sfdir = sys.argv[1], sys.argv[2]
@@ -7,11 +10,28 @@ for t in ['region','nation','customer','supplier','part','orders','lineitem','ev
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
 oracles = json.load(open(f'{outdir}/oracle_sql.json'))
 npass = nfail = 0
+
+def frames_equal(gs, es):
+    """Column-wise compare: exact for ints/strings, exact-with-NaN-identity
+    for floats (NaN=='nan' string tricks and cross-engine float formatting
+    differences both avoided)."""
+    for c in gs.columns:
+        a, b = gs[c], es[c]
+        if pd.api.types.is_float_dtype(a) or pd.api.types.is_float_dtype(b):
+            av = a.astype(float).values
+            bv = b.astype(float).values
+            if not bool(((av == bv) | (np.isnan(av) & np.isnan(bv))).all()):
+                return False
+        else:
+            if not a.astype(str).equals(b.astype(str)):
+                return False
+    return True
+
 for name, sql in sorted(oracles.items()):
-    files = glob.glob(f'{outdir}/{name}/*.parquet')
+    files = sorted(glob.glob(f'{outdir}/{name}/*.parquet'))
     if not files:
         print(f'{name}: NO SPARK OUTPUT'); nfail += 1; continue
-    got = pq.read_table(files[0]).to_pandas()
+    got = pa.concat_tables([pq.read_table(f) for f in files]).to_pandas()
     try:
         exp = con.execute(sql).df()
     except Exception as e:
@@ -26,9 +46,8 @@ for name, sql in sorted(oracles.items()):
     gs = gs.sort_values(by=list(gs.columns)).reset_index(drop=True)
     es = es.sort_values(by=list(es.columns)).reset_index(drop=True)
     try:
-        import pandas as pd
-        eq = gs.astype(str).equals(es.astype(str))
-    except Exception as e:
+        eq = frames_equal(gs, es)
+    except Exception:
         eq = False
     if eq: npass += 1; print(f'{name}: PASS ({len(gs)} rows)')
     else:
