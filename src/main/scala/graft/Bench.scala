@@ -26,17 +26,37 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val gridSide = sys.env.getOrElse("SPARK_GRAFT_WORLD", "64").toInt
-    val builder0 = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // SPARK_GRAFT_MASTER=local-cluster[E,C,MEM_MB] runs REAL separate
+    // executor JVMs (the spark-submit-on-a-cluster shape, north_rule's
+    // N-vs-4N evidence); executors get this build's classes explicitly
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val builder00 = SparkSession.builder()
+      .master(master)
       // = cores: local-mode task scheduling is a serial path (~ms/task);
       // finer tasks cost more in scheduling than they save in tail latency
       // at this data size (measured: 128 partitions doubled expand wall)
       .config("spark.sql.shuffle.partitions", cpus)
+    val builder0 = if (!master.startsWith("local-cluster")) builder00 else {
+      // local-cluster[n,c,mem]'s mem is the WORKER allocation; executor
+      // JVMs still default to spark.executor.memory=1g — size their heap
+      // to the worker grant or they OOM on image workloads
+      val workerMb = "local-cluster\\[\\d+,\\d+,(\\d+)\\]".r
+        .findFirstMatchIn(master).map(_.group(1)).getOrElse("8192")
+      builder00.config("spark.executor.extraClassPath",
+          "/root/repo/target/scala-2.13/classes")
+        .config("spark.executor.memory", s"${workerMb}m")
+        .config("spark.driver.memory", "8g")
+    }
     val builder1 = sys.env.get("SPARK_GRAFT_EVENTLOG").fold(builder0) { dir =>
       builder0.config("spark.eventLog.enabled", "true").config("spark.eventLog.dir", dir)
     }
     val spark = builder1
       .config("spark.sql.adaptive.enabled", "true")
+      // TypedImperativeAggregate buffers (stitch canvases ~1.8MB each) are
+      // untracked JVM objects; cap how many stay open per task before the
+      // sort-based fallback kicks in (default 128 -> ~230MB/task of
+      // canvases; 16 -> ~30MB). Memory-budget knob for image-heavy aggs.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "16")
       // image-heavy stages carry ~100x more CPU per byte than relational
       // rows; AQE's byte-based partition coalescing starves threads on
       // those stages — keep the configured parallelism
@@ -57,6 +77,16 @@ object Bench {
       val a = f
       (a, (System.nanoTime() - t0) / 1e9)
     }
+
+    // JVM/codegen warmup (unreported): without it the alphabetically-first
+    // queries absorb all JIT + parquet-reader + shuffle-path warmup (r1's
+    // q_a1_balance read 9.7s cold vs 1.6s warm for the same plan)
+    spark.range(0, 2000000)
+      .select(xxhash64(col("id")).as("h"), (col("id") % 97).as("k"))
+      .groupBy(col("k")).agg(count(lit(1)), sum(col("h"))).count()
+    spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .groupBy(col("l_returnflag")).agg(count(lit(1))).count()
+    spark.read.parquet(s"$sfDir/documents.parquet").agg(sum(length(col("text")))).count()
 
     // section 1: contract queries (skippable for pipeline-scaling studies)
     val results =

@@ -831,6 +831,23 @@ object SparkEntry {
            AND ((27.3801234 - 27.4101234) * (lat - 53.8461234) - (53.8421234 - 53.8461234) * (lng - 27.4101234)) > 0
            AND ((27.4101234 - 27.3801234) * (lat - 53.8421234) - (53.8381234 - 53.8421234) * (lng - 27.3801234)) > 0""",
 
+    // phash banding re-run in SQL over the corpus metadata exported by
+    // Verify (fixed path; arithmetic >> + mask == logical >> on the low
+    // bits, so negative 64-bit phashes band identically in both engines)
+    "q_phash_neardup" ->
+      s"""WITH h AS (
+            SELECT cell_id AS doc_id, phash AS sh
+            FROM read_parquet('${Verify.AuxImagesMeta}/*.parquet')),
+          banded AS (
+            SELECT doc_id, sh, c.range AS chunk,
+              (sh >> CAST(c.range * 16 AS INTEGER)) & 65535 AS ck
+            FROM h, range(0, 4) c)
+          SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb,
+            CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
+          FROM banded a JOIN banded b
+            ON a.chunk = b.chunk AND a.ck = b.ck AND a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.sh, b.sh)) <= 6""",
+
     "q_a4_busyfree" ->
       """WITH grid AS (
            SELECT gx.range AS tx, gy.range AS ty FROM range(0, 50) gx, range(0, 20) gy),

@@ -4,6 +4,10 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+  /** Fixed absolute path of the corpus-metadata aux export (referenced by
+    * the q_phash_neardup oracle SQL via read_parquet). */
+  val AuxImagesMeta = "/root/repo/target/verify_aux/images_meta.parquet"
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -15,6 +19,14 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // aux export for the phash-banding oracle: the synthetic corpus'
+    // (cell_id, phash) metadata at a fixed path, so DuckDB can re-run the
+    // chunk banding in SQL over the same input (the sf dirs carry no
+    // images table; the generator itself is pinned by specs)
+    tables.SyntheticWorld.images(spark, tables.SyntheticWorld.testWorld)
+      .select(org.apache.spark.sql.functions.col("cell_id"),
+        org.apache.spark.sql.functions.col("phash"))
+      .coalesce(1).write.mode("overwrite").parquet(Verify.AuxImagesMeta)
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

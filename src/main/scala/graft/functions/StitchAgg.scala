@@ -20,6 +20,18 @@ import org.apache.spark.sql.types._
  * peak memory is one canvas per open group instead of every encoded tile
  * list materialized, and partial mosaics merge by opaque-pixel overlay.
  *
+ * Memory budget at scale (learned from the local-cluster study, where
+ * default settings OOM'd an 8 GB executor):
+ *  1. co-partition input by the group key BEFORE the groupBy (the
+ *     pipelines do) — otherwise map-side partial aggregation allocates a
+ *     full canvas per group per map task and shuffles partial canvases
+ *     that are larger than the raw tiles they aggregate;
+ *  2. canvases are untracked JVM objects, so ObjectHashAggregate keeps up
+ *     to `spark.sql.objectHashAggregate.sortBased.fallbackThreshold`
+ *     (default 128) of them open per task — size that knob so
+ *     threshold x canvasBytes x coresPerExecutor fits the executor heap
+ *     (Bench sets 16 -> ~30 MB/task at 432 px crops).
+ *
  * Input: struct<dx INT, dy INT, wtiles INT, htiles INT, bytes BINARY>.
  * Output: struct<h INT, w INT, bgr BINARY> (raw mosaic; crop/encode are
  * downstream scalar ops).

@@ -78,6 +78,7 @@ object AnnIndex {
     }: _*)
     val chunked = coded.select(col("vec_id"), col("vq"), explode(chunkStructs).as("cs"))
       .select(col("vec_id"), col("vq"), col("cs.c").as("c"), col("cs.ck").as("ck"))
+      .cache() // the code map feeds both the probe lookup and the scan side
     val probeChunks = chunked.where(col("vec_id") === probeVecId)
       .select(col("c"), col("ck"), col("vq").as("qq"))
     val cands = chunked.where(col("vec_id") =!= probeVecId)

@@ -52,33 +52,74 @@ object Dedup {
       java.security.MessageDigest.getInstance("MD5")
   }
 
-  /** Distinct character shingles of `text`. */
-  private def shingles(docs: DataFrame, shingleLen: Int): DataFrame =
+  /** Per-doc DISTINCT shingle array — `array_distinct` dedupes inside the
+    * row, so building shingle sets needs NO shuffle (an exploded+`distinct`
+    * form shuffles |docs|·|shingles| short strings — measured 8.5 s of the
+    * r1 q_dedup_minhash's 18 s at sf0.1). */
+  private def shingleArr(docs: DataFrame, shingleLen: Int): DataFrame =
     docs.select(col("doc_id"),
-        explode(expr(s"transform(sequence(1, greatest(length(text) - ${shingleLen - 1}, 0))," +
-          s" i -> substring(text, i, $shingleLen))")).as("g"))
-      .distinct()
+        array_distinct(expr(s"transform(sequence(1, greatest(length(text) - ${shingleLen - 1}, 0))," +
+          s" i -> substring(text, i, $shingleLen))")).as("gs"))
+      .where(size(col("gs")) > 0)
+
+  /** Per-row minhash signature: out(p) = min over shingles of
+    * md5h60(g + "|" + p) — the kernel twin of h60(concat(g, '|p')).
+    * Hot loop: one UTF-8 encode per shingle, incremental digest updates
+    * per permutation (no per-(g,p) string concat). */
+  private def sigUdf(numPerm: Int) = {
+    val suffixes = Array.tabulate(numPerm)(p =>
+      ("|" + p).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    udf { (gs: Seq[String]) =>
+      val md = digest.get()
+      val out = Array.fill(numPerm)(Long.MaxValue)
+      gs.foreach { g =>
+        val gb = g.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        var p = 0
+        while (p < numPerm) {
+          md.reset()
+          md.update(gb)
+          md.update(suffixes(p))
+          val d = md.digest()
+          var v = 0L
+          var i = 0
+          while (i < 7) { v = (v << 8) | (d(i) & 0xFFL); i += 1 }
+          val h = (v << 4) | ((d(7) & 0xFF) >>> 4)
+          if (h < out(p)) out(p) = h
+          p += 1
+        }
+      }
+      out
+    }
+  }
 
   /** MinHash signature + LSH banding. Returns candidate pairs with their
     * exact Jaccard similarity (fixed-point x1e6) — candidates only, so the
-    * expensive verification is bounded by bucket collisions. The signature
-    * aggregation runs exactly once: band keys are emitted in a single
-    * select (array+explode) and the banded table is cached before the
-    * self-join. */
+    * expensive verification is bounded by bucket collisions.
+    *
+    * Shuffle ledger: signatures are per-row `array_min` over the shingle
+    * array (zero shuffle), set sizes are per-row `size` (zero shuffle); the
+    * only shuffles are the band-bucket self-join (one short row per
+    * (doc, band)) and the candidate verification joins (candidates only). */
   def minhashPairs(docs: DataFrame, shingleLen: Int = 5, numPerm: Int = 16,
                    bands: Int = 4): DataFrame = {
     require(numPerm % bands == 0, "bands must divide numPerm")
     val rowsPerBand = numPerm / bands
-    val sh = shingles(docs, shingleLen).cache()
+    // shingling costs ~2s/5k docs and feeds three branches (signature,
+    // verification relation, set sizes) — materialize once
+    val withArr = shingleArr(docs, shingleLen).cache()
 
-    // permutation p hash of shingle g = h60(g || "|p")
-    val aggs = (0 until numPerm).map(p => min(h60(concat(col("g"), lit(s"|$p")))).as(s"h$p"))
-    val sig = sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    // permutation p hash of shingle g = h60(g || "|p"); signature = per-row
+    // kernel loop (bit-identical to a min-agg over h60 of exploded
+    // shingles, via the md5h60 twin). A 16-way array_min(transform(md5..))
+    // projection computes the same thing but its generated code takes ~25 s
+    // to Janino-compile — a UDF keeps codegen tiny and the md5 in one
+    // thread-local digest loop.
+    val sig = withArr.select(col("doc_id"), sigUdf(numPerm)(col("gs")).as("hs"))
 
     // all band keys in one pass over sig; band key = '_'-joined slice
     val bandStructs = array((0 until bands).map { b =>
       val cols = (b * rowsPerBand until (b + 1) * rowsPerBand)
-        .map(p => col(s"h$p").cast("string"))
+        .map(p => col("hs")(p).cast("string"))
       struct(lit(b).as("band"), concat_ws("_", cols: _*).as("bh"))
     }: _*)
     val banded = sig.select(col("doc_id"), explode(bandStructs).as("bs"))
@@ -91,8 +132,10 @@ object Dedup {
       .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
       .distinct()
 
-    // exact verification of candidates only
-    val na = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    // exact verification of candidates only; sh is the exploded shingle
+    // relation (already per-doc distinct — no shuffle to build)
+    val sh = withArr.select(col("doc_id"), explode(col("gs")).as("g")).cache()
+    val na = withArr.select(col("doc_id"), size(col("gs")).cast("long").as("n"))
     val inter = candidates
       .join(sh.toDF("ida", "g"), "ida")
       .join(sh.toDF("idb", "g2").withColumnRenamed("g2", "g"), Seq("idb", "g"))

@@ -210,6 +210,12 @@ object Pipelines {
       .select(col("key"), col("wtiles"), col("htiles"), col("rx"), col("ry"),
         col("slot.cell_id").as("cell_id"), col("slot.dx").as("dx"), col("slot.dy").as("dy"))
       .join(images.select(col("cell_id"), col("bytes")), Seq("cell_id"), "left")
+      // co-partition by group key BEFORE the stitch agg: map-side partial
+      // aggregation would otherwise allocate a full canvas per group per
+      // map task and shuffle ~|mapTasks|x inflated partial canvases
+      // (measured: executor OOM at 8 GB in the local-cluster study; raw
+      // tile rows are ~8x smaller than their partial mosaics)
+      .repartition(col("key"))
     // I2 via TypedImperativeAggregate: tiles decode+blit into the mosaic
     // buffer as they arrive (no collect_list materialization)
     joined.groupBy(col("key"))
@@ -395,6 +401,9 @@ object Pipelines {
       .withColumn("dx", (col("tx") - col("txmin")).cast("int"))
       .withColumn("dy", (col("ty") - col("tymin")).cast("int"))
       .join(img.select(col("cell_id"), col("bytes")), Seq("cell_id"), "left")
+      // co-partition by way BEFORE the stitch agg (see cropAroundPoints:
+      // partial canvases are larger than the raw tiles they aggregate)
+      .repartition(col("way_id"))
 
     // I2 via StitchAgg: tiles decode+blit into the mosaic buffer as they
     // arrive — never a collect_list of encoded image bytes

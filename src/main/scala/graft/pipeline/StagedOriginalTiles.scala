@@ -40,15 +40,16 @@ object StagedOriginalTiles {
     }
 
     stages.stage("labeled", inputs = Seq("lamps_sample", "negative_cells")) {
+      val img = Pipelines.imagesInBbox(images, cfg)
       val exampleId = format_string("m_x%dy%d",
         GeoF.cellTx(col("cell_id")), GeoF.cellTy(col("cell_id")))
       val positives = lamps
         .where(GeoF.edgeOk(col("lat"), col("lng"), cfg.z, cfg.offX, cfg.offY, 16))
         .withColumn("cell_id", GeoF.cellAtWgs(col("lat"), col("lng"), cfg.z, cfg.offX, cfg.offY))
-        .join(images, "cell_id")
+        .join(img, "cell_id")
         .select(exampleId.as("example_id"), col("cell_id"),
           lit("lamp").as("label"), col("bytes"), col("caption"), col("fmt"))
-      val negs = negatives.join(images, "cell_id")
+      val negs = negatives.join(img, "cell_id")
         .select(exampleId.as("example_id"), col("cell_id"),
           lit("nolamp").as("label"), col("bytes"), col("caption"), col("fmt"))
       positives.unionByName(negs)
