@@ -41,6 +41,32 @@ object SparkEntry {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Drive a Structured Streaming query over the events table to
+    * completion through an in-memory sink and return the result table.
+    * The file source wants a directory, so the single events file is
+    * exposed through a per-invocation symlink dir (cleaned up after). */
+  private def runStream(s: SparkSession, dir: String, tag: String)(
+      build: DataFrame => DataFrame): DataFrame = {
+    val schema = t(s, dir, "events").schema
+    val streamDir = java.nio.file.Files.createTempDirectory(s"graft_$tag")
+    java.nio.file.Files.createSymbolicLink(
+      streamDir.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet").toAbsolutePath)
+    val stream = s.readStream.schema(schema).parquet(streamDir.toString)
+      .withColumn("ts", col("ts").cast("timestamp")) // NTZ -> event-time type
+    val agg = build(stream)
+    val qname = s"${tag}_${System.nanoTime()}"
+    val q = agg.writeStream.outputMode("complete").format("memory").queryName(qname).start()
+    try q.processAllAvailable() finally {
+      q.stop()
+      try {
+        java.nio.file.Files.deleteIfExists(streamDir.resolve("events.parquet"))
+        java.nio.file.Files.deleteIfExists(streamDir)
+      } catch { case _: java.io.IOException => () }
+    }
+    s.table(qname)
+  }
+
   /** Integer-quantized embedding (floor(v*1000) per dim) and exact array
     * dot — order-free integer math, shared by the ANN query family. */
   private def quantArr(emb: Column): Column =
@@ -218,6 +244,28 @@ object SparkEntry {
       val a = p.where(col("p_size") < 10).select(col("p_brand"))
       val b = p.where(col("p_retailprice") > 1500.0).select(col("p_brand"))
       a.unionAll(b).distinct()
+    }),
+
+    // SO4: intersect + except (set semantics, deduplicating)
+    "q_so4_setops" -> ((s, dir) => {
+      val p = t(s, dir, "part")
+      val a = p.where(col("p_size") < 25).select(col("p_brand"))
+      val b = p.where(col("p_retailprice") > 1200.0).select(col("p_brand"))
+      a.intersect(b).withColumn("op", lit("both"))
+        .unionByName(a.except(b).withColumn("op", lit("only_a")))
+    }),
+
+    // P7: wgs2px — canvas-local pixel of a point (tile index minus the
+    // bbox canvas origin, reference lib/helpers.py:61-65); origin tiles
+    // are plan-time constants from the Minsk bbox at z19
+    "q_p7_px" -> ((s, dir) => {
+      val (txmin, tymin) = Mercator.tileAtWgs(53.9739, 27.4026, Z, OffX, OffY) // (N, W)
+      val pts = t(s, dir, "orders").select(col("o_orderkey"),
+        latOf(col("o_orderkey")).as("lat"), lngOf(col("o_orderkey")).as("lng"))
+      val cell = GeoF.cellAtWgs(col("lat"), col("lng"), Z, OffX, OffY)
+      pts.select(col("o_orderkey"),
+        (GeoF.cellTx(cell) - lit(txmin)).as("px"),
+        (GeoF.cellTy(cell) - lit(tymin)).as("py"))
     }),
 
     // A5/A6: aggregation battery (count / distinct / conditional)
@@ -493,33 +541,44 @@ object SparkEntry {
     // events table driven to completion via an in-memory sink; value-equal
     // to the batch oracle (same rollup as q_events_window)
     "q_stream_window" -> ((s, dir) => {
-      val schema = t(s, dir, "events").schema
-      // the streaming file source wants a directory; expose the single
-      // events file through a temp dir of symlinks
-      val streamDir = java.nio.file.Files.createTempDirectory("graft_stream")
-      java.nio.file.Files.createSymbolicLink(
-        streamDir.resolve("events.parquet"),
-        java.nio.file.Paths.get(s"$dir/events.parquet").toAbsolutePath)
-      val stream = s.readStream.schema(schema).parquet(streamDir.toString)
-      val agg = stream
-        .withColumn("ts", col("ts").cast("timestamp")) // NTZ -> event-time type
-        .withWatermark("ts", "1 hour")
-        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-        .agg(count(lit(1)).as("n"),
-          sum(floor(col("value") * 100 + 0.5).cast("long")).as("value_cents"))
-        .select(unix_millis(col("window.start")).as("hour_ms"), col("event_type"),
-          col("n"), col("value_cents"))
-      val qname = s"stream_window_${System.nanoTime()}"
-      val q = agg.writeStream.outputMode("complete").format("memory").queryName(qname).start()
-      try q.processAllAvailable() finally {
-        q.stop()
-        // drop the per-invocation symlink dir (r1 leaked one per call)
-        try {
-          java.nio.file.Files.deleteIfExists(streamDir.resolve("events.parquet"))
-          java.nio.file.Files.deleteIfExists(streamDir)
-        } catch { case _: java.io.IOException => () }
+      runStream(s, dir, "stream_window") { stream =>
+        stream
+          .withWatermark("ts", "1 hour")
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(floor(col("value") * 100 + 0.5).cast("long")).as("value_cents"))
+          .select(unix_millis(col("window.start")).as("hour_ms"), col("event_type"),
+            col("n"), col("value_cents"))
       }
-      s.table(qname)
+    }),
+
+    // stream-static join: the event stream broadcast-joins the static
+    // customer dim (left, null segment -> -1), then a stateful rollup;
+    // value-equal to the batch oracle
+    "q_stream_join" -> ((s, dir) => {
+      val dim = t(s, dir, "customer")
+        .select(col("c_custkey").as("user_id"), col("c_nationkey").as("segment"))
+      runStream(s, dir, "stream_join") { stream =>
+        stream.join(broadcast(dim), Seq("user_id"), "left")
+          .withColumn("seg", coalesce(col("segment"), lit(-1)))
+          .withWatermark("ts", "1 hour")
+          .groupBy(col("seg"), col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(floor(col("value") * 100 + 0.5).cast("long")).as("value_cents"))
+      }
+    }),
+
+    // streaming stateful dedup: dropDuplicates on (user_id, event_type)
+    // state, then distinct-user counts per type — order-free output so the
+    // result is arrival-order-independent and batch-checkable
+    "q_stream_dedup" -> ((s, dir) => {
+      runStream(s, dir, "stream_dedup") { stream =>
+        stream
+          .withWatermark("ts", "1 hour")
+          .dropDuplicates("user_id", "event_type")
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_users"))
+      }
     }),
 
     // ---------- multimodal / image ops over the synthetic corpus ----------
@@ -864,6 +923,42 @@ object SparkEntry {
            count(*) AS n,
            CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
          FROM events GROUP BY 1, 2""",
+
+    "q_so4_setops" ->
+      """SELECT p_brand, 'both' AS op FROM (
+           SELECT p_brand FROM part WHERE p_size < 25
+           INTERSECT
+           SELECT p_brand FROM part WHERE p_retailprice > 1200.0)
+         UNION ALL
+         SELECT p_brand, 'only_a' AS op FROM (
+           SELECT p_brand FROM part WHERE p_size < 25
+           EXCEPT
+           SELECT p_brand FROM part WHERE p_retailprice > 1200.0)""",
+
+    "q_p7_px" -> {
+      val (txmin, tymin) = Mercator.tileAtWgs(53.9739, 27.4026, Z, OffX, OffY)
+      s"""WITH pts AS (
+            SELECT o_orderkey,
+              (256.0::DOUBLE * (0.5::DOUBLE + ($lngSqlO) / 360.0::DOUBLE)) AS wx,
+              (256.0::DOUBLE * (0.5::DOUBLE - ln((1.0::DOUBLE + least(greatest(sin(($latSqlO) * pi() / 180.0::DOUBLE), -0.9999::DOUBLE), 0.9999::DOUBLE))
+                 / (1.0::DOUBLE - least(greatest(sin(($latSqlO) * pi() / 180.0::DOUBLE), -0.9999::DOUBLE), 0.9999::DOUBLE))) / (4 * pi()))) AS wy
+            FROM orders)
+          SELECT o_orderkey,
+            CAST(floor((wx + (-30.0::DOUBLE / 524288)) * 524288 / 256) AS BIGINT) - $txmin AS px,
+            CAST(floor((wy + (10.0::DOUBLE / 524288)) * 524288 / 256) AS BIGINT) - $tymin AS py
+          FROM pts"""
+    },
+
+    "q_stream_join" ->
+      """SELECT coalesce(c.c_nationkey, -1) AS seg, e.event_type,
+           count(*) AS n,
+           CAST(sum(CAST(floor(e.value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
+         FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+         GROUP BY 1, 2""",
+
+    "q_stream_dedup" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users
+         FROM events GROUP BY event_type""",
 
     // the streaming rollup must equal the batch oracle exactly
     "q_stream_window" ->
