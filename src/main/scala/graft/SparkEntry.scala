@@ -299,6 +299,21 @@ object SparkEntry {
         .select(col("probe_id"), col("rank"), col("o_orderkey"))
     }),
 
+    // J10: as-of (backward) join — each purchase event picks up the
+    // latest signup event of the same user at ts <= its own (union +
+    // partitioned running window; DuckDB ASOF JOIN is the oracle)
+    "q_j10_asof" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val probe = e.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val build = e.where(col("event_type") === "signup")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("bid"),
+          max_by(floor(col("value") * 100 + 0.5).cast("long"), col("event_id")).as("bcents"))
+      pipeline.AsofJoin.asofBackward(probe, build, "user_id", "ts", Seq("bid", "bcents"))
+        .select(col("event_id"), col("user_id"), col("asof_bid"), col("asof_bcents"))
+    }),
+
     // F6: exact PIP refinement — convex diamond, ray-cast over packed
     // arrays vs half-plane oracle (vertices off the 1e-5 point grid so no
     // boundary ties)
@@ -793,6 +808,17 @@ object SparkEntry {
                ORDER BY (lat - plat) * (lat - plat) + (lng - plng) * (lng - plng), o_orderkey) AS rank
            FROM probes CROSS JOIN cands)
          SELECT probe_id, rank, o_orderkey FROM scored WHERE rank <= 3""",
+
+    "q_j10_asof" ->
+      """WITH probe AS (
+           SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+         build AS (
+           SELECT user_id, ts, max(event_id) AS bid,
+             max_by(CAST(floor(value * 100 + 0.5) AS BIGINT), event_id) AS bcents
+           FROM events WHERE event_type = 'signup' GROUP BY user_id, ts)
+         SELECT p.event_id, p.user_id, b.bid AS asof_bid, b.bcents AS asof_bcents
+         FROM probe p ASOF LEFT JOIN build b
+           ON p.user_id = b.user_id AND p.ts >= b.ts""",
 
     "q_f6_pip" ->
       """WITH pts AS (

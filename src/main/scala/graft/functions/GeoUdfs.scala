@@ -115,6 +115,17 @@ object GeoUdfs {
     }
     c => f(c)
   }
+
+  /** P9: iD-editor link at a tile's center (reference lib/helpers.py:16-19
+    * osm_at_tile — a diagnostic print there, a column here). */
+  val idEditorLink: Column => Column = {
+    val f = udf { (cell: Long) =>
+      val z = CellId.z(cell)
+      val (lat, lng) = Mercator.wgsAtTile(CellId.tx(cell), CellId.ty(cell), z)
+      s"https://www.openstreetmap.org/edit#map=$z/$lat/$lng"
+    }
+    c => f(c)
+  }
 }
 
 /** Image column functions (decode/encode/stitch/crop run per example —
@@ -126,6 +137,21 @@ object ImageUdfs {
   // NOTE: no collect_list-of-bytes stitch UDFs exist anymore — all mosaic
   // assembly goes through graft.functions.Stitch.stitchAgg (incremental
   // TypedImperativeAggregate; VERDICT r1 "What's wrong" #2).
+
+  /** I6: debug marker overlay (reference video.py:16-18): a red width-1
+    * 8-connected check-mark — (95,135)->(105,145) and (95,135)->(85,145) —
+    * drawn with the cv2-parity rasterizer onto the decoded image. */
+  val markerOverlay = udf { (bytes: Array[Byte], fmt: String) =>
+    val img = decode(bytes)
+    val c = new CvRaster.Canvas(img.w, img.h)
+    CvRaster.line(c, 95, 135, 105, 145, 8)
+    CvRaster.line(c, 95, 135, 85, 145, 8)
+    c.paintedPixels.foreach { case (x, y) =>
+      val i = (y * img.w + x) * 3
+      img.bgr(i) = 0; img.bgr(i + 1) = 0; img.bgr(i + 2) = 255.toByte // BGR red
+    }
+    encode(img, fmt)
+  }
 
   val decodeDims = udf { (bytes: Array[Byte]) =>
     val r = decode(bytes); (r.h, r.w)

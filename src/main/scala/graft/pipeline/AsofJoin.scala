@@ -1,0 +1,53 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * As-of (backward) join — for each probe row, the build-side row with the
+ * greatest timestamp <= the probe's timestamp within the same key (J10;
+ * DuckDB/kdb ASOF JOIN semantics, matched by the q_j10_asof oracle).
+ *
+ * Spark-first shape: no per-probe range scan and no inequality join —
+ * union the two sides, sort each key's rows by (ts, side) once, and carry
+ * the latest build attributes forward with last(ignoreNulls) over the
+ * running window. One shuffle on the key, partitioned windows only (never
+ * a global sort), O(n log n) per key regardless of how many probes share
+ * a build row. Build rows must be unique per (key, ts) — pre-aggregate
+ * duplicates or the carried row is tie-ambiguous.
+ */
+object AsofJoin {
+  /** probe: (key, ts, probe cols); build: (key, ts, `buildCols`...).
+    * Returns probe rows + buildCols of the as-of match (null if none). */
+  def asofBackward(probe: DataFrame, build: DataFrame, key: String, ts: String,
+                   buildCols: Seq[String]): DataFrame = {
+    val probeCols = probe.columns.toSeq
+    // side 0 sorts before side 1 at equal ts => a build row AT the probe's
+    // ts is visible to it (ASOF's ts_probe >= ts_build). Build attributes
+    // travel as ONE struct so a null attribute value cannot tear the
+    // carried row back to an older build row.
+    val bStruct = struct(buildCols.map(col): _*)
+    val taggedBuild = build.select(
+      (Seq(col(key), col(ts), lit(0).as("graft_side"), bStruct.as("graft_b")) ++
+        probeCols.filterNot(Seq(key, ts).contains).map(c => lit(null).as(c))): _*)
+    val taggedProbe = probe.select(
+      (Seq(col(key), col(ts), lit(1).as("graft_side"),
+        lit(null).cast(taggedBuildStructType(build, buildCols)).as("graft_b")) ++
+        probeCols.filterNot(Seq(key, ts).contains).map(col)): _*)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(ts), col("graft_side"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val carried = taggedBuild.unionByName(taggedProbe)
+      .withColumn("graft_b", last(col("graft_b"), ignoreNulls = true).over(w))
+    carried.where(col("graft_side") === 1)
+      .select((probeCols.map(col) ++
+        buildCols.map(c => col(s"graft_b.$c").as(s"asof_$c"))): _*)
+  }
+
+  private def taggedBuildStructType(build: DataFrame,
+                                    buildCols: Seq[String]): org.apache.spark.sql.types.StructType = {
+    org.apache.spark.sql.types.StructType(
+      buildCols.map(c => build.schema(c)))
+  }
+}

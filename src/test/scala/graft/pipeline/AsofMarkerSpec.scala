@@ -1,0 +1,67 @@
+package graft.pipeline
+
+import graft.SparkSuite
+import graft.core.{CellId, ImageCodec, Mercator}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** J10 as-of join semantics, I6 marker overlay pixels, P9 link format. */
+class AsofMarkerSpec extends AnyFunSuite {
+  lazy val spark = SparkSuite.spark
+  import spark.implicits._
+
+  test("asofBackward == per-probe latest build at ts <= probe ts (incl. ties, misses, null attrs)") {
+    val probe = Seq((1L, 10L, 100L), (1L, 20L, 101L), (1L, 8L, 102L),
+      (2L, 5L, 103L), (3L, 7L, 104L))
+      .toDF("user_id", "ts", "event_id")
+    val build = Seq((1L, 8L, 900L, Some(11L)), (1L, 15L, 901L, None),
+      (2L, 9L, 902L, Some(13L)))
+      .toDF("user_id", "ts", "bid", "bcents")
+    val got = AsofJoin.asofBackward(
+        probe.select($"event_id", $"user_id", $"ts"), build, "user_id", "ts",
+        Seq("bid", "bcents"))
+      .select($"event_id", $"asof_bid", $"asof_bcents")
+      .as[(Long, Option[Long], Option[Long])].collect().toSet
+    val expected = Set(
+      (100L, Some(900L), Some(11L)),  // latest build at ts<=10 is ts=8
+      (101L, Some(901L), None),       // ts=15 build wins; its null attr must NOT tear back to 900
+      (102L, Some(900L), Some(11L)),  // tie: build AT the probe ts matches
+      (103L, None, None),             // build at ts=9 > probe ts=5 -> miss
+      (104L, None, None))             // no build rows for the key at all
+    assert(got == expected.map { case (a, b, c) => (a, b, c) })
+  }
+
+  test("marker overlay: red check-mark pixels exactly where cv2.line paints, rest untouched") {
+    val w = graft.tables.SyntheticWorld.testWorld
+    val cell = CellId.pack(w.z, w.tx0 + 3, w.ty0 + 3)
+    val raw = graft.tables.SyntheticWorld.tileRaw(cell, w.seed)
+    val png = ImageCodec.encode(raw, "png")
+    val out = Seq((png, "png")).toDF("bytes", "fmt")
+      .select(graft.functions.ImageUdfs.markerOverlay($"bytes", $"fmt").as("b"))
+      .head().getAs[Array[Byte]](0)
+    val img = ImageCodec.decode(out)
+    // expected pixels from the same cv2-parity rasterizer
+    val c = new graft.core.CvRaster.Canvas(256, 256)
+    graft.core.CvRaster.line(c, 95, 135, 105, 145, 8)
+    graft.core.CvRaster.line(c, 95, 135, 85, 145, 8)
+    val marked = c.paintedPixels.toSet
+    assert(marked.contains((95, 135)))
+    for ((x, y) <- marked) {
+      val i = (y * 256 + x) * 3
+      assert((img.bgr(i) & 0xFF, img.bgr(i + 1) & 0xFF, img.bgr(i + 2) & 0xFF) == (0, 0, 255),
+        s"marker pixel ($x,$y)")
+    }
+    // a pixel far from the marker is byte-identical to the source (png lossless)
+    val j = (10 * 256 + 10) * 3
+    assert(img.bgr(j) == raw.bgr(j) && img.bgr(j + 1) == raw.bgr(j + 1))
+  }
+
+  test("iD-editor link format matches the reference f-string") {
+    val cell = CellId.pack(18, 151023L, 84373L)
+    val got = Seq(cell).toDF("cell_id")
+      .select(graft.functions.GeoUdfs.idEditorLink($"cell_id")).as[String].head()
+    val (lat, lng) = Mercator.wgsAtTile(151023L, 84373L, 18)
+    assert(got == s"https://www.openstreetmap.org/edit#map=18/$lat/$lng")
+    assert(got.startsWith("https://www.openstreetmap.org/edit#map=18/"))
+  }
+}
