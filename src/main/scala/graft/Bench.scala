@@ -96,6 +96,9 @@ object Bench {
           try fn(spark, sfDir).count()
           catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}"); -1L }
         }
+        // release per-operator caches so queries don't pin storage for
+        // each other (and timings stay independent)
+        spark.sqlContext.clearCache()
         name -> sec
       }
 

@@ -68,11 +68,9 @@ object SparkEntry {
   }
 
   /** Integer-quantized embedding (floor(v*1000) per dim) and exact array
-    * dot — order-free integer math, shared by the ANN query family. */
-  private def quantArr(emb: Column): Column =
-    transform(emb, v => floor(v.cast("double") * 1000).cast("long"))
-  private def intDot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    * dot — one definition, shared with the LSH index. */
+  private def quantArr(emb: Column): Column = pipeline.AnnIndex.quant(emb)
+  private def intDot(a: Column, b: Column): Column = pipeline.AnnIndex.intDot(a, b)
 
   /** Flagship: the streetlamp original-tiles pipeline (SURVEY.md §3.1) on a
     * deterministic synthetic world — scan, hash-rank sample, edge filter,

@@ -59,29 +59,38 @@ object AnnIndex {
     }
   }
 
-  private def quant(emb: Column): Column =
+  /** Integer-quantized embedding — shared with the exact-scan queries. */
+  def quant(emb: Column): Column =
     transform(emb, v => floor(v.cast("double") * 1000).cast("long"))
 
-  private def intDot(a: Column, b: Column): Column =
+  /** Exact integer array dot — order-free, engine-portable. */
+  def intDot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
 
-  /** Top-k by integer-quantized inner product among LSH candidates of the
-    * probe vector. Scale shape: per-row code map (no shuffle), chunk
-    * explode (4 short rows/vector), broadcast semi-join on the probe's 4
-    * chunk keys, exact scoring of candidates only, TakeOrdered top-k. */
-  def topK(emb: DataFrame, probeVecId: Long, k: Int, dim: Int): DataFrame = {
+  /** (vec_id, vq, c, ck): one row per (vector, code chunk) — the single
+    * source of the chunk-routing construction for topK and candidates. */
+  private def chunked(emb: DataFrame, dim: Int): DataFrame = {
     val coded = emb.select(col("vec_id"), quant(col("embedding")).as("vq"),
       codeUdf(dim)(col("embedding")).as("code"))
     val chunkStructs = array((0 until Chunks).map { c =>
       struct(lit(c).as("c"),
         shiftrightunsigned(col("code"), c * ChunkBits).bitwiseAND(lit((1L << ChunkBits) - 1)).as("ck"))
     }: _*)
-    val chunked = coded.select(col("vec_id"), col("vq"), explode(chunkStructs).as("cs"))
+    coded.select(col("vec_id"), col("vq"), explode(chunkStructs).as("cs"))
       .select(col("vec_id"), col("vq"), col("cs.c").as("c"), col("cs.ck").as("ck"))
-      .cache() // the code map feeds both the probe lookup and the scan side
-    val probeChunks = chunked.where(col("vec_id") === probeVecId)
+      .cache() // feeds both the probe lookup and the scan side; callers'
+               // sessions release via clearCache between queries
+  }
+
+  /** Top-k by integer-quantized inner product among LSH candidates of the
+    * probe vector. Scale shape: per-row code map (no shuffle), chunk
+    * explode (4 short rows/vector), broadcast semi-join on the probe's 4
+    * chunk keys, exact scoring of candidates only, TakeOrdered top-k. */
+  def topK(emb: DataFrame, probeVecId: Long, k: Int, dim: Int): DataFrame = {
+    val ch = chunked(emb, dim)
+    val probeChunks = ch.where(col("vec_id") === probeVecId)
       .select(col("c"), col("ck"), col("vq").as("qq"))
-    val cands = chunked.where(col("vec_id") =!= probeVecId)
+    val cands = ch.where(col("vec_id") =!= probeVecId)
       .join(broadcast(probeChunks), Seq("c", "ck"))
       .groupBy(col("vec_id"))
       .agg(first(col("vq")).as("vq"), first(col("qq")).as("qq"))
@@ -91,15 +100,9 @@ object AnnIndex {
 
   /** Candidate set only (for recall/fraction audits). */
   def candidates(emb: DataFrame, probeVecId: Long, dim: Int): DataFrame = {
-    val coded = emb.select(col("vec_id"), codeUdf(dim)(col("embedding")).as("code"))
-    val chunkStructs = array((0 until Chunks).map { c =>
-      struct(lit(c).as("c"),
-        shiftrightunsigned(col("code"), c * ChunkBits).bitwiseAND(lit((1L << ChunkBits) - 1)).as("ck"))
-    }: _*)
-    val chunked = coded.select(col("vec_id"), explode(chunkStructs).as("cs"))
-      .select(col("vec_id"), col("cs.c").as("c"), col("cs.ck").as("ck"))
-    val probeChunks = chunked.where(col("vec_id") === probeVecId).select(col("c"), col("ck"))
-    chunked.where(col("vec_id") =!= probeVecId)
+    val ch = chunked(emb, dim)
+    val probeChunks = ch.where(col("vec_id") === probeVecId).select(col("c"), col("ck"))
+    ch.where(col("vec_id") =!= probeVecId)
       .join(broadcast(probeChunks), Seq("c", "ck"))
       .select(col("vec_id")).distinct()
   }

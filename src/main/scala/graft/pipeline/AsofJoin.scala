@@ -23,12 +23,17 @@ object AsofJoin {
   def asofBackward(probe: DataFrame, build: DataFrame, key: String, ts: String,
                    buildCols: Seq[String]): DataFrame = {
     val probeCols = probe.columns.toSeq
+    // ASOF semantics for nulls: ts_probe >= ts_build is never true with a
+    // null ts, so null-ts build rows can match nothing — drop them (they
+    // would otherwise sort nulls-first and leak into every early probe).
+    // Null-ts probes sort before all build rows and naturally get no match.
+    val buildClean = build.where(col(ts).isNotNull)
     // side 0 sorts before side 1 at equal ts => a build row AT the probe's
     // ts is visible to it (ASOF's ts_probe >= ts_build). Build attributes
     // travel as ONE struct so a null attribute value cannot tear the
     // carried row back to an older build row.
     val bStruct = struct(buildCols.map(col): _*)
-    val taggedBuild = build.select(
+    val taggedBuild = buildClean.select(
       (Seq(col(key), col(ts), lit(0).as("graft_side"), bStruct.as("graft_b")) ++
         probeCols.filterNot(Seq(key, ts).contains).map(c => lit(null).as(c))): _*)
     val taggedProbe = probe.select(

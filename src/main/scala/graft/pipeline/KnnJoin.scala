@@ -70,7 +70,10 @@ object KnnJoin {
             .join(binned, Seq("gx", "gy"))
             .select(poolCols.map(col): _*)
         }
-      val pool = if (carried == null) gathered else gathered.unionByName(carried)
+      // the tail crossJoin already contains every (probe, candidate) pair —
+      // unioning carried rows there would duplicate them and corrupt ranks
+      val pool = if (carried == null || isLast) gathered
+                 else gathered.unionByName(carried)
       val ranked = pool
         .withColumn("dist2",
           (col("lat") - col("plat")) * (col("lat") - col("plat")) +

@@ -21,7 +21,9 @@ object Minimap {
     val ext = cfg.ext
     val width = ext.width + 1  // txmax-txmin+2
     val height = ext.height + 1
-    val rows = Pipelines.imagesInBbox(images, cfg, padTiles = 0)
+    // padTiles=1: the reference's +2 fence admits tiles at txmax+1/tymax+1
+    // (outside() gate vs the canvas), which padTiles=0 would prune away
+    val rows = Pipelines.imagesInBbox(images, cfg, padTiles = 1)
       .select(col("cell_id"), ImageUdfs.meanColorUdf(col("bytes")).as("bgr"))
       .select(col("cell_id"), col("bgr")(0).as("b"), col("bgr")(1).as("g"), col("bgr")(2).as("r"))
       .collect()

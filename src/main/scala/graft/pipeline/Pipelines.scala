@@ -242,9 +242,13 @@ object Pipelines {
     // single-partition window anywhere in this pipeline
     val lampSplit = rankThreshold(allLamps, col("rk"), col("node_id"), cfg.train)
     val lampTuple = struct(col("rk").as("r"), col("node_id").as("k"))
-    val trainLamps = lampSplit.where(lampTuple <= col("graft_kth"))
+    // train=0 makes graft_kth null (max over an empty limit): everything is
+    // valid then — guard both branches or the null comparison drops ALL rows
+    val trainLamps = lampSplit
+      .where(col("graft_kth").isNotNull && lampTuple <= col("graft_kth"))
       .drop("graft_kth").repartition(col("node_id"))
-    val validLamps = lampSplit.where(lampTuple > col("graft_kth"))
+    val validLamps = lampSplit
+      .where(col("graft_kth").isNull || lampTuple > col("graft_kth"))
       .drop("graft_kth").repartition(col("node_id"))
 
     // train positives: crops centered on the lamp (mil-keyed example ids).

@@ -109,6 +109,18 @@ class SparkEntrySpec extends AnyFunSuite {
     assert(err.getMessage.contains("tailLimit"))
   }
 
+  test("kNN carried-into-tail: probe with 1 <= m < k ring matches keeps exact ranks") {
+    // probe has exactly ONE candidate inside every ring round (so it
+    // carries m=1 < k=3 into the tail) and two candidates reachable only
+    // by the tail sweep — duplicated carried rows would corrupt ranks
+    val probes = Seq((1L, 50.0, 20.0)).toDF("probe_id", "plat", "plng")
+    val cands = Seq((10L, 50.0005, 20.0005), (20L, 55.0, 25.0), (30L, 45.0, 15.0))
+      .toDF("o_orderkey", "lat", "lng")
+    val got = pipeline.KnnJoin.knn(probes, cands, k = 3)
+      .select($"rank", $"o_orderkey").as[(Int, Long)].collect().toSet
+    assert(got == Set((1, 10L), (2, 20L), (3, 30L)), s"got $got")
+  }
+
   test("deterministic sampling is idempotent across runs and partitionings") {
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
     def sample(df: org.apache.spark.sql.DataFrame) =

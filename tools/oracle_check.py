@@ -17,9 +17,10 @@ def frames_equal(gs, es):
     differences both avoided)."""
     for c in gs.columns:
         a, b = gs[c], es[c]
-        if pd.api.types.is_float_dtype(a) or pd.api.types.is_float_dtype(b):
-            av = a.astype(float).values
-            bv = b.astype(float).values
+        # float path ONLY when both sides are float: casting an int64 side
+        # to float64 would lose bits above 2^53 and mask real mismatches
+        if pd.api.types.is_float_dtype(a) and pd.api.types.is_float_dtype(b):
+            av, bv = a.values, b.values
             if not bool(((av == bv) | (np.isnan(av) & np.isnan(bv))).all()):
                 return False
         else:
