@@ -627,6 +627,38 @@ object SparkEntry {
         .select(col("ida"), col("idb"), col("hamming"))
     }),
 
+    // multimodal frame sampling: the REAL operator over a derived videos
+    // table; the frame_png column is dropped so Catalyst prunes the stub
+    // decode and the oracle value-checks the relational plumbing (frame
+    // selection + exact pts) — pixel plumbing is spec'd in MultimodalSpec
+    "q_video_frames" -> ((s, dir) => {
+      val videos = t(s, dir, "customer").where(col("c_custkey") <= 200).select(
+        col("c_custkey").as("video_id"),
+        col("c_name").cast("binary").as("bytes"),
+        (lit(24) + col("c_custkey") % 6).cast("int").as("fps"),
+        (col("c_custkey") % 50 + 1).cast("int").as("n_frames"))
+      pipeline.VideoOps.sampleFrames(videos, everyNth = 5)
+        .select(col("video_id"), col("frame_idx"), col("pts_ms"))
+    }),
+
+    // I-ops: deterministic box-average resize over the corpus —
+    // self-consistent check: dims exact and the global mean color is
+    // preserved within integer-floor tolerance
+    "q_i_resize" -> ((s, _) => {
+      val images = tables.SyntheticWorld.images(s, tables.SyntheticWorld.testWorld)
+      val resized = images.select(col("cell_id"),
+        functions.ImageUdfs.meanColorUdf(col("bytes")).as("m0"),
+        functions.ImageUdfs.resizeUdf(col("bytes"), lit(64), lit(64), lit("png")).as("rb"))
+      resized.select(col("cell_id"),
+          functions.ImageUdfs.decodeDims(col("rb")).as("dims"),
+          functions.ImageUdfs.meanColorUdf(col("rb")).as("m1"), col("m0"))
+        .where(col("dims._1") === 64 && col("dims._2") === 64 &&
+          abs(col("m0")(0) - col("m1")(0)) < 2.0 &&
+          abs(col("m0")(1) - col("m1")(1)) < 2.0 &&
+          abs(col("m0")(2) - col("m1")(2)) < 2.0)
+        .select(col("cell_id"))
+    }),
+
     // ---------- the four reference pipelines end-to-end (rows checks;
     // full semantics pinned by PipelineSpec goldens) ----------
     "q_pipeline_original" -> ((s, _) => pipelineCounts(s)(pipeline.Pipelines.originalTiles(s, _, _, _, _))),
@@ -990,6 +1022,15 @@ object SparkEntry {
            count(*) AS n,
            CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
          FROM events GROUP BY 1, 2""",
+
+    "q_video_frames" ->
+      """WITH v AS (
+           SELECT c_custkey AS video_id, 24 + c_custkey % 6 AS fps,
+             c_custkey % 50 + 1 AS n_frames
+           FROM customer WHERE c_custkey <= 200)
+         SELECT video_id, CAST(f.g AS INTEGER) AS frame_idx,
+           CAST(floor((f.g * 1000) / fps) AS BIGINT) AS pts_ms
+         FROM v, unnest(generate_series(0, n_frames - 1, 5)) AS f(g)""",
 
     "q_dedup_exact" ->
       """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_dups

@@ -170,6 +170,42 @@ object ImageCodec {
   def centerCrop(src: Raw, cx: Int, cy: Int, h: Int, w: Int): Raw =
     crop(src, cy - h / 2, cy + h / 2, cx - w / 2, cx + w / 2)
 
+  /** Deterministic box-average resize (cv2.INTER_AREA-like on downscale;
+    * nearest-box on upscale): output pixel (oy,ox) is the floor-mean of the
+    * source box [oy·h/oh, (oy+1)·h/oh) × [ox·w/ow, (ox+1)·w/ow) — pure
+    * integer accumulation, identical on any JVM. */
+  def resizeBox(src: Raw, oh: Int, ow: Int): Raw = {
+    require(oh > 0 && ow > 0 && src.h > 0 && src.w > 0, "resize dims must be positive")
+    val out = new Array[Byte](oh * ow * 3)
+    var oy = 0
+    while (oy < oh) {
+      val y0 = (oy.toLong * src.h / oh).toInt
+      val y1 = math.max(((oy + 1).toLong * src.h / oh).toInt, y0 + 1)
+      var ox = 0
+      while (ox < ow) {
+        val x0 = (ox.toLong * src.w / ow).toInt
+        val x1 = math.max(((ox + 1).toLong * src.w / ow).toInt, x0 + 1)
+        var sb = 0L; var sg = 0L; var sr = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val i = (y * src.w + x) * 3
+            sb += src.bgr(i) & 0xFF; sg += src.bgr(i + 1) & 0xFF; sr += src.bgr(i + 2) & 0xFF
+            x += 1
+          }
+          y += 1
+        }
+        val n = (y1 - y0).toLong * (x1 - x0)
+        val j = (oy * ow + ox) * 3
+        out(j) = (sb / n).toByte; out(j + 1) = (sg / n).toByte; out(j + 2) = (sr / n).toByte
+        ox += 1
+      }
+      oy += 1
+    }
+    Raw(oh, ow, out)
+  }
+
   /** PSNR in dB between two same-shape images (peak 255). Infinity if equal. */
   def psnr(a: Raw, b: Raw): Double = {
     require(a.h == b.h && a.w == b.w, "shape mismatch")

@@ -153,6 +153,11 @@ object ImageUdfs {
     encode(img, fmt)
   }
 
+  /** Deterministic box-average resize (multimodal feature-prep op). */
+  val resizeUdf = udf { (bytes: Array[Byte], oh: Int, ow: Int, fmt: String) =>
+    encode(resizeBox(decode(bytes), oh, ow), fmt)
+  }
+
   val decodeDims = udf { (bytes: Array[Byte]) =>
     val r = decode(bytes); (r.h, r.w)
   }
