@@ -82,6 +82,19 @@ object ImagesTable {
       .getOrElse(DefaultDeltaZ)
   }
 
+  /** Catalog-registered bucketed form (Spark `bucketBy` on cell_id +
+    * in-bucket sort): two tables bucketed the same way equi-join WITHOUT
+    * any Exchange — the co-located-join layout for the recurring
+    * points⋈images joins at corpus scale (asserted in PlanAuditSpec).
+    * Complements [[writeBucketed]]'s directory layout: that one prunes
+    * bbox scans, this one kills the join shuffle. */
+  def saveBucketedCatalog(spark: SparkSession, df: DataFrame, table: String,
+                          buckets: Int): Unit = {
+    df.write.mode("overwrite")
+      .bucketBy(buckets, "cell_id").sortBy("cell_id")
+      .format("parquet").saveAsTable(table)
+  }
+
   /** Manifest-pruned read: only directories whose parent cell intersects
     * the padded tile range are ever listed — file skipping driven by table
     * metadata, not directory discovery. */

@@ -142,6 +142,31 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(viaBucketed == viaMemory)
   }
 
+  test("O2: catalog-bucketed tables equi-join on cell_id with NO exchange") {
+    import graft.tables.ImagesTable
+    val images = SyntheticWorld.images(spark, w).select($"cell_id", $"image_id", $"phash")
+    val points = SyntheticWorld.images(spark, w).select($"cell_id", $"caption")
+    ImagesTable.saveBucketedCatalog(spark, images, "graft_img_bucketed", 8)
+    ImagesTable.saveBucketedCatalog(spark, points, "graft_pts_bucketed", 8)
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("graft_pts_bucketed")
+        .join(spark.table("graft_img_bucketed"), "cell_id")
+      assert(joined.count() == w.tileCount)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"expected a non-broadcast join:\n$plan")
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must be exchange-free:\n$plan")
+      assert(plan.contains("SelectedBucketsCount") || plan.contains("Bucketed: true"),
+        s"scan should be bucketed:\n$plan")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS graft_img_bucketed")
+      spark.sql("DROP TABLE IF EXISTS graft_pts_bucketed")
+    }
+  }
+
   test("kNN ring join plans equi-joins on grid keys, not a cross join") {
     val probes = Seq((1L, 53.85, 27.45), (2L, 53.86, 27.46)).toDF("probe_id", "plat", "plng")
     val cands = spark.range(500).select($"id".as("o_orderkey"),
