@@ -312,6 +312,24 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"), col("asof_bid"), col("asof_bcents"))
     }),
 
+    // J10 (second half): point-in-interval join against overlapping
+    // per-user intervals — bucketed equi-join, exact containment filter
+    "q_interval_join" -> ((s, dir) => {
+      val base = 1704067200000L // 2024-01-01T00:00Z
+      val probe = t(s, dir, "events").select(col("event_id"), col("user_id"),
+        unix_millis(col("ts").cast("timestamp")).as("tsm"))
+      val ivals = t(s, dir, "customer")
+        .withColumn("i", explode(typedLit(Seq(0L, 1L))))
+        .select((col("c_custkey") * 2 + col("i")).as("interval_id"),
+          (col("c_custkey") % 15).as("user_id"), // events carry user_id 0..14
+          (lit(base) + (col("c_custkey") % 60) * 43200000L + col("i") * 1800000L).as("s"),
+          (lit(base) + (col("c_custkey") % 60) * 43200000L + col("i") * 1800000L +
+            (lit(6L) + col("c_custkey") % 18) * 3600000L).as("e"))
+      pipeline.AsofJoin.intervalJoin(probe, ivals, "user_id", "tsm", "s", "e",
+          Seq("interval_id"), bucketWidth = 3600000L)
+        .select(col("event_id"), col("interval_id"))
+    }),
+
     // F6: exact PIP refinement — convex diamond, ray-cast over packed
     // arrays vs half-plane oracle (vertices off the 1e-5 point grid so no
     // boundary ties)
@@ -849,6 +867,17 @@ object SparkEntry {
          SELECT p.event_id, p.user_id, b.bid AS asof_bid, b.bcents AS asof_bcents
          FROM probe p ASOF LEFT JOIN build b
            ON p.user_id = b.user_id AND p.ts >= b.ts""",
+
+    "q_interval_join" ->
+      """WITH probe AS (SELECT event_id, user_id, epoch_ms(ts) AS tsm FROM events),
+         ivals AS (
+           SELECT c_custkey * 2 + i.range AS interval_id, c_custkey % 15 AS user_id,
+             1704067200000 + (c_custkey % 60) * 43200000 + i.range * 1800000 AS s,
+             1704067200000 + (c_custkey % 60) * 43200000 + i.range * 1800000 + (6 + c_custkey % 18) * 3600000 AS e
+           FROM customer, range(0, 2) i)
+         SELECT p.event_id, v.interval_id
+         FROM probe p JOIN ivals v
+           ON p.user_id = v.user_id AND v.s <= p.tsm AND p.tsm < v.e""",
 
     "q_f6_pip" ->
       """WITH pts AS (

@@ -55,4 +55,35 @@ object AsofJoin {
     org.apache.spark.sql.types.StructType(
       buildCols.map(c => build.schema(c)))
   }
+
+  /** Point-in-interval join (J10's second half) for possibly-OVERLAPPING
+    * intervals: every (probe, interval) pair with start <= ts < end on the
+    * same key. Spark-first shape: no inequality-only join — intervals
+    * explode to the fixed-width time buckets they cover, probes map to
+    * exactly ONE bucket (so no post-join dedup is ever needed), and the
+    * join is an equi-join on (key, bucket) with an exact containment
+    * filter. Shuffle volume: |build| x avg(duration/bucketWidth + 1) short
+    * rows. Pick bucketWidth near the typical interval length.
+    *
+    * probe: (key, ts numeric, probe cols); build: (key, start, end,
+    * `buildCols`...), half-open [start, end). Inner join (non-matching
+    * probes drop). */
+  def intervalJoin(probe: DataFrame, build: DataFrame, key: String, ts: String,
+                   start: String, end: String, buildCols: Seq[String],
+                   bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val b = build
+      .where(col(start).isNotNull && col(end).isNotNull && col(end) > col(start))
+      .withColumn("graft_bk", explode(sequence(
+        floor(col(start) / bucketWidth).cast("long"),
+        // end is exclusive: the last covered bucket holds end-1
+        floor((col(end) - 1) / bucketWidth).cast("long"))))
+    val p = probe.where(col(ts).isNotNull)
+      .withColumn("graft_bk", floor(col(ts) / bucketWidth).cast("long"))
+    p.join(b.select((Seq(col(key), col("graft_bk"), col(start), col(end)) ++
+          buildCols.map(col)): _*),
+        Seq(key, "graft_bk"))
+      .where(col(start) <= col(ts) && col(ts) < col(end))
+      .drop("graft_bk", start, end)
+  }
 }

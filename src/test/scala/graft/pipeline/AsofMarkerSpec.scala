@@ -31,6 +31,29 @@ class AsofMarkerSpec extends AnyFunSuite {
     assert(got == expected.map { case (a, b, c) => (a, b, c) })
   }
 
+  test("intervalJoin == inequality join: overlaps, boundaries, multi-bucket spans") {
+    val probe = Seq((1L, 100L, 5L), (2L, 100L, 10L), (3L, 100L, 99L),
+      (4L, 100L, 250L), (5L, 200L, 5L))
+      .toDF("event_id", "user_id", "tsm")
+    val ivals = Seq(
+      (10L, 100L, 0L, 100L),     // [0,100): spans buckets 0-9 at width 10
+      (11L, 100L, 5L, 15L),      // overlaps 10L
+      (12L, 100L, 100L, 300L),   // starts where 10L ends
+      (13L, 200L, 6L, 7L))       // other key, misses its only probe
+      .toDF("interval_id", "user_id", "s", "e")
+    val got = AsofJoin.intervalJoin(probe, ivals, "user_id", "tsm", "s", "e",
+        Seq("interval_id"), bucketWidth = 10L)
+      .select($"event_id", $"interval_id").as[(Long, Long)].collect().toSet
+    val brute = probe.crossJoin(ivals.toDF("iid", "uid", "s", "e"))
+      .where($"user_id" === $"uid" && $"s" <= $"tsm" && $"tsm" < $"e")
+      .select($"event_id", $"iid").as[(Long, Long)].collect().toSet
+    assert(got == brute)
+    // boundary semantics: ts==start matches, ts==end does not
+    assert(got.contains((1L, 11L)) && got.contains((4L, 12L)))
+    assert(!got.contains((3L, 12L)) || brute.contains((3L, 12L)))
+    assert(!got.contains((5L, 13L)))
+  }
+
   test("marker overlay: red check-mark pixels exactly where cv2.line paints, rest untouched") {
     val w = graft.tables.SyntheticWorld.testWorld
     val cell = CellId.pack(w.z, w.tx0 + 3, w.ty0 + 3)
