@@ -145,7 +145,7 @@ object Pipelines {
     * computed distributedly via TakeOrdered and broadcast back as a scalar
     * threshold. Rows with tuple <= threshold are exactly the global top-n
     * (keys are distinct, so the order is total and tie-free). */
-  private def rankThreshold(df: DataFrame, rankCol: Column, keyCol: Column, n: Int): DataFrame = {
+  def rankThreshold(df: DataFrame, rankCol: Column, keyCol: Column, n: Int): DataFrame = {
     val kth = df.select(struct(rankCol.as("r"), keyCol.as("k")).as("s"))
       .orderBy(col("s")).limit(n)
       .agg(max(col("s")).as("graft_kth"))
@@ -227,34 +227,47 @@ object Pipelines {
         lit(h), lit(h)).as("bytes"))
   }
 
-  /** Expanded crops with train/valid split. Split provenance reproduced
-    * exactly (reference make_expand.py): train positives = crops around the
-    * lamp point; valid positives = raw tiles passing the edge filter,
-    * deduped; negative crops center on tile centers (P2); valid negatives =
-    * raw tiles. */
-  def expandedCrops(spark: SparkSession, nodes: DataFrame, ways: DataFrame,
-                    images: DataFrame, cfg: Config): DataFrame = {
-    val h = cfg.expandPad + TileSize + cfg.expandPad
-    val img = imagesInBbox(images, cfg)
-    val allLamps = lampScan(nodes, cfg)
-      .withColumn("rk", HashRank.rank(col("node_id"), cfg.seed))
-    // exact global train/valid split via broadcast rank threshold — no
-    // single-partition window anywhere in this pipeline
-    val lampSplit = rankThreshold(allLamps, col("rk"), col("node_id"), cfg.train)
+  // ---- expand stage functions (shared by expandedCrops + StagedExpand) ----
+
+  /** All bbox lamps with their deterministic rank: (node_id, lat, lng, rk). */
+  def expandLampsRanked(nodes: DataFrame, cfg: Config): DataFrame =
+    lampScan(nodes, cfg).select(col("node_id"), col("lat"), col("lng"),
+      HashRank.rank(col("node_id"), cfg.seed).as("rk"))
+
+  /** Exact global train/valid lamp split via broadcast rank threshold — no
+    * single-partition window anywhere in this pipeline. */
+  def expandLampSplit(lampsRanked: DataFrame, cfg: Config): (DataFrame, DataFrame) = {
+    val lampSplit = rankThreshold(lampsRanked, col("rk"), col("node_id"), cfg.train)
     val lampTuple = struct(col("rk").as("r"), col("node_id").as("k"))
     // train=0 makes graft_kth null (max over an empty limit): everything is
     // valid then — guard both branches or the null comparison drops ALL rows
-    val trainLamps = lampSplit
-      .where(col("graft_kth").isNotNull && lampTuple <= col("graft_kth"))
-      .drop("graft_kth").repartition(col("node_id"))
-    val validLamps = lampSplit
-      .where(col("graft_kth").isNull || lampTuple > col("graft_kth"))
-      .drop("graft_kth").repartition(col("node_id"))
+    (lampSplit.where(col("graft_kth").isNotNull && lampTuple <= col("graft_kth"))
+       .drop("graft_kth").repartition(col("node_id")),
+     lampSplit.where(col("graft_kth").isNull || lampTuple > col("graft_kth"))
+       .drop("graft_kth").repartition(col("node_id")))
+  }
 
-    // train positives: crops centered on the lamp (mil-keyed example ids).
-    // Two lamps within 1e-6 deg share a key (reference: same-filename
-    // collision); dedupe per key so each stitch group holds exactly one
-    // viewport — keep the first by (rk, node_id).
+  /** Negative cells with their split: (cell_id, split). Painter uses ALL
+    * lamps in the bbox (make_expand.py:67), roads width 2. */
+  def expandNegCells(spark: SparkSession, lampsRanked: DataFrame, nodes: DataFrame,
+                     ways: DataFrame, cfg: Config): DataFrame = {
+    val roads = waysPacked(ways, nodes, roadFilter)
+    val painted = paintedCells(lampsRanked.select("node_id", "lat", "lng"), roads, cfg)
+    val negAll = negativeCells(spark, painted, cfg, cfg.train + cfg.valid, seedTag = 2)
+      .withColumn("nrk", HashRank.rank(col("cell_id"), cfg.seed + 2))
+    val negTuple = struct(col("nrk").as("r"), col("cell_id").as("k"))
+    rankThreshold(negAll, col("nrk"), col("cell_id"), cfg.train)
+      .withColumn("split", when(negTuple <= col("graft_kth"), "train").otherwise("valid"))
+      .drop("nrk", "graft_kth")
+      .repartition(col("cell_id"))
+  }
+
+  /** Train positives: crops centered on the lamp (mil-keyed example ids).
+    * Two lamps within 1e-6 deg share a key (reference: same-filename
+    * collision); dedupe per key so each stitch group holds exactly one
+    * viewport — keep the first by (rk, node_id). */
+  def expandTrainPos(trainLamps: DataFrame, img: DataFrame, cfg: Config): DataFrame = {
+    val h = cfg.expandPad + TileSize + cfg.expandPad
     val trainPosPts = trainLamps.select(
         format_string("m_lat%dlng%d", GeoF.milCol(col("lat")), GeoF.milCol(col("lng"))).as("key"),
         col("lat"), col("lng"), col("rk"), col("node_id"))
@@ -262,13 +275,15 @@ object Pipelines {
         Window.partitionBy(col("key")).orderBy(col("rk"), col("node_id"))))
       .where(col("dupk") === 1)
       .select(col("key"), col("lat"), col("lng"))
-    val trainPos = cropAroundPoints(trainPosPts, img, cfg, h)
+    cropAroundPoints(trainPosPts, img, cfg, h)
       .select(col("key").as("example_id"), lit(null).cast("long").as("cell_id"),
         lit("lamp").as("label"), lit("train").as("split"),
         col("bytes"), lit(null).cast("string").as("caption"), lit("jpeg").as("fmt"))
+  }
 
-    // valid positives: raw tiles, edge filter, dedupe by tile, first VALID
-    val validPos = validLamps
+  /** Valid positives: raw tiles, edge filter, dedupe by tile, first VALID. */
+  def expandValidPos(validLamps: DataFrame, img: DataFrame, cfg: Config): DataFrame =
+    validLamps
       .where(GeoF.edgeOk(col("lat"), col("lng"), cfg.z, cfg.offX, cfg.offY, 16))
       .withColumn("cell_id", GeoF.cellAtWgs(col("lat"), col("lng"), cfg.z, cfg.offX, cfg.offY))
       .withColumn("dup", row_number().over(
@@ -281,35 +296,43 @@ object Pipelines {
         lit("lamp").as("label"), lit("valid").as("split"),
         col("bytes"), col("caption"), col("fmt"))
 
-    // painter uses ALL lamps in the bbox (make_expand.py:67), roads width 2
-    val roads = waysPacked(ways, nodes, roadFilter)
-    val painted = paintedCells(allLamps.select("node_id", "lat", "lng"), roads, cfg)
-    val negAll = negativeCells(spark, painted, cfg, cfg.train + cfg.valid, seedTag = 2)
-      .withColumn("nrk", HashRank.rank(col("cell_id"), cfg.seed + 2))
-    val negTuple = struct(col("nrk").as("r"), col("cell_id").as("k"))
-    val negCells = rankThreshold(negAll, col("nrk"), col("cell_id"), cfg.train)
-      .withColumn("split", when(negTuple <= col("graft_kth"), "train").otherwise("valid"))
-      .drop("nrk", "graft_kth")
-      .repartition(col("cell_id"))
-
-    // train negatives: crops centered at the TILE CENTER (P2, make_expand.py:80)
+  /** Train negatives: crops centered at the TILE CENTER (P2, make_expand.py:80). */
+  def expandTrainNeg(negCells: DataFrame, img: DataFrame, cfg: Config): DataFrame = {
+    val h = cfg.expandPad + TileSize + cfg.expandPad
     val trainNegPts = negCells.where(col("split") === "train")
       .select(GeoF.cellCenter(col("cell_id")).as("c"))
       .select(format_string("m_lat%dlng%d", GeoF.milCol(col("c.lat")), GeoF.milCol(col("c.lng"))).as("key"),
         col("c.lat").as("lat"), col("c.lng").as("lng"))
-    val trainNeg = cropAroundPoints(trainNegPts, img, cfg, h)
+    cropAroundPoints(trainNegPts, img, cfg, h)
       .select(col("key").as("example_id"), lit(null).cast("long").as("cell_id"),
         lit("nolamp").as("label"), lit("train").as("split"),
         col("bytes"), lit(null).cast("string").as("caption"), lit("jpeg").as("fmt"))
+  }
 
-    // valid negatives: raw tiles (make_expand.py:88-93)
-    val validNeg = negCells.where(col("split") === "valid")
+  /** Valid negatives: raw tiles (make_expand.py:88-93). */
+  def expandValidNeg(negCells: DataFrame, img: DataFrame, cfg: Config): DataFrame =
+    negCells.where(col("split") === "valid")
       .join(img, "cell_id")
       .select(exampleIdAtCell.as("example_id"), col("cell_id"),
         lit("nolamp").as("label"), lit("valid").as("split"),
         col("bytes"), col("caption"), col("fmt"))
 
-    trainPos.unionByName(validPos).unionByName(trainNeg).unionByName(validNeg)
+  /** Expanded crops with train/valid split. Split provenance reproduced
+    * exactly (reference make_expand.py): train positives = crops around the
+    * lamp point; valid positives = raw tiles passing the edge filter,
+    * deduped; negative crops center on tile centers (P2); valid negatives =
+    * raw tiles. Composition of the expand* stage functions above;
+    * [[StagedExpand]] runs the same graph with a snapshot per stage. */
+  def expandedCrops(spark: SparkSession, nodes: DataFrame, ways: DataFrame,
+                    images: DataFrame, cfg: Config): DataFrame = {
+    val img = imagesInBbox(images, cfg)
+    val lampsRanked = expandLampsRanked(nodes, cfg)
+    val (trainLamps, validLamps) = expandLampSplit(lampsRanked, cfg)
+    val negCells = expandNegCells(spark, lampsRanked, nodes, ways, cfg)
+    expandTrainPos(trainLamps, img, cfg)
+      .unionByName(expandValidPos(validLamps, img, cfg))
+      .unionByName(expandTrainNeg(negCells, img, cfg))
+      .unionByName(expandValidNeg(negCells, img, cfg))
   }
 
   // ---------- pipeline 3: make_buildings (§3.3) ----------

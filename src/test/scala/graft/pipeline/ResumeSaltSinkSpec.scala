@@ -51,6 +51,28 @@ class ResumeSaltSinkSpec extends AnyFunSuite {
     assert(Files.getLastModifiedTime(runner.manifestPath("lamps_sample")) == stamps("lamps_sample"))
   }
 
+  test("staged expand == expandedCrops; losing a crop stage recomputes only it") {
+    val dir = Files.createTempDirectory("graft_stages_exp").toString
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select($"example_id", $"label", $"split")
+        .orderBy($"example_id", $"label", $"split").collect().toSeq
+    val direct = ids(Pipelines.expandedCrops(spark, nodes, ways, images, cfg))
+    val staged1 = ids(StagedExpand.run(spark, nodes, ways, images, cfg, dir))
+    assert(staged1 == direct, "staged graph output == direct pipeline")
+
+    val runner = new StageRunner(spark, dir)
+    assert(runner.manifest("labeled").get.contains("train_pos_crops"), "lineage recorded")
+    val lampStamp = Files.getLastModifiedTime(runner.manifestPath("lamps_ranked"))
+    // lose the heavy train-crop stage + the final union; resume recomputes
+    // only those — the ranked lamps snapshot is untouched
+    import scala.reflect.io.Directory
+    new Directory(new java.io.File(s"$dir/train_pos_crops")).deleteRecursively()
+    new Directory(new java.io.File(s"$dir/labeled")).deleteRecursively()
+    val staged2 = ids(StagedExpand.run(spark, nodes, ways, images, cfg, dir))
+    assert(staged2 == direct, "recovered output identical")
+    assert(Files.getLastModifiedTime(runner.manifestPath("lamps_ranked")) == lampStamp)
+  }
+
   test("salted hot-cell join == plain join, row for row") {
     val skewed = SyntheticWorld.testWorld.copy(lamps = 400, hotCellSkew = 0.5, seed = 7L)
     val pts = SyntheticWorld.osmNodes(spark, skewed)
