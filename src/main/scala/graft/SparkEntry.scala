@@ -321,7 +321,7 @@ object SparkEntry {
       val ivals = t(s, dir, "customer")
         .withColumn("i", explode(typedLit(Seq(0L, 1L))))
         .select((col("c_custkey") * 2 + col("i")).as("interval_id"),
-          (col("c_custkey") % 15).as("user_id"), // events carry user_id 0..14
+          (col("c_custkey") % 150).as("user_id"), // events user_id spans 0..149 at sf0.01
           (lit(base) + (col("c_custkey") % 60) * 43200000L + col("i") * 1800000L).as("s"),
           (lit(base) + (col("c_custkey") % 60) * 43200000L + col("i") * 1800000L +
             (lit(6L) + col("c_custkey") % 18) * 3600000L).as("e"))
@@ -659,21 +659,16 @@ object SparkEntry {
         .select(col("video_id"), col("frame_idx"), col("pts_ms"))
     }),
 
-    // I-ops: deterministic box-average resize over the corpus —
-    // self-consistent check: dims exact and the global mean color is
-    // preserved within integer-floor tolerance
+    // I-ops: deterministic box-average resize over the corpus — single
+    // decode per tile (resizeSelfCheck), emits only tiles whose resize
+    // preserves dims + mean color; MultimodalSpec pins the row count to
+    // the FULL corpus so a regression fails a spec instead of silently
+    // shrinking this output
     "q_i_resize" -> ((s, _) => {
       val images = tables.SyntheticWorld.images(s, tables.SyntheticWorld.testWorld)
-      val resized = images.select(col("cell_id"),
-        functions.ImageUdfs.meanColorUdf(col("bytes")).as("m0"),
-        functions.ImageUdfs.resizeUdf(col("bytes"), lit(64), lit(64), lit("png")).as("rb"))
-      resized.select(col("cell_id"),
-          functions.ImageUdfs.decodeDims(col("rb")).as("dims"),
-          functions.ImageUdfs.meanColorUdf(col("rb")).as("m1"), col("m0"))
-        .where(col("dims._1") === 64 && col("dims._2") === 64 &&
-          abs(col("m0")(0) - col("m1")(0)) < 2.0 &&
-          abs(col("m0")(1) - col("m1")(1)) < 2.0 &&
-          abs(col("m0")(2) - col("m1")(2)) < 2.0)
+      images.select(col("cell_id"),
+          functions.ImageUdfs.resizeSelfCheck(col("bytes")).as("c"))
+        .where(col("c._1") === 64 && col("c._2") === 64 && col("c._3") < 2.0)
         .select(col("cell_id"))
     }),
 
@@ -871,7 +866,7 @@ object SparkEntry {
     "q_interval_join" ->
       """WITH probe AS (SELECT event_id, user_id, epoch_ms(ts) AS tsm FROM events),
          ivals AS (
-           SELECT c_custkey * 2 + i.range AS interval_id, c_custkey % 15 AS user_id,
+           SELECT c_custkey * 2 + i.range AS interval_id, c_custkey % 150 AS user_id,
              1704067200000 + (c_custkey % 60) * 43200000 + i.range * 1800000 AS s,
              1704067200000 + (c_custkey % 60) * 43200000 + i.range * 1800000 + (6 + c_custkey % 18) * 3600000 AS e
            FROM customer, range(0, 2) i)

@@ -158,6 +158,17 @@ object ImageUdfs {
     encode(resizeBox(decode(bytes), oh, ow), fmt)
   }
 
+  /** Resize invariant probe with ONE decode per tile: (rh, rw,
+    * maxMeanDrift) of a 64x64 box-resize vs the source mean color. */
+  val resizeSelfCheck = udf { (bytes: Array[Byte]) =>
+    val src = decode(bytes)
+    val (b0, g0, r0) = meanColor(src)
+    val rz = resizeBox(src, 64, 64)
+    val (b1, g1, r1) = meanColor(rz)
+    (rz.h, rz.w,
+      math.max(math.abs(b0 - b1), math.max(math.abs(g0 - g1), math.abs(r0 - r1))))
+  }
+
   val decodeDims = udf { (bytes: Array[Byte]) =>
     val r = decode(bytes); (r.h, r.w)
   }

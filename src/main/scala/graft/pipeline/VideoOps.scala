@@ -56,6 +56,9 @@ object VideoOps {
   def sampleFrames(videos: DataFrame, everyNth: Int): DataFrame = {
     require(everyNth > 0, "everyNth must be positive")
     videos
+      // n_frames <= 0 (empty/corrupt container) yields zero rows, not an
+      // Illegal-sequence-boundaries crash
+      .where(col("n_frames") > 0)
       .withColumn("frame_idx",
         explode(sequence(lit(0), col("n_frames") - 1, lit(everyNth))))
       .select(col("video_id"), col("frame_idx").cast("int").as("frame_idx"),

@@ -33,7 +33,7 @@ class AsofMarkerSpec extends AnyFunSuite {
 
   test("intervalJoin == inequality join: overlaps, boundaries, multi-bucket spans") {
     val probe = Seq((1L, 100L, 5L), (2L, 100L, 10L), (3L, 100L, 99L),
-      (4L, 100L, 250L), (5L, 200L, 5L))
+      (4L, 100L, 250L), (5L, 200L, 5L), (6L, 100L, 15L)) // 6L sits AT 11L's end
       .toDF("event_id", "user_id", "tsm")
     val ivals = Seq(
       (10L, 100L, 0L, 100L),     // [0,100): spans buckets 0-9 at width 10
@@ -48,9 +48,10 @@ class AsofMarkerSpec extends AnyFunSuite {
       .where($"user_id" === $"uid" && $"s" <= $"tsm" && $"tsm" < $"e")
       .select($"event_id", $"iid").as[(Long, Long)].collect().toSet
     assert(got == brute)
-    // boundary semantics: ts==start matches, ts==end does not
+    // boundary semantics: ts==start matches; ts==end does NOT (probe 6 is
+    // exactly at interval 11's end and must pair only with interval 10)
     assert(got.contains((1L, 11L)) && got.contains((4L, 12L)))
-    assert(!got.contains((3L, 12L)) || brute.contains((3L, 12L)))
+    assert(got.contains((6L, 10L)) && !got.contains((6L, 11L)))
     assert(!got.contains((5L, 13L)))
   }
 

@@ -27,6 +27,20 @@ class MultimodalSpec extends AnyFunSuite {
     assert(up.h == 4 && up.w == 4 && up.bgr(0) == 10)
   }
 
+  test("q_i_resize invariant holds for EVERY corpus tile (count anchored)") {
+    val n = graft.SparkEntry.queries("q_i_resize")(spark, "").count()
+    assert(n == graft.tables.SyntheticWorld.testWorld.tileCount,
+      s"resize invariant must cover the full corpus, got $n rows")
+  }
+
+  test("sampleFrames: n_frames = 0 yields zero rows, not a crash") {
+    val videos = Seq((1L, Array[Byte](1), 24, 0), (2L, Array[Byte](2), 24, 2))
+      .toDF("video_id", "bytes", "fps", "n_frames")
+    val rows = VideoOps.sampleFrames(videos, 1)
+      .select($"video_id").as[Long].collect()
+    assert(rows.toSet == Set(2L) && rows.length == 2)
+  }
+
   test("sampleFrames: schema, frame selection, exact pts, partitioning-invariant") {
     val videos = Seq(
       (1L, Array[Byte](1, 2, 3), 24, 11),
