@@ -12,7 +12,7 @@ import javax.imageio.{IIOImage, ImageIO, ImageWriteParam}
  * cv2.imread's layout (reference lib/layers.py:196) so crop/stitch goldens
  * are directly comparable.
  *
- * Encoding uses a fixed JPEG quality (0.9) so outputs are deterministic and
+ * Encoding uses a fixed JPEG quality (0.92) so outputs are deterministic and
  * the decode->re-encode PSNR >= 40 dB bar (BASELINE.json north_star) is
  * measurable.
  */
@@ -93,12 +93,16 @@ object ImageCodec {
   }
 
   def encode(raw: Raw, fmt: String): Array[Byte] = {
+    // a mis-shaped Raw (e.g. a corrupted stitch buffer) must fail loudly,
+    // not encode with silently-black rows
+    require(raw.bgr.length == raw.h * raw.w * 3,
+      s"Raw shape mismatch: ${raw.h}x${raw.w} needs ${raw.h * raw.w * 3} bytes, got ${raw.bgr.length}")
     // TYPE_3BYTE_BGR raster wraps our layout directly — bulk copy, no
     // per-pixel setRGB
     val img = new BufferedImage(raw.w, raw.h, BufferedImage.TYPE_3BYTE_BGR)
     val data = img.getRaster.getDataBuffer
       .asInstanceOf[java.awt.image.DataBufferByte].getData
-    System.arraycopy(raw.bgr, 0, data, 0, math.min(raw.bgr.length, data.length))
+    System.arraycopy(raw.bgr, 0, data, 0, data.length)
     val bos = new ByteArrayOutputStream()
     fmt.toLowerCase match {
       case "jpeg" | "jpg" =>
@@ -126,30 +130,45 @@ object ImageCodec {
     * into an (htiles*256, wtiles*256, 3) canvas). Order-independent: the
     * position is derived from the tile's cell offset, not arrival order. */
   def blit(canvas: Raw, tile: Raw, px: Int, py: Int): Unit = {
-    var y = 0
-    while (y < tile.h) {
-      val cy = py + y
-      if (cy >= 0 && cy < canvas.h) {
-        var x = 0
-        while (x < tile.w) {
-          val cx = px + x
-          if (cx >= 0 && cx < canvas.w) {
-            val si = (y * tile.w + x) * 3
-            val di = (cy * canvas.w + cx) * 3
-            canvas.bgr(di) = tile.bgr(si)
-            canvas.bgr(di + 1) = tile.bgr(si + 1)
-            canvas.bgr(di + 2) = tile.bgr(si + 2)
-          }
-          x += 1
-        }
+    if (px >= 0 && py >= 0 && px + tile.w <= canvas.w && py + tile.h <= canvas.h) {
+      // fully inside (the stitch hot path): one arraycopy per row instead
+      // of per-pixel stores with bounds checks
+      var y = 0
+      while (y < tile.h) {
+        System.arraycopy(tile.bgr, y * tile.w * 3,
+          canvas.bgr, ((py + y) * canvas.w + px) * 3, tile.w * 3)
+        y += 1
       }
-      y += 1
+    } else {
+      var y = 0
+      while (y < tile.h) {
+        val cy = py + y
+        if (cy >= 0 && cy < canvas.h) {
+          var x = 0
+          while (x < tile.w) {
+            val cx = px + x
+            if (cx >= 0 && cx < canvas.w) {
+              val si = (y * tile.w + x) * 3
+              val di = (cy * canvas.w + cx) * 3
+              canvas.bgr(di) = tile.bgr(si)
+              canvas.bgr(di + 1) = tile.bgr(si + 1)
+              canvas.bgr(di + 2) = tile.bgr(si + 2)
+            }
+            x += 1
+          }
+        }
+        y += 1
+      }
     }
   }
 
-  /** numpy-slice crop `img[y0:y1, x0:x1]` with python clamping semantics:
-    * negative bounds clamp to 0, overlarge to the extent; empty slice ->
-    * 0-sized image (reference lib/layers.py:209, 242). */
+  /** numpy-slice crop `img[y0:y1, x0:x1]`, clamped: negative bounds clamp
+    * to 0, overlarge to the extent; empty slice -> 0-sized image. NOTE:
+    * numpy itself WRAPS negative starts (img[-5:10] reads from the end);
+    * in-contract callers never pass negatives — rint'd viewport offsets
+    * and way-cover corners are non-negative by construction (reference
+    * lib/layers.py:209, 242 operate in the same regime) — so the clamp is
+    * a defensive bound, not a semantics claim. */
   def crop(src: Raw, y0in: Int, y1in: Int, x0in: Int, x1in: Int): Raw = {
     val y0 = math.min(math.max(y0in, 0), src.h)
     val y1 = math.min(math.max(y1in, 0), src.h)

@@ -28,8 +28,12 @@ final class Painter(val z: Int, val offsetX: Double, val offsetY: Double,
     ((tx - txmin).toInt, (ty - tymin).toInt)
   }
 
-  /** lib/helpers.py:67-71 — NOTE: unclipped in the reference (a dot outside
-    * the canvas raises IndexError there; we bound-check silently). */
+  /** lib/helpers.py:67-71 — NOTE: unclipped in the reference: a dot
+    * outside the canvas either raises IndexError (index >= extent) or
+    * numpy-WRAPS to the opposite edge (negative index). In-contract dots
+    * are inside the bbox, whose whole-tile canvas always contains their
+    * tile (offsets apply identically to corners and dots), so neither
+    * path is reachable; we bound-check silently as a defensive guard. */
   def addDotTile(tx: Long, ty: Long): Unit =
     canvas.set((tx - txmin).toInt, (ty - tymin).toInt)
 

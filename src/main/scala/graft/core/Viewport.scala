@@ -63,6 +63,10 @@ object Viewport {
   def tilesWay(lats: Array[Double], lngs: Array[Double], z: Int,
                offsetX: Double, offsetY: Double,
                padPct: Double = 0.25, padPx: Double = 48): (Long, Long, Long, Long, Long, Long, Long, Long) = {
+    // a zero-node way must fail loudly (reference min([]) raises), not
+    // produce a plausible-looking cover from the MaxValue sentinels
+    require(lats.nonEmpty && lats.length == lngs.length,
+      s"tilesWay needs matched non-empty coords, got ${lats.length}/${lngs.length}")
     var wMin = Double.MaxValue; var eMax = Double.MinValue
     var nMin = Double.MaxValue; var sMax = Double.MinValue
     var i = 0
@@ -90,9 +94,4 @@ object Viewport {
     tilesBoxWc(w1, s1, e1, n1, z, offsetX, offsetY)
   }
 
-  /** Mosaic + center-crop geometry of getcrop_wgs (lib/layers.py:180-210):
-    * given the viewport range and point offsets, the crop slice bounds in
-    * mosaic-local pixels: [cy-h//2, cy+h//2) x [cx-w//2, cx+w//2). */
-  def centerCropBounds(rx: Long, ry: Long, h: Int, w: Int): (Long, Long, Long, Long) =
-    (ry - h / 2, ry + h / 2, rx - w / 2, rx + w / 2)
 }

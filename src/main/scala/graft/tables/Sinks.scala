@@ -34,6 +34,15 @@ object Sinks {
     * `<dir>/<split>/<label>/...` when a split column exists). Collects via
     * toLocalIterator — a driver-side export utility, not a distributed op. */
   def writeFolderTree(out: DataFrame, dir: String): Unit = {
+    // reference cleandir semantics (helpers.py:21-27): the tree is rebuilt
+    // from scratch so stale files from a previous export never linger
+    val rootPath = Paths.get(dir)
+    if (Files.isDirectory(rootPath)) {
+      val all = Files.walk(rootPath)
+      try all.sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(p => Files.deleteIfExists(p))
+      finally all.close()
+    }
     val hasSplit = out.columns.contains("split")
     val cols = Seq("example_id", "label", "bytes", "fmt") ++ (if (hasSplit) Seq("split") else Nil)
     val it = out.select(cols.map(col): _*).toLocalIterator()
@@ -52,10 +61,18 @@ object Sinks {
   /** S16: pack a directory tree into a deterministic ustar archive. */
   def tarDirectory(dir: String, tarPath: String): Unit = {
     val root = Paths.get(dir)
+    // list BEFORE creating the archive and exclude it explicitly — a
+    // tarPath inside dir would otherwise pack the half-written archive
+    // into itself; close the walk stream (it holds directory fds)
+    val tarAbs = Paths.get(tarPath).toAbsolutePath.normalize
+    val walk = Files.walk(root)
+    val files =
+      try walk.filter(Files.isRegularFile(_))
+        .toArray.map(_.asInstanceOf[Path]).sortBy(_.toString)
+        .filterNot(_.toAbsolutePath.normalize == tarAbs)
+      finally walk.close()
     val out = new BufferedOutputStream(new FileOutputStream(tarPath))
     try {
-      val files = Files.walk(root).filter(Files.isRegularFile(_))
-        .toArray.map(_.asInstanceOf[Path]).sortBy(_.toString)
       for (f <- files) {
         val rel = root.getParent match {
           case null => f.toString
