@@ -42,8 +42,10 @@ object Bench {
       // to the worker grant or they OOM on image workloads
       val workerMb = "local-cluster\\[\\d+,\\d+,(\\d+)\\]".r
         .findFirstMatchIn(master).map(_.group(1)).getOrElse("8192")
+      // executors need this build's classes; the driver JVM's own classpath
+      // is the portable source of truth (no hardcoded checkout path)
       builder00.config("spark.executor.extraClassPath",
-          "/root/repo/target/scala-2.13/classes")
+          System.getProperty("java.class.path"))
         .config("spark.executor.memory", s"${workerMb}m")
         .config("spark.driver.memory", "8g")
     }

@@ -4,12 +4,19 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
-  /** Fixed absolute path of the corpus-metadata aux export (referenced by
-    * the q_phash_neardup oracle SQL via read_parquet). */
-  val AuxImagesMeta = "/root/repo/target/verify_aux/images_meta.parquet"
+  /** Absolute path of the corpus-metadata aux export (referenced by the
+    * q_phash_neardup oracle SQL via read_parquet). Derived from the output
+    * dir at runtime — never a hardcoded checkout path; the default serves
+    * local spec/tool runs that don't go through [[main]]. */
+  @volatile var AuxImagesMeta: String =
+    sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft_verify_aux/images_meta.parquet"
 
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
+    // correctness gate: dedup signatures must take the md5-portable path
+    // that the DuckDB twins replay (default is the xxhash64 fast path)
+    System.setProperty("graft.oracleHashing", "1")
+    AuxImagesMeta = Paths.get(outDir).toAbsolutePath.toString + "/aux/images_meta.parquet"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -26,15 +33,15 @@ object Verify {
     tables.SyntheticWorld.images(spark, tables.SyntheticWorld.testWorld)
       .select(org.apache.spark.sql.functions.col("cell_id"),
         org.apache.spark.sql.functions.col("phash"))
-      .coalesce(1).write.mode("overwrite").parquet(Verify.AuxImagesMeta)
+      .coalesce(1).write.mode("overwrite").parquet(AuxImagesMeta)
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      // operators cache intermediates (shingle sets, band tables, code
-      // maps) without owning a lifecycle — release them between queries
+      // release anything a query cached; operator-internal intermediates
+      // use localCheckpoint and free themselves via the ContextCleaner
       spark.sqlContext.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

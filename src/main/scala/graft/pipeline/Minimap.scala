@@ -21,6 +21,11 @@ object Minimap {
     val ext = cfg.ext
     val width = ext.width + 1  // txmax-txmin+2
     val height = ext.height + 1
+    // driver-side canvas: one short row AND 3 canvas bytes per extent tile —
+    // refuse extents that would make this diagnostic a driver OOM (a 4096²
+    // canvas is ~50MB; a metro z19 extent would be tens of GB)
+    require(width.toLong * height <= (1L << 24),
+      s"minimap extent ${width}x$height exceeds the driver-side canvas guard (2^24 tiles)")
     // padTiles=1: the reference's +2 fence admits tiles at txmax+1/tymax+1
     // (outside() gate vs the canvas), which padTiles=0 would prune away
     val rows = Pipelines.imagesInBbox(images, cfg, padTiles = 1)

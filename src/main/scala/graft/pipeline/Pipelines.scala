@@ -139,6 +139,18 @@ object Pipelines {
   private def exampleIdAtCellBare: Column =
     format_string("x%dy%d", GeoF.cellTx(col("cell_id")), GeoF.cellTy(col("cell_id")))
 
+  /** Co-partitioning strategy before a stitch aggregation. Default: hash
+    * `repartition(key)`. `-Dgraft.stitchPartition=range` switches to
+    * `repartitionByRange(key)` — nearby keys (mil-keyed points, way ids)
+    * land in the same task, the north_star's "per-cell range partitioning"
+    * for stitch locality. Results are key-grouped aggregates either way,
+    * so output is partitioning-invariant; the A/B on the bench world is
+    * recorded in BENCH/BASELINE.md (hash kept as default: range adds a
+    * boundary-sampling job and measured no win at bench scale). */
+  def copartitionForStitch(df: DataFrame, key: Column): DataFrame =
+    if (sys.props.get("graft.stitchPartition").contains("range")) df.repartitionByRange(key)
+    else df.repartition(key)
+
   /** Exact global top-`n` membership by (rank, key) WITHOUT a global
     * row_number window (which forces all rows into one partition —
     * VERDICT r1 "What's wrong" #1): the n-th smallest (rank, key) tuple is
@@ -210,15 +222,15 @@ object Pipelines {
       .select(col("key"), col("wtiles"), col("htiles"), col("rx"), col("ry"),
         col("slot.cell_id").as("cell_id"), col("slot.dx").as("dx"), col("slot.dy").as("dy"))
       .join(images.select(col("cell_id"), col("bytes")), Seq("cell_id"), "left")
-      // co-partition by group key BEFORE the stitch agg: map-side partial
-      // aggregation would otherwise allocate a full canvas per group per
-      // map task and shuffle ~|mapTasks|x inflated partial canvases
-      // (measured: executor OOM at 8 GB in the local-cluster study; raw
-      // tile rows are ~8x smaller than their partial mosaics)
-      .repartition(col("key"))
+    // co-partition by group key BEFORE the stitch agg: map-side partial
+    // aggregation would otherwise allocate a full canvas per group per
+    // map task and shuffle ~|mapTasks|x inflated partial canvases
+    // (measured: executor OOM at 8 GB in the local-cluster study; raw
+    // tile rows are ~8x smaller than their partial mosaics)
+    val copart = copartitionForStitch(joined, col("key"))
     // I2 via TypedImperativeAggregate: tiles decode+blit into the mosaic
     // buffer as they arrive (no collect_list materialization)
-    joined.groupBy(col("key"))
+    copart.groupBy(col("key"))
       .agg(first(col("rx")).as("rx"), first(col("ry")).as("ry"),
         graft.functions.Stitch.stitchAgg(struct(col("dx").cast("int"), col("dy").cast("int"),
           col("wtiles").cast("int"), col("htiles").cast("int"), col("bytes"))).as("mosaic"))
@@ -428,13 +440,12 @@ object Pipelines {
       .withColumn("dx", (col("tx") - col("txmin")).cast("int"))
       .withColumn("dy", (col("ty") - col("tymin")).cast("int"))
       .join(img.select(col("cell_id"), col("bytes")), Seq("cell_id"), "left")
-      // co-partition by way BEFORE the stitch agg (see cropAroundPoints:
-      // partial canvases are larger than the raw tiles they aggregate)
-      .repartition(col("way_id"))
 
     // I2 via StitchAgg: tiles decode+blit into the mosaic buffer as they
-    // arrive — never a collect_list of encoded image bytes
-    slots.groupBy(col("way_id"))
+    // arrive — never a collect_list of encoded image bytes; co-partition by
+    // way BEFORE the stitch agg (see cropAroundPoints: partial canvases are
+    // larger than the raw tiles they aggregate)
+    copartitionForStitch(slots, col("way_id")).groupBy(col("way_id"))
       .agg(first(col("label")).as("label"),
         first(col("xmin")).as("xmin"), first(col("ymin")).as("ymin"),
         first(col("xmax")).as("xmax"), first(col("ymax")).as("ymax"),

@@ -43,10 +43,21 @@ object StagedOriginalTiles {
       val img = Pipelines.imagesInBbox(images, cfg)
       val exampleId = format_string("m_x%dy%d",
         GeoF.cellTx(col("cell_id")), GeoF.cellTy(col("cell_id")))
-      val positives = lamps
+      val pts = lamps
         .where(GeoF.edgeOk(col("lat"), col("lng"), cfg.z, cfg.offX, cfg.offY, 16))
         .withColumn("cell_id", GeoF.cellAtWgs(col("lat"), col("lng"), cfg.z, cfg.offX, cfg.offY))
-        .join(img, "cell_id")
+      // O8 [GRAFT]: the lamp⋈images join is the pipeline's skew point —
+      // dense urban tiles concentrate many lamps on one cell_id. Detect hot
+      // cells on the (snapshotted, bounded) lamp side and salt the join
+      // when any exceed the threshold; result is row-identical to the plain
+      // join (ResumeSaltSinkSpec), task-balance is asserted in
+      // PlanAuditSpec on the hotCellSkew world. AQE skew-join remains the
+      // runtime backstop for joins it can split.
+      val hot = SaltedJoin.detectHotCells(pts, threshold = 8.0)
+      val posJoined =
+        if (hot.nonEmpty) SaltedJoin.joinOnCell(pts, img, hot, saltFactor = 8)
+        else pts.join(img, "cell_id")
+      val positives = posJoined
         .select(exampleId.as("example_id"), col("cell_id"),
           lit("lamp").as("label"), col("bytes"), col("caption"), col("fmt"))
       val negs = negatives.join(img, "cell_id")

@@ -3,8 +3,12 @@ package graft.tables
 import graft.functions.GeoF
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import java.nio.file.{Files, Paths, StandardCopyOption}
-import java.nio.charset.StandardCharsets
+import java.nio.file.Paths
+
+/** Images-table manifest rows (on-disk JSON field names). */
+case class ImgPart(pty: Long, ptx: Long, rows: Long, cell_min: Long, cell_max: Long)
+case class ImgManifest(table: String, delta_z: Int, partitions: Seq[ImgPart],
+                       committed_at: String)
 
 /**
  * Cell-bucketed image corpus with manifest min/max pruning — the
@@ -50,17 +54,14 @@ object ImagesTable {
       .agg(count(lit(1)).as("rows"), min(col("cell_id")).as("cmin"), max(col("cell_id")).as("cmax"))
       .orderBy(col("pty"), col("ptx"))
       .collect()
-      .map(r => s"""{"pty":${r.getLong(0)},"ptx":${r.getLong(1)},"rows":${r.getLong(2)},""" +
-        s""""cell_min":${r.getLong(3)},"cell_max":${r.getLong(4)}}""")
-    val manifest =
-      s"""{"table":"images","delta_z":$deltaZ,"partitions":[${stats.mkString(",")}],
-         |"committed_at":"${java.time.Instant.now()}"}""".stripMargin
-    val tmp = Paths.get(s"$dir/manifest.json.tmp")
-    Files.createDirectories(Paths.get(dir))
-    Files.write(tmp, manifest.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, manifestPath(dir), StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+      .map(r => ImgPart(r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+    ManifestJson.writeAtomic(manifestPath(dir),
+      ImgManifest("images", deltaZ, stats, java.time.Instant.now().toString))
   }
+
+  private def manifestObj(dir: String): ImgManifest =
+    ManifestJson.read(manifestPath(dir), classOf[ImgManifest])
 
   /** Metadata key carrying the table's parent zoom delta on the pty
     * column, so `Pipelines.imagesInBbox` can derive the correct parent
@@ -76,11 +77,7 @@ object ImagesTable {
       .withColumn("pty", col("pty").as("pty", md))
   }
 
-  def deltaZ(dir: String): Int = {
-    val m = new String(Files.readAllBytes(manifestPath(dir)), StandardCharsets.UTF_8)
-    """"delta_z":(\d+)""".r.findFirstMatchIn(m).map(_.group(1).toInt)
-      .getOrElse(DefaultDeltaZ)
-  }
+  def deltaZ(dir: String): Int = manifestObj(dir).delta_z
 
   /** Catalog-registered bucketed form (Spark `bucketBy` on cell_id +
     * in-bucket sort): two tables bucketed the same way equi-join WITHOUT
@@ -100,16 +97,13 @@ object ImagesTable {
     * metadata, not directory discovery. */
   def readForBbox(spark: SparkSession, dir: String,
                   txRange: (Long, Long), tyRange: (Long, Long)): DataFrame = {
-    val dz = deltaZ(dir)
+    val m = manifestObj(dir)
+    val dz = m.delta_z
     val (pxlo, pxhi) = (txRange._1 >> dz, txRange._2 >> dz)
     val (pylo, pyhi) = (tyRange._1 >> dz, tyRange._2 >> dz)
-    val m = new String(Files.readAllBytes(manifestPath(dir)), StandardCharsets.UTF_8)
-    val part = """\{"pty":(\d+),"ptx":(\d+),"rows":\d+""".r
-    val dirs = part.findAllMatchIn(m)
-      .map(g => (g.group(1).toLong, g.group(2).toLong))
-      .filter { case (pty, ptx) => pty >= pylo && pty <= pyhi && ptx >= pxlo && ptx <= pxhi }
-      .map { case (pty, ptx) => s"${dataPath(dir)}/pty=$pty/ptx=$ptx" }
-      .toSeq
+    val dirs = m.partitions
+      .filter(p => p.pty >= pylo && p.pty <= pyhi && p.ptx >= pxlo && p.ptx <= pxhi)
+      .map(p => s"${dataPath(dir)}/pty=${p.pty}/ptx=${p.ptx}")
     if (dirs.isEmpty) read(spark, dir).where(lit(false))
     else spark.read.option("basePath", dataPath(dir)).parquet(dirs: _*)
   }

@@ -35,9 +35,20 @@ object Sinks {
     * toLocalIterator — a driver-side export utility, not a distributed op. */
   def writeFolderTree(out: DataFrame, dir: String): Unit = {
     // reference cleandir semantics (helpers.py:21-27): the tree is rebuilt
-    // from scratch so stale files from a previous export never linger
+    // from scratch so stale files from a previous export never linger.
+    // Wipe guard: only a tree that LOOKS like a previous export (nothing
+    // but .jpg/.png leaves) is deleted — a mistyped or shared path with
+    // unrelated data aborts instead of silently losing it.
     val rootPath = Paths.get(dir)
     if (Files.isDirectory(rootPath)) {
+      val check = Files.walk(rootPath)
+      val foreign =
+        try check.filter(Files.isRegularFile(_)).toArray.map(_.toString)
+          .filterNot(p => p.endsWith(".jpg") || p.endsWith(".png"))
+        finally check.close()
+      require(foreign.isEmpty,
+        s"writeFolderTree refuses to wipe $dir: non-export files present " +
+          s"(e.g. ${foreign.take(3).mkString(", ")})")
       val all = Files.walk(rootPath)
       try all.sorted(java.util.Comparator.reverseOrder[Path]())
         .forEach(p => Files.deleteIfExists(p))

@@ -2,8 +2,37 @@ package graft.tables
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import java.nio.charset.StandardCharsets
+
+/** Shared JSON (de)serialization for table/stage manifests — a real parser
+  * (Jackson + the Scala module, shipped with Spark), never regexes: field
+  * reordering or added fields must not corrupt a manifest read. Writes are
+  * atomic (temp file + rename), so a manifest is either absent or whole. */
+object ManifestJson {
+  import com.fasterxml.jackson.databind.ObjectMapper
+  import com.fasterxml.jackson.module.scala.DefaultScalaModule
+  val mapper: ObjectMapper = new ObjectMapper().registerModule(DefaultScalaModule)
+
+  def writeAtomic(path: Path, value: Any): Unit = {
+    val tmp = path.resolveSibling(path.getFileName.toString + ".tmp")
+    Files.createDirectories(path.getParent)
+    Files.write(tmp, mapper.writeValueAsBytes(value))
+    Files.move(tmp, path, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  def read[T](path: Path, cls: Class[T]): T =
+    mapper.readValue(Files.readAllBytes(path), cls)
+}
+
+/** One upstream dependency of a stage, pinned at the snapshot it was read
+  * at. Field names are the on-disk JSON names. */
+case class InputRef(stage: String, snapshot_id: Long)
+case class PartStat(pid: Int, rows: Long)
+case class StageManifest(stage: String, snapshot_id: Long, rows: Long,
+                         inputs: Seq[InputRef], partitions: Seq[PartStat],
+                         committed_at: String)
 
 /**
  * Checkpoint-resumable stage runner with Iceberg-lite snapshot semantics
@@ -16,12 +45,19 @@ import java.nio.charset.StandardCharsets
  *    manifest JSON is moved into place with an atomic rename; a stage
  *    without a manifest is invisible (partial writes are ignored and
  *    overwritten on retry).
- *  - **resume**: a committed stage is never recomputed — the reference's
- *    JSON/tile memoization generalized (lib/loaders.py:13-16,
- *    lib/layers.py:77-79).
+ *  - **snapshot versioning** (SURVEY §7.5): every commit gets a
+ *    monotonically increasing `snapshot_id` (a base-level ledger keeps ids
+ *    monotonic even across a deleted-and-rebuilt stage dir), and the
+ *    manifest records each INPUT stage's snapshot id at read time.
+ *  - **resume**: a committed stage is recomputed IFF an input's snapshot
+ *    id advanced (or its own manifest is gone) — rerunning an upstream
+ *    stage invalidates exactly its downstream cone; untouched chains are
+ *    never recomputed and can never silently serve stale data. This
+ *    generalizes the reference's JSON/tile memoization (lib/loaders.py:
+ *    13-16, lib/layers.py:77-79) with staleness tracking it lacked.
  *  - **lineage + metrics**: the manifest records per-partition row counts
  *    (computed relationally via spark_partition_id, no RDD), total rows,
- *    input stage names, and the commit timestamp.
+ *    input refs, and the commit timestamp.
  *
  * The interface is deliberately narrow (resolve-or-compute + manifest) so a
  * real Iceberg catalog can be slotted in on a cluster.
@@ -31,29 +67,56 @@ final class StageRunner(spark: SparkSession, baseDir: String) {
 
   def manifestPath(name: String) = Paths.get(s"$baseDir/$name/manifest.json")
   def dataPath(name: String) = s"$baseDir/$name/data"
+  private val ledgerPath = Paths.get(s"$baseDir/_snapshots.json")
 
   def isCommitted(name: String): Boolean = Files.exists(manifestPath(name))
 
-  /** Run (or resume) a stage. `inputs` are upstream stage names recorded as
-    * lineage. Returns the committed stage's DataFrame. */
+  def manifestObj(name: String): Option[StageManifest] =
+    if (isCommitted(name))
+      Some(ManifestJson.read(manifestPath(name), classOf[StageManifest]))
+    else None
+
+  /** stage -> last snapshot id ever committed (survives stage-dir loss). */
+  private def ledger(): Map[String, Long] =
+    if (Files.exists(ledgerPath)) {
+      import scala.jdk.CollectionConverters._
+      ManifestJson.mapper.readValue(Files.readAllBytes(ledgerPath),
+        classOf[java.util.Map[String, Number]]).asScala.toMap.map {
+          case (k, v) => k -> v.longValue()
+        }
+    } else Map.empty
+
+  /** Drop a stage's manifest (data stays): the stage recommits with a
+    * bumped snapshot id on the next run, and every downstream stage's
+    * recorded input refs go stale — the "touch upstream" operation. */
+  def invalidate(name: String): Unit = Files.deleteIfExists(manifestPath(name))
+
+  /** Run (or resume) a stage. `inputs` are upstream stage names (must be
+    * committed) recorded as snapshot-pinned lineage. Returns the committed
+    * stage's DataFrame. */
   def stage(name: String, inputs: Seq[String] = Nil)(compute: => DataFrame): DataFrame = {
-    if (!isCommitted(name)) {
+    val inputRefs = inputs.map { i =>
+      val m = manifestObj(i).getOrElse(
+        throw new IllegalStateException(s"stage '$name' input '$i' is not committed"))
+      InputRef(i, m.snapshot_id)
+    }
+    val fresh = manifestObj(name).exists(_.inputs.toSet == inputRefs.toSet)
+    if (!fresh) {
       val df = compute
       df.write.mode("overwrite").parquet(dataPath(name))
       val written = spark.read.parquet(dataPath(name))
       val parts = written.groupBy(spark_partition_id().as("pid"))
         .count().orderBy("pid")
-        .collect().map(r => s"""{"pid":${r.getInt(0)},"rows":${r.getLong(1)}}""")
-      val total = written.count()
-      val manifest =
-        s"""{"stage":"${name}","rows":$total,
-           |"inputs":[${inputs.map(i => "\"" + i + "\"").mkString(",")}],
-           |"partitions":[${parts.mkString(",")}],
-           |"committed_at":"${java.time.Instant.now()}"}""".stripMargin
-      val tmp = Paths.get(s"$baseDir/$name/manifest.json.tmp")
-      Files.write(tmp, manifest.getBytes(StandardCharsets.UTF_8))
-      Files.move(tmp, manifestPath(name), StandardCopyOption.ATOMIC_MOVE,
-        StandardCopyOption.REPLACE_EXISTING)
+        .collect().map(r => PartStat(r.getInt(0), r.getLong(1))).toSeq
+      val total = parts.map(_.rows).sum
+      val snapId = math.max(ledger().getOrElse(name, 0L),
+        manifestObj(name).map(_.snapshot_id).getOrElse(0L)) + 1
+      val newLedger = new java.util.TreeMap[String, java.lang.Long]()
+      (ledger() + (name -> snapId)).foreach { case (k, v) => newLedger.put(k, v) }
+      ManifestJson.writeAtomic(ledgerPath, newLedger)
+      ManifestJson.writeAtomic(manifestPath(name),
+        StageManifest(name, snapId, total, inputRefs, parts,
+          java.time.Instant.now().toString))
     }
     spark.read.parquet(dataPath(name))
   }
@@ -62,10 +125,9 @@ final class StageRunner(spark: SparkSession, baseDir: String) {
     if (isCommitted(name)) Some(new String(Files.readAllBytes(manifestPath(name)), StandardCharsets.UTF_8))
     else None
 
-  def rowCount(name: String): Option[Long] =
-    manifest(name).flatMap { m =>
-      """"rows":(\d+)""".r.findFirstMatchIn(m).map(_.group(1).toLong)
-    }
+  def rowCount(name: String): Option[Long] = manifestObj(name).map(_.rows)
+
+  def snapshotId(name: String): Option[Long] = manifestObj(name).map(_.snapshot_id)
 }
 
 /** Deterministic, partitioning-invariant sampling (SURVEY.md §2.7 SA1-SA4):

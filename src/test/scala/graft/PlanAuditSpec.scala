@@ -167,6 +167,55 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("O8: salted hot-cell join balances task rows where the plain join straggles") {
+    val skewed = SyntheticWorld.testWorld.copy(lamps = 2000, hotCellSkew = 0.5, seed = 7L)
+    val pts = SyntheticWorld.osmNodes(spark, skewed)
+      .where($"tags".getItem("highway") === "street_lamp")
+      .withColumn("cell_id", GeoF.cellAtWgs($"lat", $"lng", skewed.z))
+    val imgs = SyntheticWorld.images(spark, skewed).select($"cell_id", $"image_id")
+    val hot = pipeline.SaltedJoin.detectHotCells(pts, threshold = 4.0)
+    assert(hot.nonEmpty, "skewed world must have detectable hot cells")
+
+    // measure the raw shuffle-join partitioning: broadcast + AQE off — this
+    // is exactly the "join AQE cannot split" case plan-level salting exists
+    // for (AQE skew-join is the runtime backstop when it CAN split); 32
+    // shuffle partitions so a hot cell is a visible straggler, not blended
+    // into the suite's 4-partition default
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      def partRows(df: org.apache.spark.sql.DataFrame): Array[Long] =
+        df.select(spark_partition_id().as("pid"))
+          .groupBy($"pid").count().select($"count").as[Long].collect()
+      val plain = partRows(pts.join(imgs, "cell_id").select($"node_id"))
+      val salted = partRows(
+        pipeline.SaltedJoin.joinOnCell(pts, imgs, hot, saltFactor = 8).select($"node_id"))
+      assert(plain.sum == salted.sum, "same join cardinality")
+      // the plain join pins every hot-cell row to one task; salting spreads
+      // them — no straggler: max task-rows drops by >=2x and stays within
+      // 4x of the mean over non-empty tasks
+      assert(plain.max >= salted.max * 2,
+        s"salting should halve the max task: plain=${plain.max} salted=${salted.max}")
+      val mean = salted.sum.toDouble / salted.count(_ > 0)
+      assert(salted.max <= mean * 4,
+        s"salted max ${salted.max} should be within 4x of mean $mean")
+      // row-for-row equality of the salted plan (spec'd independently in
+      // ResumeSaltSinkSpec; re-asserted here against this skewed world)
+      val a = pts.join(imgs, "cell_id").select($"node_id", $"image_id")
+        .as[(Long, String)].collect().sorted.toSeq
+      val b = pipeline.SaltedJoin.joinOnCell(pts, imgs, hot, saltFactor = 8)
+        .select($"node_id", $"image_id").as[(Long, String)].collect().sorted.toSeq
+      assert(a == b)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("kNN ring join plans equi-joins on grid keys, not a cross join") {
     val probes = Seq((1L, 53.85, 27.45), (2L, 53.86, 27.46)).toDF("probe_id", "plat", "plng")
     val cands = spark.range(500).select($"id".as("o_orderkey"),

@@ -76,7 +76,7 @@ class SparkEntrySpec extends AnyFunSuite {
       (3L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
       (4L, "nothing in common with those other documents at all whatsoever"),
     ).toDF("doc_id", "text")
-    val pairs = pipeline.Dedup.simhashPairs(docs, maxHamming = 8)
+    val pairs = pipeline.Dedup.simhashPairs(docs, verifyHamming = 8)
       .as[(Long, Long, Int)].collect()
       .map(p => ((p._1, p._2), p._3)).toMap
     assert(pairs((1L, 2L)) == 0, "identical docs")

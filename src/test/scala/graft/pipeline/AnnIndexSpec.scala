@@ -5,8 +5,10 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Sign-LSH ANN index contract: full recall on near-dup-strength neighbors
-  * (a planted cluster), a bounded candidate fraction (never a full scan),
-  * and exact agreement with brute force restricted to the candidate set. */
+  * (a planted cluster), a SUB-LINEAR candidate fraction (<2% — the r2
+  * 4-bit-chunk index was a 23% constant-fraction scan), exact agreement
+  * with brute force restricted to the candidate set, and the batch
+  * knnJoin == per-probe topK. */
 class AnnIndexSpec extends AnyFunSuite {
   lazy val spark = SparkSuite.spark
   import spark.implicits._
@@ -15,7 +17,7 @@ class AnnIndexSpec extends AnyFunSuite {
   lazy val base = spark.read.parquet(s"$sf/embeddings.parquet")
 
   /** Corpus + 5 planted near-dups of vec 0 (tiny deterministic per-dim
-    * nudges — cosine > 0.99), ids 100000+i. */
+    * nudges — cosine > 0.999, code hamming ~0), ids 100000+i. */
   lazy val planted = {
     val q = base.where($"vec_id" === 0).select($"embedding").head().getSeq[Float](0)
     val dups = (0 until 5).map { i =>
@@ -37,12 +39,16 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(top == (0 until 5).map(100000L + _).toSet, s"top-5 should be the planted cluster: $top")
   }
 
-  test("candidate fraction is bounded (routing, not a full scan)") {
-    val n = base.where($"vec_id" =!= 0).count()
-    val c = AnnIndex.candidates(base, probeVecId = 0, dim = 64).count()
+  test("candidate fraction is sub-linear routing (<2%), not a scan") {
+    val n = planted.where($"vec_id" =!= 0).count()
+    val c = AnnIndex.candidates(planted, probeVecId = 0, dim = 64).count()
     val frac = c.toDouble / n
-    assert(frac < 0.6, f"candidate fraction $frac%.2f too high")
-    assert(c > 0)
+    assert(frac < 0.02, f"candidate fraction $frac%.4f too high — index degenerated toward a scan")
+    assert(c >= 5, "the planted near-dups must be candidates")
+    // the raw synthetic corpus has NO near-dup-strength neighbors of vec 0:
+    // an honest sub-linear index returns (close to) nothing on it
+    val raw = AnnIndex.candidates(base, probeVecId = 0, dim = 64).count()
+    assert(raw <= n / 50, s"raw-corpus candidates $raw should be near zero")
   }
 
   test("minimap: canvas dims, per-tile mean-color pixels, png roundtrip") {
@@ -63,18 +69,35 @@ class AnnIndexSpec extends AnyFunSuite {
   }
 
   test("LSH top-k == brute force restricted to the candidate set") {
-    val cands = AnnIndex.candidates(base, probeVecId = 0, dim = 64)
+    val cands = AnnIndex.candidates(planted, probeVecId = 0, dim = 64)
     def quant(c: org.apache.spark.sql.Column) =
       transform(c, v => floor(v.cast("double") * 1000).cast("long"))
-    val qvec = base.where($"vec_id" === 0).select(quant($"embedding").as("qq"))
-    val brute = base.join(cands, "vec_id")
+    val qvec = planted.where($"vec_id" === 0).select(quant($"embedding").as("qq"))
+    val brute = planted.join(cands, "vec_id")
       .crossJoin(broadcast(qvec))
       .select($"vec_id", aggregate(zip_with(quant($"embedding"), $"qq",
         (x, y) => x * y), lit(0L), (a, x) => a + x).as("dot"))
       .orderBy($"dot".desc, $"vec_id").limit(10)
       .as[(Long, Long)].collect().toSeq
-    val lsh = AnnIndex.topK(base, probeVecId = 0, k = 10, dim = 64)
+    val lsh = AnnIndex.topK(planted, probeVecId = 0, k = 10, dim = 64)
       .as[(Long, Long)].collect().toSeq
     assert(lsh == brute)
+    assert(lsh.nonEmpty)
+  }
+
+  test("batch knnJoin == per-probe topK, one routing join for all probes") {
+    val probes = planted.where($"vec_id" < 5)
+    val kj = AnnIndex.knnJoin(probes, planted, k = 3, dim = 64)
+      .select($"probe_id", $"rank", $"vec_id")
+      .as[(Long, Int, Long)].collect().toSeq.sorted
+    val perProbe = (0L until 5L).flatMap { p =>
+      AnnIndex.topK(planted, p, 3, 64)
+        .select(lit(p).as("probe_id"), $"vec_id").as[(Long, Long)].collect()
+        .zipWithIndex.map { case ((pid, vid), r) => (pid, r + 1, vid) }
+    }.sorted
+    assert(kj == perProbe)
+    // probe 0's rank list is exactly its planted cluster's top-3
+    val p0 = kj.filter(_._1 == 0L).map(_._3)
+    assert(p0.forall(v => v >= 100000L && v < 100005L), s"probe 0 neighbors: $p0")
   }
 }

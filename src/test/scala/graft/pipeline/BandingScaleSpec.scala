@@ -29,8 +29,8 @@ class BandingScaleSpec extends AnyFunSuite {
   }
 
   test("candidate volume grows ~linearly from 25k to 100k docs") {
-    val small = Dedup.simhashPairsFromHashes(corpus(25000), maxHamming = 8).count()
-    val large = Dedup.simhashPairsFromHashes(corpus(100000), maxHamming = 8).count()
+    val small = Dedup.simhashPairsFromHashes(corpus(25000), verifyHamming = 8).count()
+    val large = Dedup.simhashPairsFromHashes(corpus(100000), verifyHamming = 8).count()
     // clusters of 4 -> ~6 intra-cluster pairs per cluster -> linear term;
     // quadratic background would blow past 16x (7-bit chunks give ~512x
     // more bucket collisions). Allow 6x for residual background collisions.
@@ -49,7 +49,7 @@ class BandingScaleSpec extends AnyFunSuite {
       (4L, base ^ (1L << 7)),                                         // 1 flip
       (5L, ~base & ((1L << 60) - 1))                                  // far away
     ).toDF("doc_id", "sh")
-    val got = Dedup.simhashPairsFromHashes(rows, maxHamming = 3)
+    val got = Dedup.simhashPairsFromHashes(rows, verifyHamming = 3)
       .select($"ida", $"idb").as[(Long, Long)].collect().toSet
     assert(Set((1L, 2L), (1L, 3L), (1L, 4L)).subsetOf(got))
     assert(!got.contains((1L, 5L)))

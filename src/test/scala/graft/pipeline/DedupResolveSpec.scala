@@ -1,0 +1,64 @@
+package graft.pipeline
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Cluster resolution contract: candidate pairs -> connected components ->
+  * keep exactly the min id of every component. */
+class DedupResolveSpec extends AnyFunSuite {
+  lazy val spark = SparkSuite.spark
+  import spark.implicits._
+
+  test("min-label propagation: chain, clique and pair components resolve to keep-min") {
+    // chain 1-2-3-4 (diameter 3: forces multiple propagation rounds),
+    // triangle 10-11-12, isolated pair 20-21
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (10L, 12L),
+      (11L, 12L), (20L, 21L)).toDF("ida", "idb")
+    val got = Dedup.resolveClusters(pairs)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val expect = Map(
+      1L -> (1L, 1L), 2L -> (1L, 0L), 3L -> (1L, 0L), 4L -> (1L, 0L),
+      10L -> (10L, 1L), 11L -> (10L, 0L), 12L -> (10L, 0L),
+      20L -> (20L, 1L), 21L -> (20L, 0L))
+    assert(got == expect)
+  }
+
+  test("empty pair set resolves to an empty decision set") {
+    val empty = Seq.empty[(Long, Long)].toDF("ida", "idb")
+    assert(Dedup.resolveClusters(empty).count() == 0)
+  }
+
+  test("end-to-end: planted near-dup cliques keep exactly one doc each") {
+    // 100 base docs with doc-unique vocabularies (zero cross-doc shingle
+    // overlap — an LCG word pool here creates accidental near-dups between
+    // docs whose id offset aligns the sequences); docs 0..4 each get 3
+    // near-dup variants (one word swapped) — every planted cluster is a
+    // 4-doc component whose min id is the base doc
+    def text(id: Long): String =
+      (0 until 40).map(k => s"d${id}w$k").mkString(" ")
+    val base = (0L until 100L).map(i => (i, text(i)))
+    val dups = for (i <- 0L until 5L; c <- 0L until 3L) yield {
+      val words = text(i).split(" ")
+      words(5 + c.toInt * 7) = s"v$c"
+      (1000L + i * 10 + c, words.mkString(" "))
+    }
+    val docs = (base ++ dups).toDF("doc_id", "text")
+    val pairs = Dedup.minhashPairs(docs).where($"jac_fp" >= 600000)
+    val resolved = Dedup.resolveClusters(pairs)
+      .as[(Long, Long, Long)].collect()
+
+    val byRep = resolved.groupBy(_._2)
+    assert(byRep.size == 5, s"expected 5 planted components, got ${byRep.keySet}")
+    for ((rep, members) <- byRep) {
+      assert(rep < 5, s"component rep $rep should be a base doc id 0..4")
+      assert(members.map(_._1).toSet ==
+        Set(rep) ++ (0L until 3L).map(c => 1000L + rep * 10 + c),
+        s"component $rep members wrong: ${members.map(_._1).toSeq.sorted}")
+      assert(members.count(_._3 == 1L) == 1, s"component $rep must keep exactly one")
+      assert(members.find(_._3 == 1L).get._1 == rep, s"component $rep keeps its min id")
+    }
+    // untouched docs never appear in the decision set (trivially kept)
+    assert(resolved.map(_._1).forall(id => id < 5 || id >= 1000L))
+  }
+}

@@ -51,6 +51,38 @@ class ResumeSaltSinkSpec extends AnyFunSuite {
     assert(Files.getLastModifiedTime(runner.manifestPath("lamps_sample")) == stamps("lamps_sample"))
   }
 
+  test("snapshot ids: touching an upstream stage recomputes exactly its downstream cone") {
+    val dir = Files.createTempDirectory("graft_snap").toString
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select($"example_id", $"label").orderBy($"example_id", $"label").collect().toSeq
+    val out1 = ids(StagedOriginalTiles.run(spark, nodes, ways, images, cfg, dir))
+    val runner = new StageRunner(spark, dir)
+    val all = Seq("lamps_sample", "painted_cells", "negative_cells", "labeled")
+    val s0 = all.map(s => s -> runner.snapshotId(s).get).toMap
+    assert(s0.values.forall(_ == 1L), s"first commits are snapshot 1: $s0")
+
+    // touch painted_cells: its manifest drops, the next run recommits it at
+    // snapshot 2 — negative_cells and labeled see a stale input ref and
+    // recompute; lamps_sample is untouched and must not
+    runner.invalidate("painted_cells")
+    val out2 = ids(StagedOriginalTiles.run(spark, nodes, ways, images, cfg, dir))
+    assert(out2 == out1, "recomputed cone reproduces identical output")
+    assert(runner.snapshotId("painted_cells").contains(2L), "touched stage advanced")
+    assert(runner.snapshotId("negative_cells").contains(2L), "downstream recomputed")
+    assert(runner.snapshotId("labeled").contains(2L), "downstream recomputed")
+    assert(runner.snapshotId("lamps_sample").contains(1L), "untouched chain skipped")
+    // lineage records the input snapshots actually read
+    val m = runner.manifestObj("labeled").get
+    assert(m.inputs.toSet == Set(graft.tables.InputRef("lamps_sample", 1L),
+      graft.tables.InputRef("negative_cells", 2L)))
+
+    // a further no-op rerun recomputes nothing
+    val stamps = all.map(s => s -> Files.getLastModifiedTime(runner.manifestPath(s))).toMap
+    ids(StagedOriginalTiles.run(spark, nodes, ways, images, cfg, dir))
+    for ((s, t) <- stamps)
+      assert(Files.getLastModifiedTime(runner.manifestPath(s)) == t, s"$s recomputed on no-op rerun")
+  }
+
   test("staged expand == expandedCrops; losing a crop stage recomputes only it") {
     val dir = Files.createTempDirectory("graft_stages_exp").toString
     def ids(df: org.apache.spark.sql.DataFrame) =
