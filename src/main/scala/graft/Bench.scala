@@ -42,10 +42,22 @@ object Bench {
       // to the worker grant or they OOM on image workloads
       val workerMb = "local-cluster\\[\\d+,\\d+,(\\d+)\\]".r
         .findFirstMatchIn(master).map(_.group(1)).getOrElse("8192")
-      // executors need this build's classes; the driver JVM's own classpath
-      // is the portable source of truth (no hardcoded checkout path)
+      // executors need this build's classes ON TOP of the SPARK_HOME jars
+      // the standalone worker already gives them. Derive ONLY the project's
+      // own entries from the driver JVM's classpath (an sbt fork stages
+      // them as an osmmlspark jar; spark-submit as --jars/classes dirs) —
+      // passing the WHOLE driver classpath prepends ~290 duplicate Spark
+      // jars to every executor classloader and measured a 20x slowdown on
+      // the codegen-heavy expand stage (each Janino compile resolves
+      // classes through the prepended path first). SPARK_GRAFT_EXEC_CLASSPATH
+      // overrides for non-sbt launchers.
+      val ownEntries = System.getProperty("java.class.path")
+        .split(java.io.File.pathSeparator)
+        .filter(p => p.contains("osmmlspark") || p.endsWith("classes"))
       builder00.config("spark.executor.extraClassPath",
-          System.getProperty("java.class.path"))
+          sys.env.getOrElse("SPARK_GRAFT_EXEC_CLASSPATH",
+            if (ownEntries.nonEmpty) ownEntries.mkString(java.io.File.pathSeparator)
+            else System.getProperty("java.class.path")))
         .config("spark.executor.memory", s"${workerMb}m")
         .config("spark.driver.memory", "8g")
     }

@@ -148,7 +148,9 @@ object Pipelines {
     * recorded in BENCH/BASELINE.md (hash kept as default: range adds a
     * boundary-sampling job and measured no win at bench scale). */
   def copartitionForStitch(df: DataFrame, key: Column): DataFrame =
-    if (sys.props.get("graft.stitchPartition").contains("range")) df.repartitionByRange(key)
+    if (sys.props.get("graft.stitchPartition")
+        .orElse(sys.env.get("GRAFT_STITCH_PARTITION")).contains("range"))
+      df.repartitionByRange(key)
     else df.repartition(key)
 
   /** Exact global top-`n` membership by (rank, key) WITHOUT a global
