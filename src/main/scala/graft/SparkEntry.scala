@@ -573,6 +573,15 @@ object SparkEntry {
       pipeline.AnnIndex.knnJoin(corpus.where(col("vec_id") < 30), corpus, k = 3, dim = 64)
     }),
 
+    // multi-probe variant: each probe chunk key plus its 16 one-bit flips
+    // (recall guarantee widens from code hamming <=3 to <=7 at 17x the
+    // bucket lookups — still ~0.1% expected unrelated-candidate fraction)
+    "q_ann_multiprobe" -> ((s, dir) => {
+      val corpus = annCorpus(t(s, dir, "embeddings"))
+      pipeline.AnnIndex.knnJoin(corpus.where(col("vec_id") < 20), corpus,
+        k = 3, dim = 64, multiProbe = true)
+    }),
+
     // n-gram (3-char shingle) Jaccard near-dup among small doc sample —
     // set ops expressed relationally (exact, portable)
     "q_dedup_ngram" -> ((s, dir) => {
@@ -1274,6 +1283,31 @@ object SparkEntry {
     "q_ann_join" ->
       s"""WITH $annChunkCtes,
          pch AS (SELECT vec_id AS probe_id, c, ck FROM chunks WHERE vec_id < 30),
+         cand AS (
+           SELECT DISTINCT p.probe_id, ch.vec_id
+           FROM chunks ch JOIN pch p ON ch.c = p.c AND ch.ck = p.ck
+           WHERE ch.vec_id <> p.probe_id),
+         scored AS (
+           SELECT c.probe_id, c.vec_id, CAST(sum(q.vq * pq.vq) AS BIGINT) AS dot
+           FROM cand c
+           JOIN quant q ON q.vec_id = c.vec_id
+           JOIN quant pq ON pq.vec_id = c.probe_id AND pq.pos = q.pos
+           GROUP BY c.probe_id, c.vec_id),
+         ranked AS (
+           SELECT probe_id, vec_id, dot,
+             row_number() OVER (PARTITION BY probe_id ORDER BY dot DESC, vec_id) AS rank
+           FROM scored)
+         SELECT probe_id, rank, vec_id, dot FROM ranked WHERE rank <= 3""",
+
+    // exact SQL twin of knnJoin(multiProbe = true): probe chunk keys plus
+    // all 16 one-bit flips per chunk
+    "q_ann_multiprobe" ->
+      s"""WITH $annChunkCtes,
+         pch AS (
+           SELECT vec_id AS probe_id, c,
+             CASE WHEN f.range = 16 THEN ck
+                  ELSE xor(ck, CAST(1 AS BIGINT) << CAST(f.range AS INTEGER)) END AS ck
+           FROM chunks, range(0, 17) f WHERE vec_id < 20),
          cand AS (
            SELECT DISTINCT p.probe_id, ch.vec_id
            FROM chunks ch JOIN pch p ON ch.c = p.c AND ch.ck = p.ck

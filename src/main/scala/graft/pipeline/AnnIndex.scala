@@ -47,28 +47,31 @@ object AnnIndex {
   def planeCoeffs(dim: Int): Array[Array[Long]] =
     Array.tabulate(Planes, dim)((j, i) => Dedup.md5h60(s"hp|$j|$i") % 2001L - 1000L)
 
-  /** Per-chunk bucket values of an embedding's 64-bit sign code: element c
-    * = Σ_{j in chunk c} bit_j << (j % 16), each in [0, 65535]. Takes the
-    * embedding as array<double> (callers widen float arrays — an exact
-    * IEEE754 widening, so float and double corpora quantize identically). */
+  /** Kernel: per-chunk bucket values of an embedding's 64-bit sign code —
+    * element c = Σ_{j in chunk c} bit_j << (j % 16), each in [0, 65535]. */
+  def chunkCodesKernel(hp: Array[Array[Long]], emb: Seq[Double], dim: Int): Array[Long] = {
+    val out = new Array[Long](Chunks)
+    var j = 0
+    while (j < Planes) {
+      var s = 0L
+      var i = 0
+      val n = math.min(dim, emb.length)
+      while (i < n) {
+        s += math.floor(emb(i) * 1000).toLong * hp(j)(i)
+        i += 1
+      }
+      if (s > 0) out(j / ChunkBits) |= 1L << (j % ChunkBits)
+      j += 1
+    }
+    out
+  }
+
+  /** Column form of [[chunkCodesKernel]]. Takes the embedding as
+    * array<double> (callers widen float arrays — an exact IEEE754
+    * widening, so float and double corpora quantize identically). */
   def chunkCodesUdf(dim: Int) = {
     val hp = planeCoeffs(dim)
-    udf { (emb: Seq[Double]) =>
-      val out = new Array[Long](Chunks)
-      var j = 0
-      while (j < Planes) {
-        var s = 0L
-        var i = 0
-        val n = math.min(dim, emb.length)
-        while (i < n) {
-          s += math.floor(emb(i) * 1000).toLong * hp(j)(i)
-          i += 1
-        }
-        if (s > 0) out(j / ChunkBits) |= 1L << (j % ChunkBits)
-        j += 1
-      }
-      out
-    }
+    udf { (emb: Seq[Double]) => chunkCodesKernel(hp, emb, dim) }
   }
 
   /** Integer-quantized embedding — shared with the exact-scan queries. */
@@ -85,6 +88,17 @@ object AnnIndex {
   def chunked(emb: DataFrame, dim: Int): DataFrame =
     emb.select(col("vec_id"),
       posexplode(chunkCodesUdf(dim)(col("embedding").cast("array<double>"))).as(Seq("c", "ck")))
+
+  /** Probe-side multi-probe expansion: each chunk key plus its 16 one-bit
+    * flips (17 keys/chunk, 68 short rows/probe). Raises the pigeonhole
+    * recall guarantee from code hamming <= 3 to <= 7 (any such pair leaves
+    * one chunk with at most ONE differing bit, which some flip key hits)
+    * at 17× the bucket lookups — still a vanishing corpus fraction
+    * (~17·4/2^16 ≈ 0.1% expected for unrelated codes). */
+  def chunkedFlips(emb: DataFrame, dim: Int): DataFrame =
+    chunked(emb, dim).select(col("vec_id"), col("c"),
+      explode(expr(s"concat(array(ck), transform(sequence(0, ${ChunkBits - 1})," +
+        " b -> ck ^ shiftleft(CAST(1 AS BIGINT), b)))")).as("ck"))
 
   /** (vec_id, vq): quantized vectors for exact candidate scoring. */
   private def quantized(emb: DataFrame): DataFrame =
@@ -125,8 +139,9 @@ object AnnIndex {
     * broadcasts the probe side when small), the candidate-pair distinct,
     * and the per-probe top-k exchange on probe_id. Expected candidates per
     * probe ≈ 4·|corpus|/2^16 + true near-dups — sub-linear in the corpus. */
-  def knnJoin(probes: DataFrame, corpus: DataFrame, k: Int, dim: Int): DataFrame = {
-    val pch = chunked(probes, dim)
+  def knnJoin(probes: DataFrame, corpus: DataFrame, k: Int, dim: Int,
+              multiProbe: Boolean = false): DataFrame = {
+    val pch = (if (multiProbe) chunkedFlips(probes, dim) else chunked(probes, dim))
       .select(col("vec_id").as("probe_id"), col("c"), col("ck"))
     val cand = chunked(corpus, dim).join(pch, Seq("c", "ck"))
       .where(col("vec_id") =!= col("probe_id"))

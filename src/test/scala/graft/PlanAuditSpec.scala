@@ -216,6 +216,20 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("ANN knnJoin: map-side WindowGroupLimit top-k, broadcast routing, no cartesian") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val kj = pipeline.AnnIndex.knnJoin(e.where($"vec_id" < 30), e, k = 3, dim = 64)
+    kj.collect()
+    val plan = kj.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"routing must be equi-joins:\n$plan")
+    // rank<=k is pushed into a pre-shuffle WindowGroupLimit (partial) so
+    // only k rows per probe per map task ever reach the exchange
+    assert(plan.contains("WindowGroupLimit"), s"top-k should push down:\n$plan")
+    assert(plan.contains("windowspecdefinition(probe_id"),
+      "window must be partitioned by probe, never global")
+  }
+
   test("kNN ring join plans equi-joins on grid keys, not a cross join") {
     val probes = Seq((1L, 53.85, 27.45), (2L, 53.86, 27.46)).toDF("probe_id", "plat", "plng")
     val cands = spark.range(500).select($"id".as("o_orderkey"),

@@ -100,4 +100,40 @@ class AnnIndexSpec extends AnyFunSuite {
     val p0 = kj.filter(_._1 == 0L).map(_._3)
     assert(p0.forall(v => v >= 100000L && v < 100005L), s"probe 0 neighbors: $p0")
   }
+
+  test("multi-probe: guaranteed recall at code hamming 4..7, still sub-linear") {
+    import org.apache.spark.sql.functions.{col, expr}
+    // kernel-level search for a deterministic nudge that lands the planted
+    // vector's code at hamming 4..7 from the probe's — outside the
+    // single-probe pigeonhole guarantee, inside the multi-probe one
+    val hp = AnnIndex.planeCoeffs(64)
+    val q = base.where($"vec_id" === 0).select($"embedding").head().getSeq[Float](0)
+      .map(_.toDouble)
+    def hamming(a: Array[Long], b: Array[Long]): Int =
+      a.zip(b).map { case (x, y) => java.lang.Long.bitCount(x ^ y) }.sum
+    val qCode = AnnIndex.chunkCodesKernel(hp, q, 64)
+    val nudged = (1 to 400).iterator.map { s =>
+      q.zipWithIndex.map { case (v, d) => v + (if (d % 3 == 0) s * 0.002 else -s * 0.001) }
+    }.find { v => val h = hamming(qCode, AnnIndex.chunkCodesKernel(hp, v, 64)); h >= 4 && h <= 7 }
+    assert(nudged.isDefined, "no nudge scale landed in hamming 4..7 — widen the search")
+    val ham = hamming(qCode, AnnIndex.chunkCodesKernel(hp, nudged.get, 64))
+
+    val corpus = base.select($"vec_id", expr("transform(embedding, v -> CAST(v AS DOUBLE))").as("embedding"))
+      .unionByName(Seq((500000L, nudged.get)).toDF("vec_id", "embedding"))
+    val probes = corpus.where($"vec_id" === 0)
+    val single = AnnIndex.knnJoin(probes, corpus, k = 10, dim = 64)
+      .select($"vec_id").as[Long].collect().toSet
+    val multi = AnnIndex.knnJoin(probes, corpus, k = 10, dim = 64, multiProbe = true)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(multi.contains(500000L),
+      s"multi-probe must find the hamming-$ham neighbor (single-probe found it: ${single.contains(500000L)})")
+    assert(multi.size >= single.size, "multi-probe candidates are a superset")
+    // still routing, not a scan: candidate fraction stays far below 5%
+    val pch = AnnIndex.chunkedFlips(probes, 64)
+      .select(col("vec_id").as("probe_id"), col("c"), col("ck"))
+    val candFrac = AnnIndex.chunked(corpus, 64).join(pch, Seq("c", "ck"))
+      .where($"vec_id" =!= $"probe_id").select($"vec_id").distinct().count().toDouble /
+      (corpus.count() - 1)
+    assert(candFrac < 0.05, f"multi-probe candidate fraction $candFrac%.4f too high")
+  }
 }
