@@ -582,6 +582,17 @@ object SparkEntry {
         k = 3, dim = 64, multiProbe = true)
     }),
 
+    // semantic dedup at scale: LSH-bucketed all-pairs embedding near-dup
+    // (never n² — candidates share a chunk bucket) -> exact fixed-point
+    // cosine verify -> connected components -> keep-min decisions. The
+    // scale path that replaces q_sim_pairs' scoped brute force; planted
+    // dup clusters resolve to their original vector.
+    "q_sim_resolve" -> ((s, dir) => {
+      val pairs = pipeline.AnnIndex.nearDupPairs(
+        annCorpus(t(s, dir, "embeddings")), dim = 64, minCosFp = 999000L)
+      pipeline.Dedup.resolveClusters(pairs.select(col("ida"), col("idb")))
+    }),
+
     // n-gram (3-char shingle) Jaccard near-dup among small doc sample —
     // set ops expressed relationally (exact, portable)
     "q_dedup_ngram" -> ((s, dir) => {
@@ -1323,6 +1334,35 @@ object SparkEntry {
              row_number() OVER (PARTITION BY probe_id ORDER BY dot DESC, vec_id) AS rank
            FROM scored)
          SELECT probe_id, rank, vec_id, dot FROM ranked WHERE rank <= 3""",
+
+    // exact SQL twin of nearDupPairs + resolveClusters: same chunk-bucket
+    // candidate pairs, same fixed-point cosine, recursive-CTE components
+    "q_sim_resolve" ->
+      s"""WITH RECURSIVE $annChunkCtes,
+         cand AS (
+           SELECT DISTINCT a.vec_id AS ida, b.vec_id AS idb
+           FROM chunks a JOIN chunks b
+             ON a.c = b.c AND a.ck = b.ck AND a.vec_id < b.vec_id),
+         vp AS (
+           SELECT c.ida, c.idb,
+             CAST(floor(CAST(sum(qa.vq * qb.vq) AS DOUBLE) * 1000000.0 /
+               sqrt(CAST(greatest(sum(qa.vq * qa.vq), 1) AS DOUBLE) *
+                    CAST(greatest(sum(qb.vq * qb.vq), 1) AS DOUBLE))) AS BIGINT) AS cos_fp
+           FROM cand c
+           JOIN quant qa ON qa.vec_id = c.ida
+           JOIN quant qb ON qb.vec_id = c.idb AND qb.pos = qa.pos
+           GROUP BY c.ida, c.idb),
+         fpairs AS (SELECT ida, idb FROM vp WHERE cos_fp >= 999000),
+         edges AS (SELECT ida AS a, idb AS b FROM fpairs
+                   UNION SELECT idb, ida FROM fpairs),
+         reach(a, b) AS (
+           SELECT a, b FROM edges
+           UNION
+           SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         lbl AS (SELECT a AS doc_id, least(a, min(b)) AS rep_id FROM reach GROUP BY a)
+         SELECT doc_id, rep_id,
+           CAST(CASE WHEN doc_id = rep_id THEN 1 ELSE 0 END AS BIGINT) AS keep
+         FROM lbl""",
 
     "q_sim_pairs" ->
       """WITH quant AS (

@@ -154,4 +154,35 @@ object AnnIndex {
       .where(col("rank") <= k)
       .select(col("probe_id"), col("rank"), col("vec_id"), col("dot"))
   }
+
+  /** Embedding near-dup PAIRS over the whole corpus, routed through the
+    * LSH buckets — the scale path for semantic dedup (the brute-force
+    * all-pairs scan is n²·d; this touches only same-bucket pairs, which
+    * the 16-bit chunks keep sub-linear). Candidates = pairs sharing a
+    * (chunk, value); each is verified with the exact fixed-point cosine
+    * (floor(dot·1e6/sqrt(na·nb))) and kept at cosine >= minCosFp.
+    * Recall contract: pairs within code hamming <= 3 are guaranteed
+    * (pigeonhole over the 4 chunks) — near-dup-strength cosine lands
+    * there w.h.p.; weaker pairs are best-effort, same contract as the
+    * SimHash banding. Feed the output to [[Dedup.resolveClusters]] for
+    * keep/drop decisions. */
+  def nearDupPairs(emb: DataFrame, dim: Int, minCosFp: Long): DataFrame = {
+    val ch = chunked(emb, dim)
+    val cand = ch.as("a").join(ch.as("b"),
+        col("a.c") === col("b.c") && col("a.ck") === col("b.ck") &&
+        col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("ida"), col("b.vec_id").as("idb"))
+      .distinct()
+    val q = quantized(emb)
+    cand
+      .join(q.select(col("vec_id").as("ida"), col("vq").as("va")), "ida")
+      .join(q.select(col("vec_id").as("idb"), col("vq").as("vb")), "idb")
+      .select(col("ida"), col("idb"), intDot(col("va"), col("vb")).as("dot"),
+        intDot(col("va"), col("va")).as("na"), intDot(col("vb"), col("vb")).as("nb"))
+      .select(col("ida"), col("idb"),
+        floor(col("dot").cast("double") * 1000000.0 /
+          sqrt(greatest(col("na"), lit(1L)).cast("double") *
+               greatest(col("nb"), lit(1L)).cast("double"))).cast("long").as("cos_fp"))
+      .where(col("cos_fp") >= minCosFp)
+  }
 }

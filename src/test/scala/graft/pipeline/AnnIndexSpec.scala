@@ -101,6 +101,24 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(p0.forall(v => v >= 100000L && v < 100005L), s"probe 0 neighbors: $p0")
   }
 
+  test("semantic dedup: nearDupPairs routes all-pairs through buckets; clusters keep-min") {
+    val pairs = AnnIndex.nearDupPairs(planted, dim = 64, minCosFp = 999000L)
+      .as[(Long, Long, Long)].collect()
+    // only the planted cluster is near-dup-strength similar; every pair is
+    // inside {0, 100000..100004}
+    val members = Set(0L) ++ (0 until 5).map(100000L + _)
+    assert(pairs.nonEmpty)
+    assert(pairs.forall(p => members.contains(p._1) && members.contains(p._2)),
+      s"unexpected near-dup pairs: ${pairs.filterNot(p => members.contains(p._1)).take(3).toSeq}")
+    val resolved = Dedup.resolveClusters(
+        AnnIndex.nearDupPairs(planted, 64, 999000L).select($"ida", $"idb"))
+      .as[(Long, Long, Long)].collect()
+    assert(resolved.map(_._1).toSet == members, "whole cluster resolved")
+    assert(resolved.forall(_._2 == 0L), "component representative is the original vector")
+    assert(resolved.count(_._3 == 1L) == 1 && resolved.find(_._3 == 1L).get._1 == 0L,
+      "keep exactly the original")
+  }
+
   test("multi-probe: guaranteed recall at code hamming 4..7, still sub-linear") {
     import org.apache.spark.sql.functions.{col, expr}
     // kernel-level search for a deterministic nudge that lands the planted
