@@ -54,6 +54,11 @@ object Bench {
       val ownEntries = System.getProperty("java.class.path")
         .split(java.io.File.pathSeparator)
         .filter(p => p.contains("osmmlspark") || p.endsWith("classes"))
+      if (ownEntries.isEmpty && !sys.env.contains("SPARK_GRAFT_EXEC_CLASSPATH"))
+        System.err.println("[bench] WARNING: could not isolate the app's classpath " +
+          "entries; falling back to the FULL driver classpath as executor " +
+          "extraClassPath — expect the documented ~20x codegen-stage slowdown. " +
+          "Set SPARK_GRAFT_EXEC_CLASSPATH to the app jar/classes dir.")
       builder00.config("spark.executor.extraClassPath",
           sys.env.getOrElse("SPARK_GRAFT_EXEC_CLASSPATH",
             if (ownEntries.nonEmpty) ownEntries.mkString(java.io.File.pathSeparator)

@@ -681,8 +681,13 @@ object SparkEntry {
     // dropDuplicates keeps keyless-in-event-time state forever — VERDICT r2
     // "What's wrong" #2) — in append mode (deduped rows emit as they
     // arrive; no complete-mode re-collection per trigger). The distinct-
-    // user rollup runs as a batch agg over the sink table; order-free, so
-    // the result is arrival-order-independent and batch-checkable.
+    // user rollup runs as a batch agg over the sink table. Oracle-equality
+    // caveat, stated plainly: count(DISTINCT) equality holds because the
+    // single-file source delivers ONE micro-batch, within which all state
+    // is retained; in a genuinely incremental feed, duplicates arriving
+    // after the watermark passed their key's first event time + 1h are
+    // re-emitted BY DESIGN — that re-emission is the price of bounded
+    // state and is the documented semantics of the operator, not a bug.
     "q_stream_dedup" -> ((s, dir) => {
       val deduped = runStream(s, dir, "stream_dedup", mode = "append") { stream =>
         stream
@@ -850,6 +855,24 @@ object SparkEntry {
            SELECT vec_id, j // 16 AS c,
              CAST(sum(CAST(bit AS BIGINT) << CAST(j % 16 AS INTEGER)) AS BIGINT) AS ck
            FROM bits GROUP BY vec_id, j // 16)"""
+
+  /** Shared connected-components twin of [[pipeline.Dedup.resolveClusters]]
+    * (recursive-CTE transitive closure -> component min as representative):
+    * `pairsSelect` must yield (ida, idb); compose as
+    * `WITH RECURSIVE <ctes>, ${ccResolveCtes(...)} $ccResolveSelect`. */
+  private def ccResolveCtes(pairsSelect: String): String =
+    s"""fpairs AS ($pairsSelect),
+         edges AS (SELECT ida AS a, idb AS b FROM fpairs
+                   UNION SELECT idb, ida FROM fpairs),
+         reach(a, b) AS (
+           SELECT a, b FROM edges
+           UNION
+           SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         lbl AS (SELECT a AS doc_id, least(a, min(b)) AS rep_id FROM reach GROUP BY a)"""
+  private val ccResolveSelect =
+    """SELECT doc_id, rep_id,
+           CAST(CASE WHEN doc_id = rep_id THEN 1 ELSE 0 END AS BIGINT) AS keep
+         FROM lbl"""
 
   def oracleSql: Map[String, String] = Map(
     "q_s1_scan_filter" ->
@@ -1352,17 +1375,8 @@ object SparkEntry {
            JOIN quant qa ON qa.vec_id = c.ida
            JOIN quant qb ON qb.vec_id = c.idb AND qb.pos = qa.pos
            GROUP BY c.ida, c.idb),
-         fpairs AS (SELECT ida, idb FROM vp WHERE cos_fp >= 999000),
-         edges AS (SELECT ida AS a, idb AS b FROM fpairs
-                   UNION SELECT idb, ida FROM fpairs),
-         reach(a, b) AS (
-           SELECT a, b FROM edges
-           UNION
-           SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
-         lbl AS (SELECT a AS doc_id, least(a, min(b)) AS rep_id FROM reach GROUP BY a)
-         SELECT doc_id, rep_id,
-           CAST(CASE WHEN doc_id = rep_id THEN 1 ELSE 0 END AS BIGINT) AS keep
-         FROM lbl""",
+         ${ccResolveCtes("SELECT ida, idb FROM vp WHERE cos_fp >= 999000")}
+         $ccResolveSelect""",
 
     "q_sim_pairs" ->
       """WITH quant AS (
@@ -1390,17 +1404,8 @@ object SparkEntry {
     // min as the kept representative (min-label propagation's fixpoint)
     "q_dedup_resolve" ->
       s"""WITH RECURSIVE $minhashCtes,
-         fpairs AS (SELECT ida, idb FROM vpairs WHERE jac_fp >= 600000),
-         edges AS (SELECT ida AS a, idb AS b FROM fpairs
-                   UNION SELECT idb, ida FROM fpairs),
-         reach(a, b) AS (
-           SELECT a, b FROM edges
-           UNION
-           SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
-         lbl AS (SELECT a AS doc_id, least(a, min(b)) AS rep_id FROM reach GROUP BY a)
-         SELECT doc_id, rep_id,
-           CAST(CASE WHEN doc_id = rep_id THEN 1 ELSE 0 END AS BIGINT) AS keep
-         FROM lbl""",
+         ${ccResolveCtes("SELECT ida, idb FROM vpairs WHERE jac_fp >= 600000")}
+         $ccResolveSelect""",
 
     // exact SQL twin of Dedup.simhashPairs: 60-bit sign-aggregated token
     // hash, 4x15-bit chunk banding, popcount verification

@@ -109,7 +109,7 @@ object AnnIndex {
     * explode (4 short rows/vector), broadcast semi-join on the probe's 4
     * chunk keys, exact scoring of candidates only, TakeOrdered top-k. */
   def topK(emb: DataFrame, probeVecId: Long, k: Int, dim: Int): DataFrame = {
-    val q = quantized(emb)
+    val q = quantized(emb).localCheckpoint(false) // feeds probe + candidate scoring
     val cands = candidates(emb, probeVecId, dim)
     val qq = q.where(col("vec_id") === probeVecId).select(col("vq").as("qq"))
     q.join(cands, "vec_id")
@@ -118,9 +118,12 @@ object AnnIndex {
       .orderBy(col("dot").desc, col("vec_id")).limit(k)
   }
 
-  /** Candidate set of one probe (for recall/fraction audits). */
+  /** Candidate set of one probe (for recall/fraction audits). The chunk
+    * table feeds both the probe lookup and the scan side — materialized
+    * once via localCheckpoint (auto-released by the ContextCleaner; the
+    * 64x64 code kernel must not run twice per row). */
   def candidates(emb: DataFrame, probeVecId: Long, dim: Int): DataFrame = {
-    val ch = chunked(emb, dim)
+    val ch = chunked(emb, dim).localCheckpoint(false)
     val probeChunks = ch.where(col("vec_id") === probeVecId).select(col("c"), col("ck"))
     ch.where(col("vec_id") =!= probeVecId)
       .join(broadcast(probeChunks), Seq("c", "ck"))
@@ -167,13 +170,15 @@ object AnnIndex {
     * SimHash banding. Feed the output to [[Dedup.resolveClusters]] for
     * keep/drop decisions. */
   def nearDupPairs(emb: DataFrame, dim: Int, minCosFp: Long): DataFrame = {
-    val ch = chunked(emb, dim)
+    // both relations feed BOTH sides of their joins — materialize once
+    // (localCheckpoint, auto-released) so the code/quant kernels run once
+    val ch = chunked(emb, dim).localCheckpoint(false)
     val cand = ch.as("a").join(ch.as("b"),
         col("a.c") === col("b.c") && col("a.ck") === col("b.ck") &&
         col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("ida"), col("b.vec_id").as("idb"))
       .distinct()
-    val q = quantized(emb)
+    val q = quantized(emb).localCheckpoint(false)
     cand
       .join(q.select(col("vec_id").as("ida"), col("vq").as("va")), "ida")
       .join(q.select(col("vec_id").as("idb"), col("vq").as("vb")), "idb")

@@ -285,7 +285,8 @@ object Dedup {
       .withColumn("lbl", col("id")).localCheckpoint(false)
     var changed = 1L
     var rounds = 0
-    while (changed > 0 && rounds < 64) {
+    val maxRounds = 64
+    while (changed > 0 && rounds < maxRounds) {
       val nbrMin = edges.join(labels.select(col("id").as("b"), col("lbl").as("nl")), "b")
         .groupBy(col("a")).agg(min(col("nl")).as("nmin"))
         .select(col("a").as("id"), col("nmin"))
@@ -297,6 +298,11 @@ object Dedup {
       labels = updated
       rounds += 1
     }
+    // returning a non-fixpoint would silently mislabel components — refuse
+    // instead (diameter > 64 means the input is not a near-dup pair graph;
+    // switch to large-star/small-star for such shapes)
+    require(changed == 0,
+      s"resolveClusters did not converge in $maxRounds rounds (component diameter too large)")
     labels.select(col("id").as("doc_id"), col("lbl").as("rep_id"),
       when(col("id") === col("lbl"), 1L).otherwise(0L).as("keep"))
   }

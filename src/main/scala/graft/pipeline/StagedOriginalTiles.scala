@@ -95,10 +95,13 @@ object SaltedJoin {
   }
 
   /** Hot-cell detection: cells whose point count exceeds `threshold` times
-    * the mean (approx distinct pre-pass, SURVEY.md §4 O8). */
+    * the mean (approx distinct pre-pass, SURVEY.md §4 O8). An empty points
+    * side has no hot cells (avg over zero groups is null, not a crash). */
   def detectHotCells(points: DataFrame, threshold: Double = 8.0): Seq[Long] = {
     val counts = points.groupBy(col("cell_id")).agg(count(lit(1)).as("n"))
-    val mean = counts.agg(avg(col("n"))).head().getDouble(0)
+    val meanRow = counts.agg(avg(col("n"))).head()
+    if (meanRow.isNullAt(0)) return Seq.empty
+    val mean = meanRow.getDouble(0)
     counts.where(col("n") > mean * threshold)
       .select(col("cell_id")).collect().map(_.getLong(0)).toSeq
   }

@@ -37,14 +37,15 @@ object Sinks {
     // reference cleandir semantics (helpers.py:21-27): the tree is rebuilt
     // from scratch so stale files from a previous export never linger.
     // Wipe guard: only a tree that LOOKS like a previous export (nothing
-    // but .jpg/.png leaves) is deleted — a mistyped or shared path with
+    // but .jpg/.png leaves, plus a .tar that tarDirectory may legitimately
+    // have written inside it) is deleted — a mistyped or shared path with
     // unrelated data aborts instead of silently losing it.
     val rootPath = Paths.get(dir)
     if (Files.isDirectory(rootPath)) {
       val check = Files.walk(rootPath)
       val foreign =
         try check.filter(Files.isRegularFile(_)).toArray.map(_.toString)
-          .filterNot(p => p.endsWith(".jpg") || p.endsWith(".png"))
+          .filterNot(p => p.endsWith(".jpg") || p.endsWith(".png") || p.endsWith(".tar"))
         finally check.close()
       require(foreign.isEmpty,
         s"writeFolderTree refuses to wipe $dir: non-export files present " +

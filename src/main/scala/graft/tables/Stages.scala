@@ -71,10 +71,14 @@ final class StageRunner(spark: SparkSession, baseDir: String) {
 
   def isCommitted(name: String): Boolean = Files.exists(manifestPath(name))
 
+  /** None when absent OR unreadable (e.g. a manifest written by an older
+    * release whose schema predates snapshot ids) — an unreadable manifest
+    * means "not committed", so the stage recomputes instead of aborting
+    * the whole run. */
   def manifestObj(name: String): Option[StageManifest] =
-    if (isCommitted(name))
-      Some(ManifestJson.read(manifestPath(name), classOf[StageManifest]))
-    else None
+    if (!isCommitted(name)) None
+    else try Some(ManifestJson.read(manifestPath(name), classOf[StageManifest]))
+    catch { case _: com.fasterxml.jackson.core.JacksonException => None }
 
   /** stage -> last snapshot id ever committed (survives stage-dir loss). */
   private def ledger(): Map[String, Long] =
@@ -109,10 +113,11 @@ final class StageRunner(spark: SparkSession, baseDir: String) {
         .count().orderBy("pid")
         .collect().map(r => PartStat(r.getInt(0), r.getLong(1))).toSeq
       val total = parts.map(_.rows).sum
-      val snapId = math.max(ledger().getOrElse(name, 0L),
+      val led = ledger()
+      val snapId = math.max(led.getOrElse(name, 0L),
         manifestObj(name).map(_.snapshot_id).getOrElse(0L)) + 1
       val newLedger = new java.util.TreeMap[String, java.lang.Long]()
-      (ledger() + (name -> snapId)).foreach { case (k, v) => newLedger.put(k, v) }
+      (led + (name -> snapId)).foreach { case (k, v) => newLedger.put(k, v) }
       ManifestJson.writeAtomic(ledgerPath, newLedger)
       ManifestJson.writeAtomic(manifestPath(name),
         StageManifest(name, snapId, total, inputRefs, parts,
