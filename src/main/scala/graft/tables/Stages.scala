@@ -32,7 +32,7 @@ case class InputRef(stage: String, snapshot_id: Long)
 case class PartStat(pid: Int, rows: Long)
 case class StageManifest(stage: String, snapshot_id: Long, rows: Long,
                          inputs: Seq[InputRef], partitions: Seq[PartStat],
-                         committed_at: String)
+                         wall_ms: Long, committed_at: String)
 
 /**
  * Checkpoint-resumable stage runner with Iceberg-lite snapshot semantics
@@ -106,6 +106,7 @@ final class StageRunner(spark: SparkSession, baseDir: String) {
     }
     val fresh = manifestObj(name).exists(_.inputs.toSet == inputRefs.toSet)
     if (!fresh) {
+      val t0 = System.nanoTime()
       val df = compute
       df.write.mode("overwrite").parquet(dataPath(name))
       val written = spark.read.parquet(dataPath(name))
@@ -121,7 +122,7 @@ final class StageRunner(spark: SparkSession, baseDir: String) {
       ManifestJson.writeAtomic(ledgerPath, newLedger)
       ManifestJson.writeAtomic(manifestPath(name),
         StageManifest(name, snapId, total, inputRefs, parts,
-          java.time.Instant.now().toString))
+          (System.nanoTime() - t0) / 1000000L, java.time.Instant.now().toString))
     }
     spark.read.parquet(dataPath(name))
   }
