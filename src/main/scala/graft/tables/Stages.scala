@@ -32,7 +32,7 @@ case class InputRef(stage: String, snapshot_id: Long)
 case class PartStat(pid: Int, rows: Long)
 case class StageManifest(stage: String, snapshot_id: Long, rows: Long,
                          inputs: Seq[InputRef], partitions: Seq[PartStat],
-                         wall_ms: Long, committed_at: String)
+                         wall_ms: Long, data_dir: String, committed_at: String)
 
 /**
  * Checkpoint-resumable stage runner with Iceberg-lite snapshot semantics
@@ -41,14 +41,19 @@ case class StageManifest(stage: String, snapshot_id: Long, rows: Long,
  * (SURVEY.md env facts), so the table layer provides the same guarantees
  * over plain parquet:
  *
- *  - **atomic commit**: stage output is written to `<stage>/data`, then a
- *    manifest JSON is moved into place with an atomic rename; a stage
- *    without a manifest is invisible (partial writes are ignored and
- *    overwritten on retry).
- *  - **snapshot versioning** (SURVEY §7.5): every commit gets a
- *    monotonically increasing `snapshot_id` (a base-level ledger keeps ids
- *    monotonic even across a deleted-and-rebuilt stage dir), and the
- *    manifest records each INPUT stage's snapshot id at read time.
+ *  - **atomic commit**: stage output is written to a NEW versioned dir
+ *    `<stage>/data_v<snapshot>`, then a manifest JSON pointing at it is
+ *    moved into place with an atomic rename — the Iceberg pointer-swap. A
+ *    stage without a manifest is invisible; a crash mid-write leaves the
+ *    previous snapshot's data intact and still served (never a partial
+ *    overwrite of live data), and concurrent readers of the previous
+ *    snapshot are never written under.
+ *  - **snapshot versioning + time travel** (SURVEY §7.5): every commit
+ *    gets a monotonically increasing `snapshot_id` (a base-level ledger
+ *    keeps ids monotonic even across a deleted-and-rebuilt stage dir), the
+ *    manifest records each INPUT stage's snapshot id at read time, and
+ *    [[readAsOf]] serves any snapshot still inside the retention window
+ *    ([[keepSnapshots]], default 2 — current + previous).
  *  - **resume**: a committed stage is recomputed IFF an input's snapshot
  *    id advanced (or its own manifest is gone) — rerunning an upstream
  *    stage invalidates exactly its downstream cone; untouched chains are
@@ -62,11 +67,18 @@ case class StageManifest(stage: String, snapshot_id: Long, rows: Long,
  * The interface is deliberately narrow (resolve-or-compute + manifest) so a
  * real Iceberg catalog can be slotted in on a cluster.
  */
-final class StageRunner(spark: SparkSession, baseDir: String) {
+final class StageRunner(spark: SparkSession, baseDir: String,
+                        val keepSnapshots: Int = 2) {
+  require(keepSnapshots >= 1, "must retain at least the current snapshot")
   Files.createDirectories(Paths.get(baseDir))
 
   def manifestPath(name: String) = Paths.get(s"$baseDir/$name/manifest.json")
-  def dataPath(name: String) = s"$baseDir/$name/data"
+  /** Data dir of the CURRENT committed snapshot (resolved through the
+    * manifest; "data" is the legacy pre-versioning layout). */
+  def dataPath(name: String): String =
+    s"$baseDir/$name/${manifestObj(name).map(dataDirOf).getOrElse("data")}"
+  private def dataDirOf(m: StageManifest): String =
+    Option(m.data_dir).filter(_.nonEmpty).getOrElse("data")
   private val ledgerPath = Paths.get(s"$baseDir/_snapshots.json")
 
   def isCommitted(name: String): Boolean = Files.exists(manifestPath(name))
@@ -107,24 +119,64 @@ final class StageRunner(spark: SparkSession, baseDir: String) {
     val fresh = manifestObj(name).exists(_.inputs.toSet == inputRefs.toSet)
     if (!fresh) {
       val t0 = System.nanoTime()
+      val led = ledger()
+      val snapId = math.max(led.getOrElse(name, 0L),
+        manifestObj(name).map(_.snapshot_id).getOrElse(0L)) + 1
+      // write the NEW snapshot beside the old one, never over it: the
+      // previous snapshot stays intact and served until the manifest
+      // pointer-swap below commits (crash mid-write = orphan dir, retried
+      // in place on the next run; live data untouched)
+      val newDir = s"data_v$snapId"
       val df = compute
-      df.write.mode("overwrite").parquet(dataPath(name))
-      val written = spark.read.parquet(dataPath(name))
+      df.write.mode("overwrite").parquet(s"$baseDir/$name/$newDir")
+      val written = spark.read.parquet(s"$baseDir/$name/$newDir")
       val parts = written.groupBy(spark_partition_id().as("pid"))
         .count().orderBy("pid")
         .collect().map(r => PartStat(r.getInt(0), r.getLong(1))).toSeq
       val total = parts.map(_.rows).sum
-      val led = ledger()
-      val snapId = math.max(led.getOrElse(name, 0L),
-        manifestObj(name).map(_.snapshot_id).getOrElse(0L)) + 1
       val newLedger = new java.util.TreeMap[String, java.lang.Long]()
       (led + (name -> snapId)).foreach { case (k, v) => newLedger.put(k, v) }
       ManifestJson.writeAtomic(ledgerPath, newLedger)
       ManifestJson.writeAtomic(manifestPath(name),
         StageManifest(name, snapId, total, inputRefs, parts,
-          (System.nanoTime() - t0) / 1000000L, java.time.Instant.now().toString))
+          (System.nanoTime() - t0) / 1000000L, newDir, java.time.Instant.now().toString))
+      expireSnapshots(name, snapId)
     }
     spark.read.parquet(dataPath(name))
+  }
+
+  /** Retention: keep the newest [[keepSnapshots]] versioned dirs (plus
+    * never touch the one the current manifest points at); drop the rest
+    * and any legacy unversioned `data` dir no longer referenced. */
+  private def expireSnapshots(name: String, currentId: Long): Unit = {
+    val stageDir = Paths.get(s"$baseDir/$name")
+    val current = manifestObj(name).map(dataDirOf).getOrElse("data")
+    val children = Files.list(stageDir)
+    val victims =
+      try children.toArray.map(_.asInstanceOf[Path])
+        .filter(p => Files.isDirectory(p) && p.getFileName.toString != current)
+        .filter { p =>
+          val n = p.getFileName.toString
+          n == "data" || "data_v(\\d+)".r.findFirstMatchIn(n)
+            .exists(_.group(1).toLong <= currentId - keepSnapshots)
+        }
+      finally children.close()
+    victims.foreach { dir =>
+      val walk = Files.walk(dir)
+      try walk.sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(p => Files.deleteIfExists(p))
+      finally walk.close()
+    }
+  }
+
+  /** Time travel: the stage's output AS OF `snapshotId`. Only snapshots
+    * inside the retention window are servable. */
+  def readAsOf(name: String, snapshotId: Long): DataFrame = {
+    val p = Paths.get(s"$baseDir/$name/data_v$snapshotId")
+    require(Files.isDirectory(p),
+      s"snapshot $snapshotId of stage '$name' is not retained " +
+        s"(keepSnapshots=$keepSnapshots, current=${this.snapshotId(name)})")
+    spark.read.parquet(p.toString)
   }
 
   def manifest(name: String): Option[String] =

@@ -81,6 +81,22 @@ class ResumeSaltSinkSpec extends AnyFunSuite {
     ids(StagedOriginalTiles.run(spark, nodes, ways, images, cfg, dir))
     for ((s, t) <- stamps)
       assert(Files.getLastModifiedTime(runner.manifestPath(s)) == t, s"$s recomputed on no-op rerun")
+
+    // time travel: both retained snapshots of the touched stage serve, and
+    // the deterministic recompute makes them row-identical
+    def cells(df: org.apache.spark.sql.DataFrame) =
+      df.select($"cell_id").as[Long].collect().sorted.toSeq
+    assert(cells(runner.readAsOf("painted_cells", 1L)) ==
+           cells(runner.readAsOf("painted_cells", 2L)), "AS OF 1 == AS OF 2")
+    intercept[IllegalArgumentException](runner.readAsOf("painted_cells", 99L))
+
+    // retention: a third commit expires snapshot 1 (keepSnapshots = 2)
+    runner.invalidate("painted_cells")
+    ids(StagedOriginalTiles.run(spark, nodes, ways, images, cfg, dir))
+    assert(runner.snapshotId("painted_cells").contains(3L))
+    assert(cells(runner.readAsOf("painted_cells", 3L)) ==
+           cells(runner.readAsOf("painted_cells", 2L)))
+    intercept[IllegalArgumentException](runner.readAsOf("painted_cells", 1L))
   }
 
   test("staged expand == expandedCrops; losing a crop stage recomputes only it") {
