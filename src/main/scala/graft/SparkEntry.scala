@@ -698,6 +698,50 @@ object SparkEntry {
       deduped.groupBy(col("event_type")).agg(count(lit(1)).as("n_users"))
     }),
 
+    // streaming session windows: per-user sessions with a 30-min gap via
+    // the built-in session_window (the declarative form — no hand-rolled
+    // state). Append mode with a zero watermark delay: a session emits
+    // once the watermark (= max event time seen) passes its end, so the
+    // open tail sessions stay in state BY DESIGN — the oracle mirrors the
+    // finalization cutoff exactly (sessions with end <= global max ts).
+    "q_stream_session" -> ((s, dir) => {
+      runStream(s, dir, "stream_session", mode = "append") { stream =>
+        stream
+          .withWatermark("ts", "0 seconds")
+          .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+          .agg(count(lit(1)).as("n"),
+            sum(floor(col("value") * 100 + 0.5).cast("long")).as("value_cents"))
+          .select(col("user_id"),
+            unix_millis(col("session_window.start")).as("start_ms"),
+            unix_millis(col("session_window.end")).as("end_ms"),
+            col("n"), col("value_cents"))
+      }
+    }),
+
+    // streaming custom state (flatMapGroupsWithState): per-user admission
+    // cap — emit only each user's FIRST 3 events by (event time, id), the
+    // streaming form of the per-class cap (A1 balance). State per key is
+    // one counter (bounded); within the micro-batch the group iterator is
+    // sorted before admitting, so output is arrival-order-independent.
+    "q_stream_cap" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+      runStream(s, dir, "stream_cap", mode = "append") { stream =>
+        stream.select(col("event_id"), col("user_id"), unix_millis(col("ts")).as("tsm"))
+          .as[(Long, Long, Long)]
+          .groupByKey(_._2)
+          .flatMapGroupsWithState[Long, (Long, Long)](
+              OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+            (user: Long, rows: Iterator[(Long, Long, Long)], state: GroupState[Long]) =>
+              val seen = state.getOption.getOrElse(0L)
+              val admitted = rows.toSeq.sortBy(r => (r._3, r._1))
+                .take(math.max(0, (3 - seen).toInt))
+              state.update(seen + admitted.size)
+              admitted.map(r => (r._1, user)).iterator
+          }.toDF("event_id", "user_id")
+      }
+    }),
+
     // ---------- multimodal / image ops over the synthetic corpus ----------
     // (engine-only rows checks: the sf dirs carry no image table; these run
     // on the deterministic synthetic world regardless of `dir`)
@@ -1215,6 +1259,39 @@ object SparkEntry {
     "q_stream_dedup" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users
          FROM events GROUP BY event_type""",
+
+    // gaps-and-islands sessionization twin of session_window(30 min): a
+    // new session starts when the gap >= 30 min (session windows are
+    // half-open, [start, last+gap)); the final filter mirrors streaming
+    // finalization — only sessions whose end passed the terminal watermark
+    // (= global max event time at zero delay) have been emitted
+    "q_stream_session" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts) AS tsm, value FROM events),
+         flags AS (
+           SELECT user_id, tsm, value,
+             CASE WHEN lag(tsm) OVER w IS NULL
+                  OR tsm - lag(tsm) OVER w >= 1800000 THEN 1 ELSE 0 END AS new_s
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsm)),
+         sess AS (
+           SELECT user_id, tsm, value,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY tsm
+               ROWS UNBOUNDED PRECEDING) AS sid
+           FROM flags),
+         agg AS (
+           SELECT user_id, sid, min(tsm) AS start_ms,
+             max(tsm) + 1800000 AS end_ms, count(*) AS n,
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
+           FROM sess GROUP BY 1, 2),
+         cutoff AS (SELECT max(epoch_ms(ts)) AS mx FROM events)
+         SELECT user_id, start_ms, end_ms, n, value_cents
+         FROM agg, cutoff WHERE end_ms <= mx""",
+
+    // first-3-per-user admission cap (custom-state twin)
+    "q_stream_cap" ->
+      """SELECT event_id, user_id FROM (
+           SELECT event_id, user_id,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+           FROM events) WHERE rn <= 3""",
 
     // the streaming rollup must equal the batch oracle exactly
     "q_stream_window" ->
