@@ -727,7 +727,10 @@ object SparkEntry {
       import s.implicits._
       import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
       runStream(s, dir, "stream_cap", mode = "append") { stream =>
-        stream.select(col("event_id"), col("user_id"), unix_millis(col("ts")).as("tsm"))
+        // FULL microsecond precision for the admission order — the oracle
+        // orders by the raw (us) timestamp; ms truncation could reorder
+        // same-user events inside one millisecond
+        stream.select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("tsu"))
           .as[(Long, Long, Long)]
           .groupByKey(_._2)
           .flatMapGroupsWithState[Long, (Long, Long)](
@@ -1260,31 +1263,35 @@ object SparkEntry {
       """SELECT event_type, count(DISTINCT user_id) AS n_users
          FROM events GROUP BY event_type""",
 
-    // gaps-and-islands sessionization twin of session_window(30 min): a
-    // new session starts when the gap >= 30 min (session windows are
-    // half-open, [start, last+gap)); the final filter mirrors streaming
-    // finalization — only sessions whose end passed the terminal watermark
-    // (= global max event time at zero delay) have been emitted
+    // gaps-and-islands sessionization twin of session_window(30 min), in
+    // MICROSECONDS (Spark sessionizes on the raw us event time; an
+    // ms-truncated twin splits/merges differently at sub-ms boundaries):
+    // Spark merges an event whose window start equals the running session
+    // end (UpdatingSessionsIterator splits only on start > end), so a new
+    // session starts when the gap is STRICTLY greater than 30 min. The
+    // final filter mirrors streaming finalization — a session emits when
+    // end <= watermark, and the watermark tracks event time floored to ms.
     "q_stream_session" ->
-      """WITH e AS (SELECT user_id, epoch_ms(ts) AS tsm, value FROM events),
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS tsu, value FROM events),
          flags AS (
-           SELECT user_id, tsm, value,
-             CASE WHEN lag(tsm) OVER w IS NULL
-                  OR tsm - lag(tsm) OVER w >= 1800000 THEN 1 ELSE 0 END AS new_s
-           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsm)),
+           SELECT user_id, tsu, value,
+             CASE WHEN lag(tsu) OVER w IS NULL
+                  OR tsu - lag(tsu) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_s
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsu)),
          sess AS (
-           SELECT user_id, tsm, value,
-             sum(new_s) OVER (PARTITION BY user_id ORDER BY tsm
+           SELECT user_id, tsu, value,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY tsu
                ROWS UNBOUNDED PRECEDING) AS sid
            FROM flags),
          agg AS (
-           SELECT user_id, sid, min(tsm) AS start_ms,
-             max(tsm) + 1800000 AS end_ms, count(*) AS n,
+           SELECT user_id, sid, min(tsu) AS start_us,
+             max(tsu) + 1800000000 AS end_us, count(*) AS n,
              CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
            FROM sess GROUP BY 1, 2),
-         cutoff AS (SELECT max(epoch_ms(ts)) AS mx FROM events)
-         SELECT user_id, start_ms, end_ms, n, value_cents
-         FROM agg, cutoff WHERE end_ms <= mx""",
+         cutoff AS (SELECT (max(epoch_us(ts)) // 1000) * 1000 AS wm_us FROM events)
+         SELECT user_id, start_us // 1000 AS start_ms, end_us // 1000 AS end_ms,
+           n, value_cents
+         FROM agg, cutoff WHERE end_us <= wm_us""",
 
     // first-3-per-user admission cap (custom-state twin)
     "q_stream_cap" ->

@@ -73,6 +73,11 @@ final class StageRunner(spark: SparkSession, baseDir: String,
   Files.createDirectories(Paths.get(baseDir))
 
   def manifestPath(name: String) = Paths.get(s"$baseDir/$name/manifest.json")
+  /** Immutable per-version manifest — the commit HISTORY; `manifest.json`
+    * is only the current pointer. A version without its manifest_v file
+    * was never committed (crash orphan) and is never servable. */
+  def versionManifestPath(name: String, id: Long) =
+    Paths.get(s"$baseDir/$name/manifest_v$id.json")
   /** Data dir of the CURRENT committed snapshot (resolved through the
     * manifest; "data" is the legacy pre-versioning layout). */
   def dataPath(name: String): String =
@@ -116,16 +121,17 @@ final class StageRunner(spark: SparkSession, baseDir: String,
         throw new IllegalStateException(s"stage '$name' input '$i' is not committed"))
       InputRef(i, m.snapshot_id)
     }
-    val fresh = manifestObj(name).exists(_.inputs.toSet == inputRefs.toSet)
+    val cur = manifestObj(name)
+    val fresh = cur.exists(_.inputs.toSet == inputRefs.toSet)
     if (!fresh) {
       val t0 = System.nanoTime()
-      val led = ledger()
-      val snapId = math.max(led.getOrElse(name, 0L),
-        manifestObj(name).map(_.snapshot_id).getOrElse(0L)) + 1
+      val snapId = math.max(ledger().getOrElse(name, 0L),
+        cur.map(_.snapshot_id).getOrElse(0L)) + 1
       // write the NEW snapshot beside the old one, never over it: the
       // previous snapshot stays intact and served until the manifest
-      // pointer-swap below commits (crash mid-write = orphan dir, retried
-      // in place on the next run; live data untouched)
+      // pointer-swap below commits (crash mid-write = orphan dir — never
+      // committed, never servable, reaped by the next expire; live data
+      // untouched)
       val newDir = s"data_v$snapId"
       val df = compute
       df.write.mode("overwrite").parquet(s"$baseDir/$name/$newDir")
@@ -134,48 +140,78 @@ final class StageRunner(spark: SparkSession, baseDir: String,
         .count().orderBy("pid")
         .collect().map(r => PartStat(r.getInt(0), r.getLong(1))).toSeq
       val total = parts.map(_.rows).sum
+      val manifest = StageManifest(name, snapId, total, inputRefs, parts,
+        (System.nanoTime() - t0) / 1000000L, newDir, java.time.Instant.now().toString)
+      // ledger is RE-READ at write time: a compute thunk may itself run
+      // stages, and a stale early read would erase their entries
+      val led = ledger()
       val newLedger = new java.util.TreeMap[String, java.lang.Long]()
       (led + (name -> snapId)).foreach { case (k, v) => newLedger.put(k, v) }
       ManifestJson.writeAtomic(ledgerPath, newLedger)
-      ManifestJson.writeAtomic(manifestPath(name),
-        StageManifest(name, snapId, total, inputRefs, parts,
-          (System.nanoTime() - t0) / 1000000L, newDir, java.time.Instant.now().toString))
-      expireSnapshots(name, snapId)
-    }
-    spark.read.parquet(dataPath(name))
+      // commit order: immutable history entry first, then the pointer swap
+      ManifestJson.writeAtomic(versionManifestPath(name, snapId), manifest)
+      ManifestJson.writeAtomic(manifestPath(name), manifest)
+      expireSnapshots(name, manifest)
+      spark.read.parquet(s"$baseDir/$name/$newDir")
+    } else spark.read.parquet(s"$baseDir/$name/${dataDirOf(cur.get)}")
   }
 
-  /** Retention: keep the newest [[keepSnapshots]] versioned dirs (plus
-    * never touch the one the current manifest points at); drop the rest
-    * and any legacy unversioned `data` dir no longer referenced. */
-  private def expireSnapshots(name: String, currentId: Long): Unit = {
+  /** Committed version ids still on disk (from the immutable per-version
+    * manifests — commit HISTORY, not directory listing). */
+  def committedVersions(name: String): Seq[Long] = {
     val stageDir = Paths.get(s"$baseDir/$name")
-    val current = manifestObj(name).map(dataDirOf).getOrElse("data")
+    if (!Files.isDirectory(stageDir)) return Seq.empty
     val children = Files.list(stageDir)
-    val victims =
-      try children.toArray.map(_.asInstanceOf[Path])
-        .filter(p => Files.isDirectory(p) && p.getFileName.toString != current)
-        .filter { p =>
-          val n = p.getFileName.toString
-          n == "data" || "data_v(\\d+)".r.findFirstMatchIn(n)
-            .exists(_.group(1).toLong <= currentId - keepSnapshots)
-        }
-      finally children.close()
-    victims.foreach { dir =>
+    try children.toArray.map(_.asInstanceOf[Path].getFileName.toString)
+      .flatMap("manifest_v(\\d+)\\.json".r.findFirstMatchIn(_).map(_.group(1).toLong))
+      .sorted.toSeq
+    finally children.close()
+  }
+
+  /** Retention: keep the newest [[keepSnapshots]] COMMITTED versions; drop
+    * older committed versions (data + history entry), any crash-orphan
+    * data dir that was never committed, and a legacy unversioned `data`
+    * dir no longer referenced. Never touches the current snapshot. */
+  private def expireSnapshots(name: String, current: StageManifest): Unit = {
+    val stageDir = Paths.get(s"$baseDir/$name")
+    val keepIds = committedVersions(name).takeRight(keepSnapshots).toSet + current.snapshot_id
+    def rmTree(dir: Path): Unit = if (Files.exists(dir)) {
       val walk = Files.walk(dir)
       try walk.sorted(java.util.Comparator.reverseOrder[Path]())
         .forEach(p => Files.deleteIfExists(p))
       finally walk.close()
     }
+    val children = Files.list(stageDir)
+    val dirs =
+      try children.toArray.map(_.asInstanceOf[Path]).filter(Files.isDirectory(_))
+      finally children.close()
+    dirs.foreach { p =>
+      val n = p.getFileName.toString
+      val versioned = "data_v(\\d+)".r.findFirstMatchIn(n).map(_.group(1).toLong)
+      val expired = versioned match {
+        case Some(v) => v != current.snapshot_id &&
+          (!keepIds.contains(v) || !Files.exists(versionManifestPath(name, v)))
+        case None => n == "data" && dataDirOf(current) != "data"
+      }
+      if (expired) {
+        rmTree(p)
+        versioned.foreach(v => Files.deleteIfExists(versionManifestPath(name, v)))
+      }
+    }
+    // history entries of versions whose data is gone serve nothing
+    committedVersions(name).filterNot(keepIds.contains)
+      .foreach(v => Files.deleteIfExists(versionManifestPath(name, v)))
   }
 
-  /** Time travel: the stage's output AS OF `snapshotId`. Only snapshots
-    * inside the retention window are servable. */
+  /** Time travel: the stage's output AS OF `snapshotId`. Only COMMITTED
+    * snapshots inside the retention window are servable — a data dir
+    * without its immutable version manifest (a crash orphan) refuses. */
   def readAsOf(name: String, snapshotId: Long): DataFrame = {
+    val m = versionManifestPath(name, snapshotId)
     val p = Paths.get(s"$baseDir/$name/data_v$snapshotId")
-    require(Files.isDirectory(p),
-      s"snapshot $snapshotId of stage '$name' is not retained " +
-        s"(keepSnapshots=$keepSnapshots, current=${this.snapshotId(name)})")
+    require(Files.exists(m) && Files.isDirectory(p),
+      s"snapshot $snapshotId of stage '$name' is not a retained committed snapshot " +
+        s"(committed: ${committedVersions(name).mkString(",")}, keepSnapshots=$keepSnapshots)")
     spark.read.parquet(p.toString)
   }
 

@@ -97,6 +97,16 @@ class ResumeSaltSinkSpec extends AnyFunSuite {
     assert(cells(runner.readAsOf("painted_cells", 3L)) ==
            cells(runner.readAsOf("painted_cells", 2L)))
     intercept[IllegalArgumentException](runner.readAsOf("painted_cells", 1L))
+
+    // a crash-orphan data dir (no immutable version manifest) must never
+    // serve as a snapshot, even though the directory exists
+    Files.createDirectories(Paths.get(s"$dir/painted_cells/data_v99"))
+    intercept[IllegalArgumentException](runner.readAsOf("painted_cells", 99L))
+    // ...and the next commit reaps it
+    runner.invalidate("painted_cells")
+    ids(StagedOriginalTiles.run(spark, nodes, ways, images, cfg, dir))
+    assert(!Files.exists(Paths.get(s"$dir/painted_cells/data_v99")), "orphan reaped")
+    assert(runner.snapshotId("painted_cells").contains(4L))
   }
 
   test("staged expand == expandedCrops; losing a crop stage recomputes only it") {
