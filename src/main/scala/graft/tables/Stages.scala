@@ -121,6 +121,7 @@ final class StageRunner(spark: SparkSession, baseDir: String,
         throw new IllegalStateException(s"stage '$name' input '$i' is not committed"))
       InputRef(i, m.snapshot_id)
     }
+    ensureHistory(name)
     val cur = manifestObj(name)
     val fresh = cur.exists(_.inputs.toSet == inputRefs.toSet)
     if (!fresh) {
@@ -151,30 +152,50 @@ final class StageRunner(spark: SparkSession, baseDir: String,
       // commit order: immutable history entry first, then the pointer swap
       ManifestJson.writeAtomic(versionManifestPath(name, snapId), manifest)
       ManifestJson.writeAtomic(manifestPath(name), manifest)
-      expireSnapshots(name, manifest)
+      expireSnapshots(name, manifest, prevServed = cur.map(_.snapshot_id))
       spark.read.parquet(s"$baseDir/$name/$newDir")
     } else spark.read.parquet(s"$baseDir/$name/${dataDirOf(cur.get)}")
   }
 
   /** Committed version ids still on disk (from the immutable per-version
-    * manifests — commit HISTORY, not directory listing). */
+    * manifests — commit HISTORY, not directory listing). Anchored match:
+    * a crashed writeAtomic's `manifest_vN.json.tmp` must never count as a
+    * committed version (it would poison retention into evicting a real
+    * snapshot early). */
   def committedVersions(name: String): Seq[Long] = {
     val stageDir = Paths.get(s"$baseDir/$name")
     if (!Files.isDirectory(stageDir)) return Seq.empty
     val children = Files.list(stageDir)
     try children.toArray.map(_.asInstanceOf[Path].getFileName.toString)
-      .flatMap("manifest_v(\\d+)\\.json".r.findFirstMatchIn(_).map(_.group(1).toLong))
+      .flatMap("^manifest_v(\\d+)\\.json$".r.findFirstMatchIn(_).map(_.group(1).toLong))
       .sorted.toSeq
     finally children.close()
   }
 
-  /** Retention: keep the newest [[keepSnapshots]] COMMITTED versions; drop
-    * older committed versions (data + history entry), any crash-orphan
-    * data dir that was never committed, and a legacy unversioned `data`
-    * dir no longer referenced. Never touches the current snapshot. */
-  private def expireSnapshots(name: String, current: StageManifest): Unit = {
+  /** Migration: a baseDir written by the release that versioned data dirs
+    * but kept no per-version history gets its CURRENT snapshot's history
+    * entry synthesized from the pointer manifest, so readAsOf/retention
+    * honor it instead of treating it as a crash orphan. */
+  private def ensureHistory(name: String): Unit =
+    manifestObj(name).foreach { m =>
+      val vp = versionManifestPath(name, m.snapshot_id)
+      if (dataDirOf(m) != "data" && !Files.exists(vp))
+        ManifestJson.writeAtomic(vp, m)
+    }
+
+  /** Retention: keep the newest [[keepSnapshots]] COMMITTED versions, the
+    * current snapshot, and the snapshot the pointer served BEFORE this
+    * commit (`prevServed` — a history entry whose pointer swap crashed was
+    * never served and must not push the real rollback target out of the
+    * window). Un-committed (orphan) data dirs are reaped only once their
+    * id falls [[keepSnapshots]] behind the current one — the grace window
+    * for a concurrently in-flight writer. Legacy unversioned `data` dirs
+    * no longer referenced are dropped. */
+  private def expireSnapshots(name: String, current: StageManifest,
+                              prevServed: Option[Long]): Unit = {
     val stageDir = Paths.get(s"$baseDir/$name")
-    val keepIds = committedVersions(name).takeRight(keepSnapshots).toSet + current.snapshot_id
+    val keepIds = committedVersions(name).takeRight(keepSnapshots).toSet +
+      current.snapshot_id ++ prevServed
     def rmTree(dir: Path): Unit = if (Files.exists(dir)) {
       val walk = Files.walk(dir)
       try walk.sorted(java.util.Comparator.reverseOrder[Path]())
@@ -187,10 +208,11 @@ final class StageRunner(spark: SparkSession, baseDir: String,
       finally children.close()
     dirs.foreach { p =>
       val n = p.getFileName.toString
-      val versioned = "data_v(\\d+)".r.findFirstMatchIn(n).map(_.group(1).toLong)
+      val versioned = "^data_v(\\d+)$".r.findFirstMatchIn(n).map(_.group(1).toLong)
       val expired = versioned match {
-        case Some(v) => v != current.snapshot_id &&
-          (!keepIds.contains(v) || !Files.exists(versionManifestPath(name, v)))
+        case Some(v) if v == current.snapshot_id => false
+        case Some(v) if Files.exists(versionManifestPath(name, v)) => !keepIds.contains(v)
+        case Some(v) => v <= current.snapshot_id - keepSnapshots // orphan past grace
         case None => n == "data" && dataDirOf(current) != "data"
       }
       if (expired) {
@@ -207,6 +229,7 @@ final class StageRunner(spark: SparkSession, baseDir: String,
     * snapshots inside the retention window are servable — a data dir
     * without its immutable version manifest (a crash orphan) refuses. */
   def readAsOf(name: String, snapshotId: Long): DataFrame = {
+    ensureHistory(name)
     val m = versionManifestPath(name, snapshotId)
     val p = Paths.get(s"$baseDir/$name/data_v$snapshotId")
     require(Files.exists(m) && Files.isDirectory(p),

@@ -101,12 +101,18 @@ class ResumeSaltSinkSpec extends AnyFunSuite {
     // a crash-orphan data dir (no immutable version manifest) must never
     // serve as a snapshot, even though the directory exists
     Files.createDirectories(Paths.get(s"$dir/painted_cells/data_v99"))
+    Files.createDirectories(Paths.get(s"$dir/painted_cells/data_v1"))
     intercept[IllegalArgumentException](runner.readAsOf("painted_cells", 99L))
-    // ...and the next commit reaps it
+    intercept[IllegalArgumentException](runner.readAsOf("painted_cells", 1L))
+    // ...the next commit reaps STALE orphans (id fell keepSnapshots behind)
+    // but grants recent ids the in-flight grace window
     runner.invalidate("painted_cells")
     ids(StagedOriginalTiles.run(spark, nodes, ways, images, cfg, dir))
-    assert(!Files.exists(Paths.get(s"$dir/painted_cells/data_v99")), "orphan reaped")
     assert(runner.snapshotId("painted_cells").contains(4L))
+    assert(!Files.exists(Paths.get(s"$dir/painted_cells/data_v1")), "stale orphan reaped")
+    assert(Files.exists(Paths.get(s"$dir/painted_cells/data_v99")),
+      "recent orphan kept (in-flight writer grace window)")
+    intercept[IllegalArgumentException](runner.readAsOf("painted_cells", 99L))
   }
 
   test("staged expand == expandedCrops; losing a crop stage recomputes only it") {
