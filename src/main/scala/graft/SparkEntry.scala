@@ -582,6 +582,31 @@ object SparkEntry {
         k = 3, dim = 64, multiProbe = true)
     }),
 
+    // IVF ANN: deterministic md5-sampled coarse quantizer (16 lists),
+    // probes route to their 2 max-dot lists, corpus meets probes in ONE
+    // equi-join on the list id, exact integer scoring, per-probe top-3.
+    // Candidate cost ~ nprobe/nlist of the corpus BY CONSTRUCTION — the
+    // tunable complement to the LSH index's geometry-driven buckets.
+    "q_ann_ivf" -> ((s, dir) => {
+      val corpus = annCorpus(t(s, dir, "embeddings"))
+      pipeline.IvfIndex.knnJoin(corpus.where(col("vec_id") < 20), corpus,
+        k = 3, nlist = 16, nprobe = 2)
+    }),
+
+    // H3/S2-style compact: order points -> z14 cell cover -> collapse
+    // complete sibling quads into parents down to z11 (the minimal
+    // mixed-zoom cover of the same area). Pure integer column math; each
+    // of the 3 rounds is one groupBy on the parent id, replayed
+    // term-for-term by the DuckDB twin.
+    "q_cell_compact" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(
+        latOf(col("o_orderkey")).as("lat"), lngOf(col("o_orderkey")).as("lng"))
+      val cells = o.select(GeoF.cellAtWgs(col("lat"), col("lng"), 14).as("cell_id"))
+      pipeline.CellOps.compact(cells, zMax = 14, zMin = 11)
+        .select(col("cell_id"),
+          shiftrightunsigned(col("cell_id"), 58).cast("long").as("zl"))
+    }),
+
     // semantic dedup at scale: LSH-bucketed all-pairs embedding near-dup
     // (never n² — candidates share a chunk bucket) -> exact fixed-point
     // cosine verify -> connected components -> keep-min decisions. The
@@ -878,12 +903,8 @@ object SparkEntry {
     * shift semantics cannot diverge) as `chunks`, plus `quant`. The quant
     * relation is the annCorpus twin: the raw table UNION ALL the planted
     * near-dups (same ids, same per-dim double nudges, term-for-term). */
-  private val annChunkCtes: String =
-    """hp AS (
-           SELECT j.range AS j, i.range AS i,
-             CAST('0x' || substr(md5('hp|' || CAST(j.range AS VARCHAR) || '|' || CAST(i.range AS VARCHAR)), 1, 15) AS BIGINT) % 2001 - 1000 AS hq
-           FROM range(0, 64) j, range(0, 64) i),
-         quant AS (
+  private val annQuantCte: String =
+    """quant AS (
            SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
              CAST(floor(unnest(embedding) * 1000) AS BIGINT) AS vq
            FROM embeddings
@@ -893,7 +914,14 @@ object SparkEntry {
                CAST((b.vec_id + b.pos * (j.range + 1)) % 7 - 3 AS DOUBLE) * 0.0005::DOUBLE) * 1000) AS BIGINT) AS vq
            FROM (SELECT vec_id, unnest(embedding) AS v,
                         generate_subscripts(embedding, 1) - 1 AS pos
-                 FROM embeddings WHERE vec_id < 40) b, range(0, 5) j),
+                 FROM embeddings WHERE vec_id < 40) b, range(0, 5) j)"""
+
+  private val annChunkCtes: String =
+    s"""hp AS (
+           SELECT j.range AS j, i.range AS i,
+             CAST('0x' || substr(md5('hp|' || CAST(j.range AS VARCHAR) || '|' || CAST(i.range AS VARCHAR)), 1, 15) AS BIGINT) % 2001 - 1000 AS hq
+           FROM range(0, 64) j, range(0, 64) i),
+         $annQuantCte,
          bits AS (
            SELECT q.vec_id, h.j,
              CASE WHEN sum(q.vq * h.hq) > 0 THEN 1 ELSE 0 END AS bit
@@ -902,6 +930,25 @@ object SparkEntry {
            SELECT vec_id, j // 16 AS c,
              CAST(sum(CAST(bit AS BIGINT) << CAST(j % 16 AS INTEGER)) AS BIGINT) AS ck
            FROM bits GROUP BY vec_id, j // 16)"""
+
+  /** One compact round (twin of a CellOps.compact loop iteration): cells of
+    * `cur` at level `z` group by parent; complete quads (n=4) promote to the
+    * parent cell, partial quads pass through, other levels pass through. */
+  private def compactRoundCtes(cur: String, z: Int, out: String): String = {
+    val zs = 1L << 58
+    val xy = 1L << 29
+    s"""lvl$z AS (
+           SELECT cell_id,
+             ${z - 1} * $zs + ((cell_id % $zs) // $xy // 2) * $xy + ((cell_id % $xy) // 2) AS p
+           FROM $cur WHERE cell_id // $zs = $z),
+         cnt$z AS (SELECT p, count(*) AS n FROM lvl$z GROUP BY p),
+         $out AS (
+           SELECT l.cell_id FROM lvl$z l JOIN cnt$z c ON l.p = c.p WHERE c.n < 4
+           UNION ALL
+           SELECT p AS cell_id FROM cnt$z WHERE n = 4
+           UNION ALL
+           SELECT cell_id FROM $cur WHERE cell_id // $zs <> $z)"""
+  }
 
   /** Shared connected-components twin of [[pipeline.Dedup.resolveClusters]]
     * (recursive-CTE transitive closure -> component min as representative):
@@ -1441,6 +1488,64 @@ object SparkEntry {
              row_number() OVER (PARTITION BY probe_id ORDER BY dot DESC, vec_id) AS rank
            FROM scored)
          SELECT probe_id, rank, vec_id, dot FROM ranked WHERE rank <= 3""",
+
+    // exact SQL twin of IvfIndex.knnJoin: md5-first centroid sample (16),
+    // exact-integer-dot assignment (ties -> smaller cid), probes route to
+    // their 2 best lists, candidates scored exactly, per-probe top-3
+    "q_ann_ivf" ->
+      s"""WITH $annQuantCte,
+         cids AS (
+           SELECT vec_id AS cid FROM (SELECT DISTINCT vec_id FROM quant) v
+           ORDER BY md5('ivf|' || CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+         cq AS (SELECT c.cid, q.pos, q.vq FROM cids c JOIN quant q ON q.vec_id = c.cid),
+         cdots AS (
+           SELECT q.vec_id, c.cid, sum(q.vq * c.vq) AS dot
+           FROM quant q JOIN cq c ON c.pos = q.pos GROUP BY q.vec_id, c.cid),
+         assign AS (
+           SELECT vec_id, cid FROM (
+             SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid) AS rn
+             FROM cdots) WHERE rn = 1),
+         proute AS (
+           SELECT vec_id AS probe_id, cid FROM (
+             SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid) AS rn
+             FROM cdots WHERE vec_id < 20) WHERE rn <= 2),
+         cand AS (
+           SELECT p.probe_id, a.vec_id FROM proute p JOIN assign a ON a.cid = p.cid
+           WHERE a.vec_id <> p.probe_id),
+         scored AS (
+           SELECT c.probe_id, c.vec_id, CAST(sum(q.vq * pq.vq) AS BIGINT) AS dot
+           FROM cand c
+           JOIN quant q ON q.vec_id = c.vec_id
+           JOIN quant pq ON pq.vec_id = c.probe_id AND pq.pos = q.pos
+           GROUP BY c.probe_id, c.vec_id),
+         ranked AS (
+           SELECT probe_id, vec_id, dot,
+             row_number() OVER (PARTITION BY probe_id ORDER BY dot DESC, vec_id) AS rank
+           FROM scored)
+         SELECT probe_id, rank, vec_id, dot FROM ranked WHERE rank <= 3""",
+
+    // exact SQL twin of CellOps.compact over the z14 order-point cover:
+    // cell packing is pure integer arithmetic (z*2^58 + tx*2^29 + ty), and
+    // each of the 3 rounds replays one groupBy-on-parent promotion
+    "q_cell_compact" ->
+      s"""WITH pts AS (
+            SELECT
+              (256.0::DOUBLE * (0.5::DOUBLE + ($lngSqlO) / 360.0::DOUBLE)) AS wx,
+              (256.0::DOUBLE * (0.5::DOUBLE - ln((1.0::DOUBLE + least(greatest(sin(($latSqlO) * pi() / 180.0::DOUBLE), -0.9999::DOUBLE), 0.9999::DOUBLE))
+                 / (1.0::DOUBLE - least(greatest(sin(($latSqlO) * pi() / 180.0::DOUBLE), -0.9999::DOUBLE), 0.9999::DOUBLE))) / (4 * pi()))) AS wy
+            FROM orders),
+          r14 AS (
+            SELECT DISTINCT
+              14 * ${1L << 58} +
+              CAST(floor(wx * 16384 / 256) AS BIGINT) * ${1L << 29} +
+              CAST(floor(wy * 16384 / 256) AS BIGINT) AS cell_id
+            FROM pts),
+          ${compactRoundCtes("r14", 14, "r13")},
+          ${compactRoundCtes("r13", 13, "r12")},
+          ${compactRoundCtes("r12", 12, "r11")}
+          SELECT cell_id, CAST(cell_id // ${1L << 58} AS BIGINT) AS zl FROM r11""",
 
     // exact SQL twin of nearDupPairs + resolveClusters: same chunk-bucket
     // candidate pairs, same fixed-point cosine, recursive-CTE components

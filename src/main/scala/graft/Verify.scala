@@ -12,7 +12,11 @@ object Verify {
     sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft_verify_aux/images_meta.parquet"
 
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val (sfDir, outDir) = (args(0), args(1))
+    // optional 3rd arg (local tooling only — the driver passes two): comma-
+    // separated query names to restrict the dump + oracle json to
+    val only: Option[Set[String]] = args.lift(2).map(_.split(',').toSet)
+    def keep(name: String): Boolean = only.forall(_.contains(name))
     // correctness gate: dedup signatures must take the md5-portable path
     // that the DuckDB twins replay (default is the xxhash64 fast path)
     System.setProperty("graft.oracleHashing", "1")
@@ -34,7 +38,7 @@ object Verify {
       .select(org.apache.spark.sql.functions.col("cell_id"),
         org.apache.spark.sql.functions.col("phash"))
       .coalesce(1).write.mode("overwrite").parquet(AuxImagesMeta)
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries.filter(kv => keep(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -56,7 +60,7 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    val json = SparkEntry.oracleSql.filter(kv => keep(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -1,0 +1,82 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Hierarchical cell-cover algebra over the packed quadtree cell ids of
+ * [[graft.core.CellId]] — the relational form of H3/S2 `compact`: a cover
+ * set expressed at a fine zoom collapses every COMPLETE 4-sibling quad
+ * into its parent, repeatedly, yielding the minimal mixed-zoom cover of
+ * exactly the same area. Reference analog: none (the reference fixes one
+ * zoom per run, lib/layers.py:107-118); this is the index-maintenance op a
+ * planet-scale cover needs — a z19 country cover is billions of cells,
+ * its compact form is orders of magnitude smaller, and coverage joins
+ * against a compacted set probe one ancestor chain per point instead of
+ * one equality per fine cell.
+ *
+ * All cell math is integer column arithmetic (codegen'd, no UDF), exact
+ * and engine-portable — q_cell_compact replays every round in DuckDB.
+ *
+ * Scale shape: each round is ONE groupBy on the parent id over only the
+ * cells still at the current finest level (strictly shrinking set), plus
+ * a pass-through union; rounds are bounded by zMax - zMin <= 29. No
+ * driver-side data movement at any point.
+ */
+object CellOps {
+
+  private val ZShift = 1L << 58
+  private val XYShift = 1L << 29
+
+  /** z level of a packed cell as integer column math (positive cells). */
+  def zOf(cell: Column): Column = shiftrightunsigned(cell, 58)
+
+  /** Parent cell one level up — column twin of CellId.parent. */
+  def parentOf(cell: Column): Column = {
+    val tx = shiftrightunsigned(cell, 29).bitwiseAND(lit(0x1FFFFFFFL))
+    val ty = cell.bitwiseAND(lit(0x1FFFFFFFL))
+    (zOf(cell) - 1) * lit(ZShift) +
+      shiftrightunsigned(tx, 1) * lit(XYShift) + shiftrightunsigned(ty, 1)
+  }
+
+  /** Compact a cover set: input one `cell_id` column with cells at levels
+    * in (zMin, zMax] (coarser cells pass through untouched); output the
+    * equivalent minimal cover with levels in [zMin, zMax]. Input is
+    * distinct-ified — a cover is a set. */
+  def compact(cells: DataFrame, zMax: Int, zMin: Int): DataFrame = {
+    require(zMax >= zMin && zMin >= 0 && zMax <= 29, s"bad z range [$zMin, $zMax]")
+    var cur = cells.select(col("cell_id")).distinct()
+    for (z <- zMax until zMin by -1) {
+      val atZ = zOf(col("cell_id")) === z
+      val rest = cur.where(!atZ)
+      val withP = cur.where(atZ).select(col("cell_id"), parentOf(col("cell_id")).as("p"))
+      val full = withP.groupBy(col("p")).agg(count(lit(1)).as("n"))
+        .where(col("n") === 4).select(col("p"))
+      val promoted = full.select(col("p").as("cell_id"))
+      val kept = withP.join(full, Seq("p"), "left_anti").select(col("cell_id"))
+      cur = kept.unionByName(promoted).unionByName(rest)
+    }
+    cur
+  }
+
+  /** Expand a (possibly compacted) cover back to uniform level `z`: each
+    * cell at a coarser level explodes into its 4^(z-zc) descendants —
+    * `uncompact`, the inverse used when a consumer wants one fixed zoom.
+    * Pure column math: descendant (i, j) of a cell at level zc is
+    * pack(z, tx*2^d + i, ty*2^d + j), d = z - zc. */
+  def uncompact(cover: DataFrame, z: Int): DataFrame = {
+    require(z >= 0 && z <= 29, s"bad z $z")
+    val zc = zOf(col("cell_id"))
+    val tx = shiftrightunsigned(col("cell_id"), 29).bitwiseAND(lit(0x1FFFFFFFL))
+    val ty = col("cell_id").bitwiseAND(lit(0x1FFFFFFFL))
+    cover.where(zc <= z)
+      .select(tx.as("tx"), ty.as("ty"),
+        expr(s"shiftleft(CAST(1 AS BIGINT), CAST(${z}L - (cell_id >> 58) AS INT))").as("side"))
+      .select(explode(sequence(lit(0L), col("side") * col("side") - 1)).as("q"),
+        col("tx"), col("ty"), col("side"))
+      .select((lit(z.toLong) * lit(ZShift) +
+          (col("tx") * col("side") + col("q") % col("side")) * lit(XYShift) +
+          (col("ty") * col("side") + expr("q div side")))
+        .as("cell_id"))
+  }
+}

@@ -1,0 +1,110 @@
+package graft.pipeline
+
+import graft.SparkSuite
+import graft.core.CellId
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Contracts of the round-3 additions: CellOps compact/uncompact (H3-style
+  * minimal covers) and the IVF ANN index. */
+class CellOpsIvfSpec extends AnyFunSuite {
+  lazy val spark = SparkSuite.spark
+  import spark.implicits._
+
+  // ---------------- CellOps ----------------
+
+  test("compact collapses complete quads, keeps partial quads, recursively") {
+    // planted: the 16 z14 children of one z12 cell (two full levels), plus
+    // 3 of 4 children of a neighbor z13 cell, plus one lone z14 cell
+    val z12 = CellId.pack(12, 100, 200)
+    val full16 = CellId.children(z12).flatMap(CellId.children)
+    val partial = CellId.children(CellId.pack(13, 300, 400)).take(3)
+    val lone = CellId.pack(14, 5000, 6000)
+    val in = (full16 ++ partial ++ Array(lone)).toSeq.toDF("cell_id")
+    val out = CellOps.compact(in, zMax = 14, zMin = 11)
+      .as[Long].collect().toSet
+    assert(out == (partial.toSet + z12 + lone),
+      s"full 16-cell quad-of-quads must become its z12 ancestor: $out")
+  }
+
+  test("uncompact(compact(cover)) == cover for a uniform-z cover") {
+    val o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    val cells = o.select(graft.functions.GeoF.cellAtWgs(
+      lit(53.8306) + (col("o_orderkey") % 14000).cast("double") * lit(0.00001),
+      lit(27.4026) + (col("o_orderkey") % 29000).cast("double") * lit(0.00001),
+      14).as("cell_id")).distinct()
+    val compacted = CellOps.compact(cells, zMax = 14, zMin = 11)
+    val roundTrip = CellOps.uncompact(compacted, 14).as[Long].collect().sorted
+    val orig = cells.as[Long].collect().sorted
+    assert(roundTrip.sameElements(orig), "compact/uncompact must be lossless")
+    assert(compacted.count() <= orig.length, "compact never grows a cover")
+  }
+
+  test("parentOf column math == CellId.parent kernel") {
+    val cells = Seq(CellId.pack(14, 0, 0), CellId.pack(14, 9731, 5442),
+      CellId.pack(19, 302123, 171456), CellId.pack(1, 1, 1)).toDF("cell_id")
+    val got = cells.select(col("cell_id"), CellOps.parentOf(col("cell_id")).as("p"))
+      .as[(Long, Long)].collect().toMap
+    got.foreach { case (c, p) => assert(p == CellId.parent(c), s"cell $c") }
+  }
+
+  // ---------------- IvfIndex ----------------
+
+  val sf = "/root/testdata/sf0.001"
+  lazy val base = spark.read.parquet(s"$sf/embeddings.parquet")
+
+  /** Corpus + 5 planted near-dups of vec 0 (same construction as
+    * AnnIndexSpec — cosine > 0.999). */
+  lazy val planted = {
+    val q = base.where($"vec_id" === 0).select($"embedding").head().getSeq[Float](0)
+    val dups = (0 until 5).map { i =>
+      (100000L + i, q.zipWithIndex.map { case (v, d) =>
+        v + (if ((d + i) % 7 == 0) 0.003f else -0.002f) }.toArray)
+    }
+    base.select($"vec_id", $"embedding")
+      .unionByName(dups.toDF("vec_id", "embedding"))
+      .cache()
+  }
+
+  test("IVF: planted near-dups route with their original and fill its top-k") {
+    val probes = planted.where($"vec_id" === 0)
+    val top = IvfIndex.knnJoin(probes, planted, k = 5, nlist = 16, nprobe = 2)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(top == (0 until 5).map(100000L + _).toSet,
+      s"top-5 should be the planted cluster: $top")
+  }
+
+  test("IVF routing scans ~nprobe/nlist of the corpus, and every vector lands in one list") {
+    val cents = IvfIndex.centroids(planted, 16)
+    assert(cents.length == 16 && cents.map(_._1).distinct.length == 16)
+    val lists = IvfIndex.assign(planted, cents).cache()
+    val n = lists.count()
+    assert(n == planted.count(), "assignment is total: one list per vector")
+    // probing 2 of 16 lists touches a bounded corpus fraction even with
+    // skewed list sizes: the 2 largest lists bound any probe's candidates
+    val sizes = lists.groupBy($"cid").count().select($"count").as[Long].collect().sorted
+    val worst = sizes.takeRight(2).sum.toDouble / n
+    assert(worst < 0.6, f"two largest lists hold $worst%.2f of the corpus — degenerate quantizer")
+    lists.unpersist()
+  }
+
+  test("IVF knnJoin == brute force restricted to the probed lists") {
+    val cents = IvfIndex.centroids(planted, 16)
+    val lists = IvfIndex.assign(planted, cents)
+    val probes = planted.where($"vec_id" < 10)
+    val got = IvfIndex.knnJoin(probes, planted, k = 3, nlist = 16, nprobe = 2)
+      .select($"probe_id", $"rank", $"vec_id").as[(Long, Int, Long)].collect().toSet
+    // oracle: per probe, exact integer dot over exactly the 2 routed lists
+    val pr = probes.select($"vec_id".as("probe_id"),
+        explode(IvfIndex.routeUdf(cents, 2)($"embedding".cast("array<double>"))).as("cid"),
+        AnnIndex.quant($"embedding".cast("array<double>")).as("pq"))
+    val exp = lists.join(pr, "cid").where($"vec_id" =!= $"probe_id")
+      .select($"probe_id", $"vec_id", AnnIndex.intDot($"vq", $"pq").as("dot"))
+      .as[(Long, Long, Long)].collect()
+      .groupBy(_._1).toSeq.flatMap { case (p, rows) =>
+        rows.sortBy(r => (-r._3, r._2)).take(3).zipWithIndex
+          .map { case (r, i) => (p, i + 1, r._2) }
+      }.toSet
+    assert(got == exp)
+  }
+}
