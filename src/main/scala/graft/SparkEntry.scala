@@ -34,6 +34,8 @@ object SparkEntry {
   private def lngOf(key: Column): Column = lit(27.4026) + (key % 29000).cast("double") * lit(0.00001)
   private val latSqlO = "53.8306::DOUBLE + (o_orderkey % 14000)::DOUBLE * 0.00001::DOUBLE"
   private val lngSqlO = "27.4026::DOUBLE + (o_orderkey % 29000)::DOUBLE * 0.00001::DOUBLE"
+  private val latSqlC = "53.8306::DOUBLE + (c_custkey % 14000)::DOUBLE * 0.00001::DOUBLE"
+  private val lngSqlC = "27.4026::DOUBLE + (c_custkey % 29000)::DOUBLE * 0.00001::DOUBLE"
   // Knuth multiplicative hash-rank (64-bit-safe for keys < 2^31)
   private def krank(key: Column): Column = (key * lit(2654435761L)) % lit(4294967296L)
   private def krankSql(key: String) = s"($key * 2654435761) % 4294967296"
@@ -605,6 +607,23 @@ object SparkEntry {
       pipeline.CellOps.compact(cells, zMax = 14, zMin = 11)
         .select(col("cell_id"),
           shiftrightunsigned(col("cell_id"), 58).cast("long").as("zl"))
+    }),
+
+    // point-in-cover join — what compaction exists FOR: customer points
+    // probe the compacted z14->z11 orders cover through their 4-level
+    // ancestor chain (a bounded per-row map) in ONE equi-join against the
+    // small compacted set, instead of exchanging both sides on the fine
+    // cell id. Disjoint cover => at most one match per point.
+    "q_cell_cover_join" -> ((s, dir) => {
+      val ord = t(s, dir, "orders").select(
+        latOf(col("o_orderkey")).as("lat"), lngOf(col("o_orderkey")).as("lng"))
+      val cover = pipeline.CellOps.compact(
+        ord.select(GeoF.cellAtWgs(col("lat"), col("lng"), 14).as("cell_id")),
+        zMax = 14, zMin = 11)
+      val pts = t(s, dir, "customer").select(col("c_custkey"),
+        GeoF.cellAtWgs(latOf(col("c_custkey")), lngOf(col("c_custkey")), 14).as("cell_id"))
+      pipeline.CellOps.coverJoin(pts, cover, zMax = 14, zMin = 11)
+        .select(col("c_custkey"), col("cell_id"), col("cover_cell"))
     }),
 
     // semantic dedup at scale: LSH-bucketed all-pairs embedding near-dup
@@ -1546,6 +1565,46 @@ object SparkEntry {
           ${compactRoundCtes("r13", 13, "r12")},
           ${compactRoundCtes("r12", 12, "r11")}
           SELECT cell_id, CAST(cell_id // ${1L << 58} AS BIGINT) AS zl FROM r11""",
+
+    // exact SQL twin of CellOps.coverJoin: same compacted orders cover,
+    // customer points explode to their 4 ancestor cells (z14..z11), one
+    // equi-join against the cover
+    "q_cell_cover_join" ->
+      s"""WITH pts AS (
+            SELECT
+              (256.0::DOUBLE * (0.5::DOUBLE + ($lngSqlO) / 360.0::DOUBLE)) AS wx,
+              (256.0::DOUBLE * (0.5::DOUBLE - ln((1.0::DOUBLE + least(greatest(sin(($latSqlO) * pi() / 180.0::DOUBLE), -0.9999::DOUBLE), 0.9999::DOUBLE))
+                 / (1.0::DOUBLE - least(greatest(sin(($latSqlO) * pi() / 180.0::DOUBLE), -0.9999::DOUBLE), 0.9999::DOUBLE))) / (4 * pi()))) AS wy
+            FROM orders),
+          r14 AS (
+            SELECT DISTINCT
+              14 * ${1L << 58} +
+              CAST(floor(wx * 16384 / 256) AS BIGINT) * ${1L << 29} +
+              CAST(floor(wy * 16384 / 256) AS BIGINT) AS cell_id
+            FROM pts),
+          ${compactRoundCtes("r14", 14, "r13")},
+          ${compactRoundCtes("r13", 13, "r12")},
+          ${compactRoundCtes("r12", 12, "r11")},
+          cpts AS (
+            SELECT c_custkey,
+              (256.0::DOUBLE * (0.5::DOUBLE + ($lngSqlC) / 360.0::DOUBLE)) AS wx,
+              (256.0::DOUBLE * (0.5::DOUBLE - ln((1.0::DOUBLE + least(greatest(sin(($latSqlC) * pi() / 180.0::DOUBLE), -0.9999::DOUBLE), 0.9999::DOUBLE))
+                 / (1.0::DOUBLE - least(greatest(sin(($latSqlC) * pi() / 180.0::DOUBLE), -0.9999::DOUBLE), 0.9999::DOUBLE))) / (4 * pi()))) AS wy
+            FROM customer),
+          ccell AS (
+            SELECT c_custkey,
+              14 * ${1L << 58} +
+              CAST(floor(wx * 16384 / 256) AS BIGINT) * ${1L << 29} +
+              CAST(floor(wy * 16384 / 256) AS BIGINT) AS cell_id
+            FROM cpts),
+          anc AS (
+            SELECT c_custkey, cell_id,
+              (14 - d.range) * ${1L << 58} +
+              (((cell_id % ${1L << 58}) // ${1L << 29}) >> d.range) * ${1L << 29} +
+              ((cell_id % ${1L << 29}) >> d.range) AS anc
+            FROM ccell, range(0, 4) d)
+          SELECT a.c_custkey, a.cell_id, r.cell_id AS cover_cell
+          FROM anc a JOIN r11 r ON a.anc = r.cell_id""",
 
     // exact SQL twin of nearDupPairs + resolveClusters: same chunk-bucket
     // candidate pairs, same fixed-point cosine, recursive-CTE components

@@ -59,6 +59,32 @@ object CellOps {
     cur
   }
 
+  /** Point-in-cover membership join — the operator compaction exists FOR.
+    * `points` carry a fine cell (`cell_id` at level zMax); `cover` is a
+    * compacted cover (levels in [zMin, zMax], disjoint by construction —
+    * compact never keeps a parent and its child). Each point explodes to
+    * its zMax-zMin+1 ancestor cells (a bounded per-row map, ≤ 30 short
+    * rows) and meets the cover in ONE equi-join; disjointness means at
+    * most one ancestor matches, so the output has at most one row per
+    * point row, annotated with the containing cover cell.
+    *
+    * Scale shape: against a z19 country cover (billions of fine cells) the
+    * compacted set is orders of magnitude smaller — usually broadcastable,
+    * so point-in-cover becomes a broadcast hash join with NO shuffle of
+    * the point table, vs an exchange of both sides on the fine cell id. */
+  def coverJoin(points: DataFrame, cover: DataFrame, zMax: Int, zMin: Int): DataFrame = {
+    require(zMax >= zMin && zMin >= 0 && zMax <= 29, s"bad z range [$zMin, $zMax]")
+    val anc = expr(
+      s"""transform(sequence(0, ${zMax - zMin}), d ->
+            (${zMax}L - d) * ${ZShift}L +
+            shiftright((cell_id % ${ZShift}L) div ${XYShift}L, d) * ${XYShift}L +
+            shiftright(cell_id % ${XYShift}L, d))""")
+    points.withColumn("anc", explode(anc))
+      .join(cover.select(col("cell_id").as("cover_cell")),
+        col("anc") === col("cover_cell"))
+      .drop("anc")
+  }
+
   /** Expand a (possibly compacted) cover back to uniform level `z`: each
     * cell at a coarser level explodes into its 4^(z-zc) descendants —
     * `uncompact`, the inverse used when a consumer wants one fixed zoom.

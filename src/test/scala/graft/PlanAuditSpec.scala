@@ -230,6 +230,35 @@ class PlanAuditSpec extends AnyFunSuite {
       "window must be partitioned by probe, never global")
   }
 
+  test("IVF knnJoin: equi-join routing on the list id, per-probe window, no cartesian") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val kj = pipeline.IvfIndex.knnJoin(emb.where($"vec_id" < 5), emb,
+      k = 3, nlist = 16, nprobe = 2)
+    kj.collect()
+    val plan = kj.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"IVF routing must be an equi-join on cid:\n$plan")
+    assert(plan.contains("windowspecdefinition(probe_id"),
+      "top-k window must be partitioned by probe, never global")
+  }
+
+  test("coverJoin: the compacted cover broadcasts; points never exchange") {
+    val z12 = graft.core.CellId.pack(12, 100, 200)
+    val cover = graft.core.CellId.children(z12).flatMap(graft.core.CellId.children)
+      .toSeq.toDF("cell_id")
+    val compacted = pipeline.CellOps.compact(cover, zMax = 14, zMin = 11)
+    val base = graft.core.CellId.pack(14, 400, 800)
+    val points = spark.range(1000).select($"id".as("pid"),
+      ($"id" % 16 + lit(base)).as("cell_id"))
+    val out = pipeline.CellOps.coverJoin(points, compacted, zMax = 14, zMin = 11)
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"small compacted cover should broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("kNN ring join plans equi-joins on grid keys, not a cross join") {
     val probes = Seq((1L, 53.85, 27.45), (2L, 53.86, 27.46)).toDF("probe_id", "plat", "plng")
     val cands = spark.range(500).select($"id".as("o_orderkey"),

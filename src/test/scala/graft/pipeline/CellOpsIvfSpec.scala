@@ -40,6 +40,20 @@ class CellOpsIvfSpec extends AnyFunSuite {
     assert(compacted.count() <= orig.length, "compact never grows a cover")
   }
 
+  test("coverJoin: exactly one row per covered point, none for outside points") {
+    val z12 = CellId.pack(12, 100, 200)
+    val full16 = CellId.children(z12).flatMap(CellId.children) // its z14 grid
+    val cover = CellOps.compact(full16.toSeq.toDF("cell_id"), zMax = 14, zMin = 11)
+    assert(cover.as[Long].collect().toSet == Set(z12), "fixture compacts to one z12 cell")
+    val points = Seq((1L, CellId.pack(14, 401, 802)),  // inside (z14 under z12)
+                     (2L, CellId.pack(14, 500, 900)))  // outside
+      .toDF("pid", "cell_id")
+    val out = CellOps.coverJoin(points, cover, zMax = 14, zMin = 11)
+      .select($"pid", $"cover_cell").as[(Long, Long)].collect()
+    assert(out.toSeq == Seq((1L, z12)),
+      s"inside point matches its z12 ancestor exactly once, outside drops: ${out.toSeq}")
+  }
+
   test("parentOf column math == CellId.parent kernel") {
     val cells = Seq(CellId.pack(14, 0, 0), CellId.pack(14, 9731, 5442),
       CellId.pack(19, 302123, 171456), CellId.pack(1, 1, 1)).toDF("cell_id")
