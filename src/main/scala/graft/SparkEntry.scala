@@ -637,6 +637,24 @@ object SparkEntry {
       pipeline.Dedup.resolveClusters(pairs.select(col("ida"), col("idb")))
     }),
 
+    // keyword extraction (the relational tf-idf form, kept integer-exact):
+    // per-doc top-5 terms by term frequency, rarer-corpus-wide terms first
+    // on ties (df ASC — the idf ordering without the float), then term.
+    // Scale shape: tf groupBy on (doc, term), df groupBy on term, one join
+    // on term (common-term skew is AQE's case), per-DOC top-k window.
+    "q_text_keywords" -> ((s, dir) => {
+      val terms = t(s, dir, "documents").select(col("doc_id"),
+        explode(expr("regexp_extract_all(lower(text), '[a-z]{3,}', 0)")).as("term"))
+      val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val dfq = terms.select(col("doc_id"), col("term")).distinct()
+        .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      tf.join(dfq, "term")
+        .withColumn("rank", row_number().over(Window.partitionBy(col("doc_id"))
+          .orderBy(col("tf").desc, col("df").asc, col("term"))))
+        .where(col("rank") <= 5)
+        .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"))
+    }),
+
     // n-gram (3-char shingle) Jaccard near-dup among small doc sample —
     // set ops expressed relationally (exact, portable)
     "q_dedup_ngram" -> ((s, dir) => {
@@ -1396,6 +1414,22 @@ object SparkEntry {
            len(regexp_extract_all(text, '\S+')) AS n_tokens,
            length(text) AS n_chars_q
          FROM documents""",
+
+    // exact SQL twin of the keyword extraction: same token regex, same
+    // (tf DESC, df ASC, term) ordinal scoring — no float idf to diverge
+    "q_text_keywords" ->
+      """WITH terms AS (
+           SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]{3,}')) AS term
+           FROM documents),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term),
+         df AS (SELECT term, count(*) AS df
+                FROM (SELECT DISTINCT doc_id, term FROM terms) GROUP BY term),
+         ranked AS (
+           SELECT t.doc_id, t.term, t.tf, d.df,
+             row_number() OVER (PARTITION BY t.doc_id
+               ORDER BY t.tf DESC, d.df ASC, t.term) AS rank
+           FROM tf t JOIN df d ON d.term = t.term)
+         SELECT doc_id, rank, term, tf, df FROM ranked WHERE rank <= 5""",
 
     "q_text_quality" ->
       """SELECT doc_id,

@@ -45,7 +45,12 @@ object CellOps {
     * distinct-ified — a cover is a set. */
   def compact(cells: DataFrame, zMax: Int, zMin: Int): DataFrame = {
     require(zMax >= zMin && zMin >= 0 && zMax <= 29, s"bad z range [$zMin, $zMax]")
-    var cur = cells.select(col("cell_id")).distinct()
+    // each round references `cur` three times (level split + anti-join) and
+    // the next round builds on the union — without a per-round barrier the
+    // lineage re-evaluates the base scan 3^rounds times. localCheckpoint
+    // (auto-released by the ContextCleaner) caps it at one pass per round,
+    // exactly the materialization a real run would persist between rounds.
+    var cur = cells.select(col("cell_id")).distinct().localCheckpoint(false)
     for (z <- zMax until zMin by -1) {
       val atZ = zOf(col("cell_id")) === z
       val rest = cur.where(!atZ)
@@ -54,7 +59,7 @@ object CellOps {
         .where(col("n") === 4).select(col("p"))
       val promoted = full.select(col("p").as("cell_id"))
       val kept = withP.join(full, Seq("p"), "left_anti").select(col("cell_id"))
-      cur = kept.unionByName(promoted).unionByName(rest)
+      cur = kept.unionByName(promoted).unionByName(rest).localCheckpoint(false)
     }
     cur
   }
