@@ -595,6 +595,17 @@ object SparkEntry {
         k = 3, nlist = 16, nprobe = 2)
     }),
 
+    // PQ (product quantization) ADC scoring: the corpus compresses to 8
+    // nearest-codeword ids (md5-sampled deterministic codebooks, exact
+    // integer squared-L2 encoding — a ~32x memory cut), probes build
+    // (subspace, codeword) -> exact-dot LUTs, and scoring is one equi-join
+    // on (s, code) + a per-probe sum — the scoring-side companion to the
+    // IVF/LSH routers for 10^12-row passes.
+    "q_ann_pq" -> ((s, dir) => {
+      val corpus = annCorpus(t(s, dir, "embeddings"))
+      pipeline.PqIndex.adcTopK(corpus.where(col("vec_id") < 10), corpus, k = 3)
+    }),
+
     // H3/S2-style compact: order points -> z14 cell cover -> collapse
     // complete sibling quads into parents down to z11 (the minimal
     // mixed-zoom cover of the same area). Pure integer column math; each
@@ -1578,6 +1589,44 @@ object SparkEntry {
              row_number() OVER (PARTITION BY probe_id ORDER BY dot DESC, vec_id) AS rank
            FROM scored)
          SELECT probe_id, rank, vec_id, dot FROM ranked WHERE rank <= 3""",
+
+    // exact SQL twin of PqIndex.adcTopK: md5-first donor sample -> per-
+    // subspace codebooks -> integer-L2 argmin encoding -> probe LUTs ->
+    // (s, code) equi-join -> per-probe top-3 by summed exact dots
+    "q_ann_pq" ->
+      s"""WITH $annQuantCte,
+         donors AS (
+           SELECT vec_id, rn - 1 AS j FROM (
+             SELECT vec_id,
+               row_number() OVER (ORDER BY md5('pq|' || CAST(vec_id AS VARCHAR)), vec_id) AS rn
+             FROM (SELECT DISTINCT vec_id FROM quant)) WHERE rn <= 16),
+         cb AS (
+           SELECT q.pos // 8 AS s, d.j, q.pos % 8 AS i, q.vq AS cq
+           FROM donors d JOIN quant q ON q.vec_id = d.vec_id),
+         dists AS (
+           SELECT q.vec_id, c.s, c.j, sum((q.vq - c.cq) * (q.vq - c.cq)) AS d2
+           FROM quant q JOIN cb c ON c.s = q.pos // 8 AND c.i = q.pos % 8
+           GROUP BY q.vec_id, c.s, c.j),
+         codes AS (
+           SELECT vec_id, s, j AS code FROM (
+             SELECT vec_id, s, j,
+               row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, j) AS rn
+             FROM dists) WHERE rn = 1),
+         luts AS (
+           SELECT p.vec_id AS probe_id, c.s, c.j AS code, sum(p.vq * c.cq) AS pdot
+           FROM quant p JOIN cb c ON c.s = p.pos // 8 AND c.i = p.pos % 8
+           WHERE p.vec_id < 10
+           GROUP BY p.vec_id, c.s, c.j),
+         scored AS (
+           SELECT l.probe_id, k.vec_id, CAST(sum(l.pdot) AS BIGINT) AS score
+           FROM codes k JOIN luts l ON l.s = k.s AND l.code = k.code
+           WHERE k.vec_id <> l.probe_id
+           GROUP BY l.probe_id, k.vec_id),
+         ranked AS (
+           SELECT probe_id, vec_id, score,
+             row_number() OVER (PARTITION BY probe_id ORDER BY score DESC, vec_id) AS rank
+           FROM scored)
+         SELECT probe_id, rank, vec_id, score FROM ranked WHERE rank <= 3""",
 
     // exact SQL twin of CellOps.compact over the z14 order-point cover:
     // cell packing is pure integer arithmetic (z*2^58 + tx*2^29 + ty), and

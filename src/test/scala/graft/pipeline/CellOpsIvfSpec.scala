@@ -102,6 +102,58 @@ class CellOpsIvfSpec extends AnyFunSuite {
     lists.unpersist()
   }
 
+  // ---------------- PqIndex ----------------
+
+  test("PQ: codes are M ids in [0,K); donors encode to themselves exactly") {
+    val cb = PqIndex.codebooks(planted)
+    assert(cb.length == PqIndex.M && cb.forall(_.length == PqIndex.K))
+    val codes = planted.select($"vec_id",
+        PqIndex.encodeUdf(cb)($"embedding".cast("array<double>")).as("codes"))
+      .as[(Long, Seq[Int])].collect().toMap
+    codes.values.foreach { cs =>
+      assert(cs.length == PqIndex.M && cs.forall(c => c >= 0 && c < PqIndex.K))
+    }
+    // a codebook donor's own subvectors are AT zero distance from their
+    // codewords, so it must encode to a consistent reconstruction:
+    // reconstruction distance 0 in every subspace
+    val donorIds = planted
+      .orderBy(md5(concat(lit("pq|"), $"vec_id".cast("string"))), $"vec_id")
+      .limit(PqIndex.K).select($"vec_id").as[Long].collect()
+    val donorQ = planted.where($"vec_id" === donorIds(0))
+      .select(AnnIndex.quant($"embedding".cast("array<double>"))).as[Seq[Long]].head()
+    val donorCodes = codes(donorIds(0))
+    for (s <- 0 until PqIndex.M) {
+      val rec = cb(s)(donorCodes(s))
+      val sub = donorQ.slice(s * PqIndex.SubDim, (s + 1) * PqIndex.SubDim)
+      assert(rec.toSeq == sub, s"donor must reconstruct losslessly in subspace $s")
+    }
+  }
+
+  test("PQ adcTopK == exact dot against the reconstructed (codeword) corpus") {
+    val cb = PqIndex.codebooks(planted)
+    val got = PqIndex.adcTopK(planted.where($"vec_id" < 5), planted, k = 3)
+      .select($"probe_id", $"rank", $"vec_id", $"score")
+      .as[(Long, Int, Long, Long)].collect().toSet
+    // oracle: reconstruct every corpus row from its codewords, score with
+    // the plain exact integer dot, rank per probe
+    val codes = planted.select($"vec_id",
+        PqIndex.encodeUdf(cb)($"embedding".cast("array<double>")).as("codes"))
+      .as[(Long, Seq[Int])].collect()
+    val recon = codes.map { case (id, cs) =>
+      (id, cs.zipWithIndex.flatMap { case (c, s) => cb(s)(c) }.toArray)
+    }
+    val probesQ = planted.where($"vec_id" < 5)
+      .select($"vec_id", AnnIndex.quant($"embedding".cast("array<double>")))
+      .as[(Long, Seq[Long])].collect()
+    val exp = probesQ.flatMap { case (pid, pq) =>
+      recon.filter(_._1 != pid)
+        .map { case (vid, rv) => (vid, rv.zip(pq).map { case (a, b) => a * b }.sum) }
+        .sortBy { case (vid, sc) => (-sc, vid) }.take(3).zipWithIndex
+        .map { case ((vid, sc), i) => (pid, i + 1, vid, sc) }
+    }.toSet
+    assert(got == exp, "ADC lookup-sum must equal the reconstructed exact dot")
+  }
+
   test("IVF knnJoin == brute force restricted to the probed lists") {
     val cents = IvfIndex.centroids(planted, 16)
     val lists = IvfIndex.assign(planted, cents)
