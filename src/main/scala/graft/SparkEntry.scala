@@ -648,6 +648,26 @@ object SparkEntry {
       pipeline.Dedup.resolveClusters(pairs.select(col("ida"), col("idb")))
     }),
 
+    // winnowing document fingerprints (the rolling-hash fingerprint
+    // family, MOSS-style): 5-gram h60 hashes at every position, min over
+    // each window of 4 consecutive grams, distinct mins = the doc's
+    // fingerprint set. Guarantee: any shared substring of >= k+w-1 = 8
+    // chars yields a shared fingerprint; ~1/w of positions survive — a
+    // position-robust 4x sketch (unlike the whole-doc md5 fingerprint,
+    // which any edit breaks). Per-row explode + one per-doc window.
+    "q_text_winnow" -> ((s, dir) => {
+      val d = t(s, dir, "documents").where(length(col("text")) >= 5)
+        .select(col("doc_id"), col("text"), length(col("text")).as("len"))
+      val grams = d.select(col("doc_id"), col("len"),
+        posexplode(expr("transform(sequence(1, length(text) - 4), i -> substring(text, i, 5))"))
+          .as(Seq("p", "g")))
+      grams.select(col("doc_id"), col("len"), col("p"), pipeline.Dedup.h60(col("g")).as("h"))
+        .withColumn("fp", min(col("h")).over(Window.partitionBy(col("doc_id"))
+          .orderBy(col("p")).rowsBetween(0, 3)))
+        .where(col("p") <= col("len") - 8)
+        .select(col("doc_id"), col("fp")).distinct()
+    }),
+
     // keyword extraction (the relational tf-idf form, kept integer-exact):
     // per-doc top-5 terms by term frequency, rarer-corpus-wide terms first
     // on ties (df ASC — the idf ordering without the float), then term.
@@ -1425,6 +1445,21 @@ object SparkEntry {
            len(regexp_extract_all(text, '\S+')) AS n_tokens,
            length(text) AS n_chars_q
          FROM documents""",
+
+    // exact SQL twin of the winnowing fingerprint: same 5-gram h60 hashes,
+    // same 4-gram window min, same full-window tail exclusion
+    "q_text_winnow" ->
+      """WITH grams AS (
+           SELECT doc_id, length(text) AS len, i - 1 AS p,
+             CAST('0x' || substr(md5(substring(text, CAST(i AS INTEGER), 5)), 1, 15) AS BIGINT) AS h
+           FROM documents, unnest(range(1, greatest(length(text) - 4, 0) + 1)) AS t(i)
+           WHERE length(text) >= 5),
+         wins AS (
+           SELECT doc_id, p, len,
+             min(h) OVER (PARTITION BY doc_id ORDER BY p
+               ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+           FROM grams)
+         SELECT DISTINCT doc_id, fp FROM wins WHERE p <= len - 8""",
 
     // exact SQL twin of the keyword extraction: same token regex, same
     // (tf DESC, df ASC, term) ordinal scoring — no float idf to diverge

@@ -30,6 +30,23 @@ class MinhashParitySpec extends AnyFunSuite {
     Dedup.minhashPairs(docs, portableHashing = portable)
       .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
 
+  test("winnowing: a shared >=8-char substring guarantees a shared fingerprint") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_winnow").toString
+    val shared = "ABCDEFGHIJKLMNOP" // 16 chars >> the k+w-1 = 8 guarantee bound
+    Seq((1L, "xxxxx" + shared + "yyyyyyy"),
+        (2L, "qqqqqqq" + shared + "zzzz"),
+        (3L, "0123456789abcdefghij")) // shares no 5-gram with 1/2
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val fp = graft.SparkEntry.queries("q_text_winnow")(spark, dir)
+      .as[(Long, Long)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    assert((fp(1L) intersect fp(2L)).nonEmpty,
+      "winnowing guarantee violated: shared substring, no shared fingerprint")
+    assert((fp(1L) intersect fp(3L)).isEmpty && (fp(2L) intersect fp(3L)).isEmpty,
+      "no shared 5-gram must mean no shared fingerprint")
+  }
+
   lazy val md5Pairs = pairsOf(portable = true)
   lazy val xxPairs = pairsOf(portable = false)
 
