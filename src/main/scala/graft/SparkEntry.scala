@@ -606,6 +606,17 @@ object SparkEntry {
       pipeline.PqIndex.adcTopK(corpus.where(col("vec_id") < 10), corpus, k = 3)
     }),
 
+    // IVF+PQ composed — the billion-scale recipe end-to-end: probes route
+    // through the IVF lists (sub-linear candidates), and only candidates
+    // are scored via the PQ lookup tables (compressed scoring; the corpus
+    // side never touches an embedding). Broadcast probe sides on both
+    // joins; per-probe top-3.
+    "q_ann_ivfpq" -> ((s, dir) => {
+      val corpus = annCorpus(t(s, dir, "embeddings"))
+      pipeline.PqIndex.ivfAdcTopK(corpus.where(col("vec_id") < 10), corpus,
+        k = 3, nlist = 16, nprobe = 2)
+    }),
+
     // H3/S2-style compact: order points -> z14 cell cover -> collapse
     // complete sibling quads into parents down to z11 (the minimal
     // mixed-zoom cover of the same area). Pure integer column math; each
@@ -998,6 +1009,47 @@ object SparkEntry {
            SELECT vec_id, j // 16 AS c,
              CAST(sum(CAST(bit AS BIGINT) << CAST(j % 16 AS INTEGER)) AS BIGINT) AS ck
            FROM bits GROUP BY vec_id, j // 16)"""
+
+  /** Shared IVF-routing CTE chain (twin of IvfIndex centroids + assign):
+    * md5-first centroid sample -> exact-integer-dot coarse assignment
+    * (ties -> smaller cid). Yields `assign` (vec_id, cid) and `cdots`
+    * (vec_id, cid, dot) for probe routing. Composes after `quant`. */
+  private val ivfRouteCtes: String =
+    """cids AS (
+           SELECT vec_id AS cid FROM (SELECT DISTINCT vec_id FROM quant) v
+           ORDER BY md5('ivf|' || CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+         cq AS (SELECT c.cid, q.pos, q.vq FROM cids c JOIN quant q ON q.vec_id = c.cid),
+         cdots AS (
+           SELECT q.vec_id, c.cid, sum(q.vq * c.vq) AS dot
+           FROM quant q JOIN cq c ON c.pos = q.pos GROUP BY q.vec_id, c.cid),
+         assign AS (
+           SELECT vec_id, cid FROM (
+             SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid) AS rn
+             FROM cdots) WHERE rn = 1)"""
+
+  /** Shared PQ CTE chain (twin of PqIndex codebooks + encode): md5-first
+    * donor sample -> per-subspace codebooks -> integer-L2 argmin codes.
+    * Yields `cb` (s, j, i, cq) and `codes` (vec_id, s, code). Composes
+    * after `quant`. */
+  private val pqCodeCtes: String =
+    """donors AS (
+           SELECT vec_id, rn - 1 AS j FROM (
+             SELECT vec_id,
+               row_number() OVER (ORDER BY md5('pq|' || CAST(vec_id AS VARCHAR)), vec_id) AS rn
+             FROM (SELECT DISTINCT vec_id FROM quant)) WHERE rn <= 16),
+         cb AS (
+           SELECT q.pos // 8 AS s, d.j, q.pos % 8 AS i, q.vq AS cq
+           FROM donors d JOIN quant q ON q.vec_id = d.vec_id),
+         pqdists AS (
+           SELECT q.vec_id, c.s, c.j, sum((q.vq - c.cq) * (q.vq - c.cq)) AS d2
+           FROM quant q JOIN cb c ON c.s = q.pos // 8 AND c.i = q.pos % 8
+           GROUP BY q.vec_id, c.s, c.j),
+         codes AS (
+           SELECT vec_id, s, j AS code FROM (
+             SELECT vec_id, s, j,
+               row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, j) AS rn
+             FROM pqdists) WHERE rn = 1)"""
 
   /** One compact round (twin of a CellOps.compact loop iteration): cells of
     * `cur` at level `z` group by parent; complete quads (n=4) promote to the
@@ -1593,18 +1645,7 @@ object SparkEntry {
     // their 2 best lists, candidates scored exactly, per-probe top-3
     "q_ann_ivf" ->
       s"""WITH $annQuantCte,
-         cids AS (
-           SELECT vec_id AS cid FROM (SELECT DISTINCT vec_id FROM quant) v
-           ORDER BY md5('ivf|' || CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
-         cq AS (SELECT c.cid, q.pos, q.vq FROM cids c JOIN quant q ON q.vec_id = c.cid),
-         cdots AS (
-           SELECT q.vec_id, c.cid, sum(q.vq * c.vq) AS dot
-           FROM quant q JOIN cq c ON c.pos = q.pos GROUP BY q.vec_id, c.cid),
-         assign AS (
-           SELECT vec_id, cid FROM (
-             SELECT vec_id, cid,
-               row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid) AS rn
-             FROM cdots) WHERE rn = 1),
+         $ivfRouteCtes,
          proute AS (
            SELECT vec_id AS probe_id, cid FROM (
              SELECT vec_id, cid,
@@ -1630,23 +1671,7 @@ object SparkEntry {
     // (s, code) equi-join -> per-probe top-3 by summed exact dots
     "q_ann_pq" ->
       s"""WITH $annQuantCte,
-         donors AS (
-           SELECT vec_id, rn - 1 AS j FROM (
-             SELECT vec_id,
-               row_number() OVER (ORDER BY md5('pq|' || CAST(vec_id AS VARCHAR)), vec_id) AS rn
-             FROM (SELECT DISTINCT vec_id FROM quant)) WHERE rn <= 16),
-         cb AS (
-           SELECT q.pos // 8 AS s, d.j, q.pos % 8 AS i, q.vq AS cq
-           FROM donors d JOIN quant q ON q.vec_id = d.vec_id),
-         dists AS (
-           SELECT q.vec_id, c.s, c.j, sum((q.vq - c.cq) * (q.vq - c.cq)) AS d2
-           FROM quant q JOIN cb c ON c.s = q.pos // 8 AND c.i = q.pos % 8
-           GROUP BY q.vec_id, c.s, c.j),
-         codes AS (
-           SELECT vec_id, s, j AS code FROM (
-             SELECT vec_id, s, j,
-               row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, j) AS rn
-             FROM dists) WHERE rn = 1),
+         $pqCodeCtes,
          luts AS (
            SELECT p.vec_id AS probe_id, c.s, c.j AS code, sum(p.vq * c.cq) AS pdot
            FROM quant p JOIN cb c ON c.s = p.pos // 8 AND c.i = p.pos % 8
@@ -1657,6 +1682,38 @@ object SparkEntry {
            FROM codes k JOIN luts l ON l.s = k.s AND l.code = k.code
            WHERE k.vec_id <> l.probe_id
            GROUP BY l.probe_id, k.vec_id),
+         ranked AS (
+           SELECT probe_id, vec_id, score,
+             row_number() OVER (PARTITION BY probe_id ORDER BY score DESC, vec_id) AS rank
+           FROM scored)
+         SELECT probe_id, rank, vec_id, score FROM ranked WHERE rank <= 3""",
+
+    // exact SQL twin of PqIndex.ivfAdcTopK: IVF routing CTEs pick the
+    // candidates, PQ code CTEs score them — composed from the same shared
+    // fragments the standalone twins use
+    "q_ann_ivfpq" ->
+      s"""WITH $annQuantCte,
+         $ivfRouteCtes,
+         $pqCodeCtes,
+         proute AS (
+           SELECT vec_id AS probe_id, cid FROM (
+             SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid) AS rn
+             FROM cdots WHERE vec_id < 10) WHERE rn <= 2),
+         cand AS (
+           SELECT p.probe_id, a.vec_id FROM proute p JOIN assign a ON a.cid = p.cid
+           WHERE a.vec_id <> p.probe_id),
+         luts AS (
+           SELECT p.vec_id AS probe_id, c.s, c.j AS code, sum(p.vq * c.cq) AS pdot
+           FROM quant p JOIN cb c ON c.s = p.pos // 8 AND c.i = p.pos % 8
+           WHERE p.vec_id < 10
+           GROUP BY p.vec_id, c.s, c.j),
+         scored AS (
+           SELECT c.probe_id, c.vec_id, CAST(sum(l.pdot) AS BIGINT) AS score
+           FROM cand c
+           JOIN codes k ON k.vec_id = c.vec_id
+           JOIN luts l ON l.probe_id = c.probe_id AND l.s = k.s AND l.code = k.code
+           GROUP BY c.probe_id, c.vec_id),
          ranked AS (
            SELECT probe_id, vec_id, score,
              row_number() OVER (PARTITION BY probe_id ORDER BY score DESC, vec_id) AS rank

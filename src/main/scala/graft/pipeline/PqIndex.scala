@@ -94,29 +94,62 @@ object PqIndex {
     * codebook donor rank exactly; far vectors coarsely. Exhaustive
     * guarantees stay with the exact scans; PQ buys the 32x memory cut that
     * makes a 10^12-row scoring pass feasible at all. */
-  def adcTopK(probes: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
-    val cb = codebooks(corpus)
-    // corpus side: (vec_id, s, code) — 8 short rows per row
-    val codes = corpus
-      .select(col("vec_id"), posexplode(encodeUdf(cb)(col("embedding").cast("array<double>")))
-        .as(Seq("s", "code")))
-    // probe side LUT: (probe_id, s, code, pdot) — K*M rows per probe
+  /** Corpus codes relation: (vec_id, s, code) — 8 short rows per row. */
+  private def corpusCodes(corpus: DataFrame, cb: Array[Array[Array[Long]]]): DataFrame =
+    corpus.select(col("vec_id"),
+      posexplode(encodeUdf(cb)(col("embedding").cast("array<double>"))).as(Seq("s", "code")))
+
+  /** Probe LUTs: (probe_id, s, code, pdot) — K·M exact integer dots per
+    * probe between the probe's subvector and every codeword. */
+  private def probeLuts(probes: DataFrame, cb: Array[Array[Array[Long]]]): DataFrame = {
     val cbRows = cb.zipWithIndex.flatMap { case (sub, s) =>
       sub.zipWithIndex.map { case (cw, j) => (s, j, cw.toSeq) }
     }.toSeq
-    import corpus.sparkSession.implicits._
+    import probes.sparkSession.implicits._
     val cbDf = cbRows.toDF("s", "code", "cw")
-    val luts = probes
+    probes
       .select(col("vec_id").as("probe_id"), AnnIndex.quant(col("embedding").cast("array<double>")).as("pq"))
       .crossJoin(broadcast(cbDf))
       .select(col("probe_id"), col("s"), col("code"),
         AnnIndex.intDot(slice(col("pq"), col("s") * lit(SubDim) + 1, lit(SubDim)), col("cw")).as("pdot"))
-    val scored = codes.join(broadcast(luts), Seq("s", "code"))
-      .where(col("vec_id") =!= col("probe_id"))
-      .groupBy(col("probe_id"), col("vec_id")).agg(sum(col("pdot")).as("score"))
+  }
+
+  private def topKByScore(scored: DataFrame, k: Int): DataFrame =
     scored.withColumn("rank", row_number().over(
         Window.partitionBy(col("probe_id")).orderBy(col("score").desc, col("vec_id"))))
       .where(col("rank") <= k)
       .select(col("probe_id"), col("rank"), col("vec_id"), col("score"))
+
+  def adcTopK(probes: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val cb = codebooks(corpus)
+    val scored = corpusCodes(corpus, cb).join(broadcast(probeLuts(probes, cb)), Seq("s", "code"))
+      .where(col("vec_id") =!= col("probe_id"))
+      .groupBy(col("probe_id"), col("vec_id")).agg(sum(col("pdot")).as("score"))
+    topKByScore(scored, k)
+  }
+
+  /** IVF+PQ — the composed billion-scale recipe: probes route through the
+    * IVF coarse quantizer to their `nprobe` lists (sub-linear candidate
+    * selection, [[IvfIndex]]), and ONLY those candidates are scored with
+    * the PQ lookup tables (compressed scoring, no embedding access on the
+    * corpus side). At 10^12 rows this is the pass that fits: the corpus
+    * carries one int list id + 8 code ids per row; both the candidate join
+    * and the score join are equi-joins with broadcast probe sides. */
+  def ivfAdcTopK(probes: DataFrame, corpus: DataFrame, k: Int,
+                 nlist: Int, nprobe: Int): DataFrame = {
+    require(nprobe >= 1 && nprobe <= nlist, s"nprobe=$nprobe out of [1, $nlist]")
+    val cents = IvfIndex.centroids(corpus, nlist)
+    val cb = codebooks(corpus)
+    val assigned = corpus.select(col("vec_id"),
+      IvfIndex.routeUdf(cents, 1)(col("embedding").cast("array<double>"))(0).as("cid"))
+    val pr = probes.select(col("vec_id").as("probe_id"),
+      explode(IvfIndex.routeUdf(cents, nprobe)(col("embedding").cast("array<double>"))).as("cid"))
+    val cand = assigned.join(broadcast(pr), "cid")
+      .where(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"))
+    val scored = cand.join(corpusCodes(corpus, cb), "vec_id")
+      .join(broadcast(probeLuts(probes, cb)), Seq("probe_id", "s", "code"))
+      .groupBy(col("probe_id"), col("vec_id")).agg(sum(col("pdot")).as("score"))
+    topKByScore(scored, k)
   }
 }

@@ -154,6 +154,35 @@ class CellOpsIvfSpec extends AnyFunSuite {
     assert(got == exp, "ADC lookup-sum must equal the reconstructed exact dot")
   }
 
+  test("IVF+PQ == reconstructed-dot scoring restricted to the IVF candidates") {
+    val probes = planted.where($"vec_id" < 5)
+    val got = PqIndex.ivfAdcTopK(probes, planted, k = 3, nlist = 16, nprobe = 2)
+      .select($"probe_id", $"rank", $"vec_id", $"score")
+      .as[(Long, Int, Long, Long)].collect().toSet
+    // oracle: IVF candidate set x PQ reconstruction scores, per-probe top-3
+    val cents = IvfIndex.centroids(planted, 16)
+    val cand = IvfIndex.assign(planted, cents).select($"vec_id", $"cid")
+      .join(probes.select($"vec_id".as("probe_id"),
+        explode(IvfIndex.routeUdf(cents, 2)($"embedding".cast("array<double>"))).as("cid")), "cid")
+      .where($"vec_id" =!= $"probe_id")
+      .select($"probe_id", $"vec_id").as[(Long, Long)].collect().toSet
+    val cb = PqIndex.codebooks(planted)
+    val recon = planted.select($"vec_id",
+        PqIndex.encodeUdf(cb)($"embedding".cast("array<double>")).as("codes"))
+      .as[(Long, Seq[Int])].collect()
+      .map { case (id, cs) =>
+        (id, cs.zipWithIndex.flatMap { case (c, s) => cb(s)(c) }.toArray) }.toMap
+    val probesQ = probes.select($"vec_id", AnnIndex.quant($"embedding".cast("array<double>")))
+      .as[(Long, Seq[Long])].collect()
+    val exp = probesQ.flatMap { case (pid, pq) =>
+      cand.filter(_._1 == pid).toSeq
+        .map { case (_, vid) => (vid, recon(vid).zip(pq).map { case (a, b) => a * b }.sum) }
+        .sortBy { case (vid, sc) => (-sc, vid) }.take(3).zipWithIndex
+        .map { case ((vid, sc), i) => (pid, i + 1, vid, sc) }
+    }.toSet
+    assert(got == exp, "composed IVF+PQ must equal candidate-restricted reconstruction scoring")
+  }
+
   test("IVF knnJoin == brute force restricted to the probed lists") {
     val cents = IvfIndex.centroids(planted, 16)
     val lists = IvfIndex.assign(planted, cents)
