@@ -461,6 +461,45 @@ object SparkEntry {
           sum(floor(col("value") * 100 + 0.5).cast("long")).as("value_cents"))
     }),
 
+    // batch sessionization (the batch twin of q_stream_session's gap
+    // sessions): per-user lag + running sum — a new session starts when
+    // the gap to the previous event exceeds 30 minutes. Integer
+    // microsecond arithmetic end-to-end; one window + one groupBy, both
+    // keyed on user_id (a single exchange reused by AQE).
+    "q_sessionize" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          // NTZ -> TIMESTAMP at the session's UTC zone = DuckDB's epoch_us
+          unix_micros(col("ts").cast("timestamp")).as("us"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+      e.withColumn("new_s",
+          when(lag(col("us"), 1).over(w).isNull, 1L)
+            .when(col("us") - lag(col("us"), 1).over(w) > 1800000000L, 1L)
+            .otherwise(0L))
+        .withColumn("sid", sum(col("new_s"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("sid"))
+        .agg(min(col("us")).as("session_start_us"), max(col("us")).as("session_end_us"),
+          count(lit(1)).as("n_events"))
+    }),
+
+    // exact group quantiles by rank arithmetic (p50/p90 of lineitem
+    // quantity per return flag): the value at sorted position
+    // floor((n-1)*p)+1 — pure integer position math, no interpolation
+    // mode to diverge between engines. One window per group + a filter.
+    "q_quantiles" -> ((s, dir) => {
+      val wr = Window.partitionBy(col("l_returnflag")).orderBy(col("l_quantity"))
+      val wn = Window.partitionBy(col("l_returnflag"))
+      val r = t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_quantity"),
+          row_number().over(wr).as("rn"), count(lit(1)).over(wn).as("n"))
+      def pick(num: Int, den: Int, p: Long) =
+        r.where(col("rn") === expr(s"((n - 1) * $num) div $den + 1"))
+          .select(col("l_returnflag"), lit(p).as("p"),
+            floor(col("l_quantity") * 100).cast("long").as("qty_c"))
+      pick(1, 2, 50L).unionByName(pick(9, 10, 90L))
+    }),
+
     // ---------- training-data ops: dedup / text / similarity ----------
 
     // exact dedup: canonical-hash groupBy (portable md5)
@@ -1497,6 +1536,37 @@ object SparkEntry {
            len(regexp_extract_all(text, '\S+')) AS n_tokens,
            length(text) AS n_chars_q
          FROM documents""",
+
+    // exact SQL twin of the batch sessionization: same lag/new-session
+    // rule, same microsecond arithmetic, same running-sum session ids
+    "q_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+         m AS (
+           SELECT user_id, event_id, us,
+             CASE WHEN lag(us) OVER w IS NULL THEN 1
+                  WHEN us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_s
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+         s AS (
+           SELECT user_id, us,
+             CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+           FROM m)
+         SELECT user_id, sid, min(us) AS session_start_us, max(us) AS session_end_us,
+           CAST(count(*) AS BIGINT) AS n_events
+         FROM s GROUP BY user_id, sid""",
+
+    // exact SQL twin of the rank-arithmetic quantiles: same position math
+    "q_quantiles" ->
+      """WITH r AS (
+           SELECT l_returnflag, l_quantity,
+             row_number() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS rn,
+             count(*) OVER (PARTITION BY l_returnflag) AS n
+           FROM lineitem)
+         SELECT l_returnflag, 50 AS p, CAST(floor(l_quantity * 100) AS BIGINT) AS qty_c
+         FROM r WHERE rn = (n - 1) // 2 + 1
+         UNION ALL
+         SELECT l_returnflag, 90 AS p, CAST(floor(l_quantity * 100) AS BIGINT) AS qty_c
+         FROM r WHERE rn = ((n - 1) * 9) // 10 + 1""",
 
     // exact SQL twin of the winnowing fingerprint: same 5-gram h60 hashes,
     // same 4-gram window min, same full-window tail exclusion
