@@ -711,7 +711,11 @@ object SparkEntry {
       val grams = d.select(col("doc_id"), col("len"),
         posexplode(expr("transform(sequence(1, length(text) - 4), i -> substring(text, i, 5))"))
           .as(Seq("p", "g")))
-      grams.select(col("doc_id"), col("len"), col("p"), pipeline.Dedup.h60(col("g")).as("h"))
+      // same dual-path rule as MinHash: md5-portable h60 under the oracle
+      // gate, xxhash64 in production (the winnowing guarantee holds for
+      // ANY gram hash; md5 per position is the minhash 9.4s lesson)
+      val gramHash = if (oracleHashing) pipeline.Dedup.h60(col("g")) else xxhash64(col("g"))
+      grams.select(col("doc_id"), col("len"), col("p"), gramHash.as("h"))
         .withColumn("fp", min(col("h")).over(Window.partitionBy(col("doc_id"))
           .orderBy(col("p")).rowsBetween(0, 3)))
         .where(col("p") <= col("len") - 8)
@@ -1090,6 +1094,37 @@ object SparkEntry {
                row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, j) AS rn
              FROM pqdists) WHERE rn = 1)"""
 
+  /** Shared PQ probe-LUT CTE (twin of PqIndex.probeLuts): K·M exact dots
+    * between each filtered probe's subvectors and every codeword.
+    * Composes after `quant` and `cb`. */
+  private def pqLutCte(probeFilter: String): String =
+    s"""luts AS (
+           SELECT p.vec_id AS probe_id, c.s, c.j AS code, sum(p.vq * c.cq) AS pdot
+           FROM quant p JOIN cb c ON c.s = p.pos // 8 AND c.i = p.pos % 8
+           WHERE $probeFilter
+           GROUP BY p.vec_id, c.s, c.j)"""
+
+  /** Shared cover-construction CTE chain (twin of the q_cell_compact
+    * pipeline): order points -> web-mercator world coords -> distinct z14
+    * cells -> 3 compact rounds ending in `r11` — the compacted cover both
+    * cell twins consume. */
+  private lazy val cellCoverCtes: String =
+    s"""pts AS (
+            SELECT
+              (256.0::DOUBLE * (0.5::DOUBLE + ($lngSqlO) / 360.0::DOUBLE)) AS wx,
+              (256.0::DOUBLE * (0.5::DOUBLE - ln((1.0::DOUBLE + least(greatest(sin(($latSqlO) * pi() / 180.0::DOUBLE), -0.9999::DOUBLE), 0.9999::DOUBLE))
+                 / (1.0::DOUBLE - least(greatest(sin(($latSqlO) * pi() / 180.0::DOUBLE), -0.9999::DOUBLE), 0.9999::DOUBLE))) / (4 * pi()))) AS wy
+            FROM orders),
+          r14 AS (
+            SELECT DISTINCT
+              14 * ${1L << 58} +
+              CAST(floor(wx * 16384 / 256) AS BIGINT) * ${1L << 29} +
+              CAST(floor(wy * 16384 / 256) AS BIGINT) AS cell_id
+            FROM pts),
+          ${compactRoundCtes("r14", 14, "r13")},
+          ${compactRoundCtes("r13", 13, "r12")},
+          ${compactRoundCtes("r12", 12, "r11")}"""
+
   /** One compact round (twin of a CellOps.compact loop iteration): cells of
     * `cur` at level `z` group by parent; complete quads (n=4) promote to the
     * parent cell, partial quads pass through, other levels pass through. */
@@ -1102,11 +1137,12 @@ object SparkEntry {
            FROM $cur WHERE cell_id // $zs = $z),
          cnt$z AS (SELECT p, count(*) AS n FROM lvl$z GROUP BY p),
          $out AS (
-           SELECT l.cell_id FROM lvl$z l JOIN cnt$z c ON l.p = c.p WHERE c.n < 4
-           UNION ALL
-           SELECT p AS cell_id FROM cnt$z WHERE n = 4
-           UNION ALL
-           SELECT cell_id FROM $cur WHERE cell_id // $zs <> $z)"""
+           SELECT DISTINCT cell_id FROM (
+             SELECT l.cell_id FROM lvl$z l JOIN cnt$z c ON l.p = c.p WHERE c.n < 4
+             UNION ALL
+             SELECT p AS cell_id FROM cnt$z WHERE n = 4
+             UNION ALL
+             SELECT cell_id FROM $cur WHERE cell_id // $zs <> $z))"""
   }
 
   /** Shared connected-components twin of [[pipeline.Dedup.resolveClusters]]
@@ -1742,11 +1778,7 @@ object SparkEntry {
     "q_ann_pq" ->
       s"""WITH $annQuantCte,
          $pqCodeCtes,
-         luts AS (
-           SELECT p.vec_id AS probe_id, c.s, c.j AS code, sum(p.vq * c.cq) AS pdot
-           FROM quant p JOIN cb c ON c.s = p.pos // 8 AND c.i = p.pos % 8
-           WHERE p.vec_id < 10
-           GROUP BY p.vec_id, c.s, c.j),
+         ${pqLutCte("p.vec_id < 10")},
          scored AS (
            SELECT l.probe_id, k.vec_id, CAST(sum(l.pdot) AS BIGINT) AS score
            FROM codes k JOIN luts l ON l.s = k.s AND l.code = k.code
@@ -1773,11 +1805,7 @@ object SparkEntry {
          cand AS (
            SELECT p.probe_id, a.vec_id FROM proute p JOIN assign a ON a.cid = p.cid
            WHERE a.vec_id <> p.probe_id),
-         luts AS (
-           SELECT p.vec_id AS probe_id, c.s, c.j AS code, sum(p.vq * c.cq) AS pdot
-           FROM quant p JOIN cb c ON c.s = p.pos // 8 AND c.i = p.pos % 8
-           WHERE p.vec_id < 10
-           GROUP BY p.vec_id, c.s, c.j),
+         ${pqLutCte("p.vec_id < 10")},
          scored AS (
            SELECT c.probe_id, c.vec_id, CAST(sum(l.pdot) AS BIGINT) AS score
            FROM cand c
@@ -1794,42 +1822,14 @@ object SparkEntry {
     // cell packing is pure integer arithmetic (z*2^58 + tx*2^29 + ty), and
     // each of the 3 rounds replays one groupBy-on-parent promotion
     "q_cell_compact" ->
-      s"""WITH pts AS (
-            SELECT
-              (256.0::DOUBLE * (0.5::DOUBLE + ($lngSqlO) / 360.0::DOUBLE)) AS wx,
-              (256.0::DOUBLE * (0.5::DOUBLE - ln((1.0::DOUBLE + least(greatest(sin(($latSqlO) * pi() / 180.0::DOUBLE), -0.9999::DOUBLE), 0.9999::DOUBLE))
-                 / (1.0::DOUBLE - least(greatest(sin(($latSqlO) * pi() / 180.0::DOUBLE), -0.9999::DOUBLE), 0.9999::DOUBLE))) / (4 * pi()))) AS wy
-            FROM orders),
-          r14 AS (
-            SELECT DISTINCT
-              14 * ${1L << 58} +
-              CAST(floor(wx * 16384 / 256) AS BIGINT) * ${1L << 29} +
-              CAST(floor(wy * 16384 / 256) AS BIGINT) AS cell_id
-            FROM pts),
-          ${compactRoundCtes("r14", 14, "r13")},
-          ${compactRoundCtes("r13", 13, "r12")},
-          ${compactRoundCtes("r12", 12, "r11")}
+      s"""WITH $cellCoverCtes
           SELECT cell_id, CAST(cell_id // ${1L << 58} AS BIGINT) AS zl FROM r11""",
 
     // exact SQL twin of CellOps.coverJoin: same compacted orders cover,
     // customer points explode to their 4 ancestor cells (z14..z11), one
     // equi-join against the cover
     "q_cell_cover_join" ->
-      s"""WITH pts AS (
-            SELECT
-              (256.0::DOUBLE * (0.5::DOUBLE + ($lngSqlO) / 360.0::DOUBLE)) AS wx,
-              (256.0::DOUBLE * (0.5::DOUBLE - ln((1.0::DOUBLE + least(greatest(sin(($latSqlO) * pi() / 180.0::DOUBLE), -0.9999::DOUBLE), 0.9999::DOUBLE))
-                 / (1.0::DOUBLE - least(greatest(sin(($latSqlO) * pi() / 180.0::DOUBLE), -0.9999::DOUBLE), 0.9999::DOUBLE))) / (4 * pi()))) AS wy
-            FROM orders),
-          r14 AS (
-            SELECT DISTINCT
-              14 * ${1L << 58} +
-              CAST(floor(wx * 16384 / 256) AS BIGINT) * ${1L << 29} +
-              CAST(floor(wy * 16384 / 256) AS BIGINT) AS cell_id
-            FROM pts),
-          ${compactRoundCtes("r14", 14, "r13")},
-          ${compactRoundCtes("r13", 13, "r12")},
-          ${compactRoundCtes("r12", 12, "r11")},
+      s"""WITH $cellCoverCtes,
           cpts AS (
             SELECT c_custkey,
               (256.0::DOUBLE * (0.5::DOUBLE + ($lngSqlC) / 360.0::DOUBLE)) AS wx,

@@ -59,7 +59,11 @@ object CellOps {
         .where(col("n") === 4).select(col("p"))
       val promoted = full.select(col("p").as("cell_id"))
       val kept = withP.join(full, Seq("p"), "left_anti").select(col("cell_id"))
-      cur = kept.unionByName(promoted).unionByName(rest).localCheckpoint(false)
+      // distinct per round: a cover that redundantly contains a cell AND
+      // its descendants would otherwise carry the promoted parent twice
+      // into the next round, inflating a later quad count to 4 and
+      // promoting area the input never covered (cover EXPANSION)
+      cur = kept.unionByName(promoted).unionByName(rest).distinct().localCheckpoint(false)
     }
     cur
   }
@@ -97,12 +101,16 @@ object CellOps {
     * pack(z, tx*2^d + i, ty*2^d + j), d = z - zc. */
   def uncompact(cover: DataFrame, z: Int): DataFrame = {
     require(z >= 0 && z <= 29, s"bad z $z")
-    val zc = zOf(col("cell_id"))
     val tx = shiftrightunsigned(col("cell_id"), 29).bitwiseAND(lit(0x1FFFFFFFL))
     val ty = col("cell_id").bitwiseAND(lit(0x1FFFFFFFL))
-    cover.where(zc <= z)
+    // a cover cell FINER than the target level cannot be represented at z —
+    // silently dropping it would shrink the covered area, so fail the job
+    cover
       .select(tx.as("tx"), ty.as("ty"),
-        expr(s"shiftleft(CAST(1 AS BIGINT), CAST(${z}L - (cell_id >> 58) AS INT))").as("side"))
+        expr(s"""CASE WHEN (cell_id >> 58) > ${z}L
+                   THEN CAST(raise_error('uncompact: cover cell finer than target z=$z') AS BIGINT)
+                   ELSE shiftleft(CAST(1 AS BIGINT), CAST(${z}L - (cell_id >> 58) AS INT)) END""")
+          .as("side"))
       .select(explode(sequence(lit(0L), col("side") * col("side") - 1)).as("q"),
         col("tx"), col("ty"), col("side"))
       .select((lit(z.toLong) * lit(ZShift) +

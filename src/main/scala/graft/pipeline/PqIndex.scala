@@ -66,8 +66,14 @@ object PqIndex {
         var i = 0
         while (i < SubDim) {
           val base = s * SubDim + i
-          val diff = (if (base < vq.length) vq(base) else 0L) - cb(s)(j)(i)
-          d += diff * diff
+          // positions past the embedding's length contribute NO term —
+          // the same semantics as the SQL twin's join on existing pos rows
+          // (and as IvfIndex.routeKernel's truncation); zero-substituting
+          // would diverge from the oracle for short embeddings
+          if (base < vq.length) {
+            val diff = vq(base) - cb(s)(j)(i)
+            d += diff * diff
+          }
           i += 1
         }
         if (d < bestD) { bestD = d; best = j }

@@ -40,6 +40,48 @@ class CellOpsIvfSpec extends AnyFunSuite {
     assert(compacted.count() <= orig.length, "compact never grows a cover")
   }
 
+  test("compact never expands a redundant cover (cell + its descendants)") {
+    // Q13 present both as itself and as its 4 children, plus 2 of its 3
+    // siblings: without per-round dedup the promoted Q13 double-counts and
+    // the z13 round would promote the PARENT quad, claiming the absent
+    // 4th sibling's area
+    val z12 = CellId.pack(12, 100, 200)
+    val q13 = CellId.children(z12)(0)
+    val siblings = CellId.children(z12).drop(1).take(2)
+    val in = (Array(q13) ++ CellId.children(q13) ++ siblings).toSeq.toDF("cell_id")
+    val out = CellOps.compact(in, zMax = 14, zMin = 11).as[Long].collect()
+    assert(out.length == out.distinct.length, "compact output must be a set")
+    assert(out.toSet == (siblings.toSet + q13),
+      s"redundant input must collapse WITHOUT promoting the incomplete z12 quad: ${out.toSet}")
+  }
+
+  test("uncompact fails loudly on cover cells finer than the target level") {
+    val cover = Seq(CellId.pack(14, 400, 800)).toDF("cell_id")
+    val e = intercept[Exception] {
+      CellOps.uncompact(cover, 13).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("finer than target")), s"unexpected error: $e")
+  }
+
+  test("PQ encode skips missing dimensions (short embeddings) like the SQL twin") {
+    val cb = PqIndex.codebooks(planted)
+    val full = planted.where($"vec_id" === 3)
+      .select($"embedding".cast("array<double>")).as[Seq[Double]].head()
+    val short = full.take(36) // subspace 4 half-present, 5..7 absent
+    val codes = PqIndex.encodeKernel(cb, short)
+    // fully-absent subspaces contribute NO distance terms: every codeword
+    // ties at 0 and the tie-break must pick codeword 0
+    for (s <- 5 until PqIndex.M)
+      assert(codes(s) == 0, s"empty subspace $s must tie-break to codeword 0")
+    // present subspaces must agree with encoding computed over only the
+    // existing positions (join-on-pos semantics)
+    for (s <- 0 until 4)
+      assert(codes(s) == PqIndex.encodeKernel(cb, full)(s),
+        s"fully-present subspace $s must encode as if the vector were full")
+  }
+
   test("coverJoin: exactly one row per covered point, none for outside points") {
     val z12 = CellId.pack(12, 100, 200)
     val full16 = CellId.children(z12).flatMap(CellId.children) // its z14 grid
