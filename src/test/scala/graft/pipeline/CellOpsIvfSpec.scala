@@ -225,6 +225,24 @@ class CellOpsIvfSpec extends AnyFunSuite {
     assert(got == exp, "composed IVF+PQ must equal candidate-restricted reconstruction scoring")
   }
 
+  test("IVF index build stages through StageRunner: resume serves the snapshot") {
+    // the index build (assignment pass over the whole corpus) is exactly
+    // the heavy stage a 100 TB run persists once and resumes — wire it
+    // through the snapshot layer and prove the rebuild is skipped
+    val dir = java.nio.file.Files.createTempDirectory("graft_ann_stage").toString
+    val runner = new graft.tables.StageRunner(spark, dir)
+    val cents = IvfIndex.centroids(planted, 16)
+    var builds = 0
+    def build() = { builds += 1; IvfIndex.assign(planted, cents) }
+    val first = runner.stage("ivf_lists")(build())
+      .select($"vec_id", $"cid").as[(Long, Long)].collect().sortBy(_._1)
+    val second = runner.stage("ivf_lists")(build())
+      .select($"vec_id", $"cid").as[(Long, Long)].collect().sortBy(_._1)
+    assert(builds == 1, "a committed index stage must not rebuild")
+    assert(first.sameElements(second), "snapshot must serve the identical assignment")
+    assert(runner.snapshotId("ivf_lists").contains(1L))
+  }
+
   test("IVF knnJoin == brute force restricted to the probed lists") {
     val cents = IvfIndex.centroids(planted, 16)
     val lists = IvfIndex.assign(planted, cents)
