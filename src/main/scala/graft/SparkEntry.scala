@@ -461,6 +461,16 @@ object SparkEntry {
           sum(floor(col("value") * 100 + 0.5).cast("long")).as("value_cents"))
     }),
 
+    // semi-structured extraction: JSON payload column -> typed field ->
+    // relational rollup (get_json_object stays inside codegen; no UDF) —
+    // the schema-on-read step every event-log pipeline runs first
+    "q_json_extract" -> ((s, dir) => {
+      val k = get_json_object(col("props"), "$.k").cast("long")
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(sum(k).as("k_sum"), count(when(k > 50, 1)).as("n_high"))
+    }),
+
     // batch sessionization (the batch twin of q_stream_session's gap
     // sessions): per-user lag + running sum — a new session starts when
     // the gap to the previous event exceeds 30 minutes. Integer
@@ -1572,6 +1582,13 @@ object SparkEntry {
            len(regexp_extract_all(text, '\S+')) AS n_tokens,
            length(text) AS n_chars_q
          FROM documents""",
+
+    // exact SQL twin of the JSON extraction (DuckDB's ->> operator)
+    "q_json_extract" ->
+      """SELECT event_type,
+           CAST(sum(CAST(props ->> 'k' AS BIGINT)) AS BIGINT) AS k_sum,
+           CAST(count(*) FILTER (WHERE CAST(props ->> 'k' AS BIGINT) > 50) AS BIGINT) AS n_high
+         FROM events GROUP BY event_type""",
 
     // exact SQL twin of the batch sessionization: same lag/new-session
     // rule, same microsecond arithmetic, same running-sum session ids
