@@ -465,7 +465,11 @@ object SparkEntry {
     // relational rollup (get_json_object stays inside codegen; no UDF) —
     // the schema-on-read step every event-log pipeline runs first
     "q_json_extract" -> ((s, dir) => {
-      val k = get_json_object(col("props"), "$.k").cast("long")
+      // parse via DOUBLE then floor: Spark's string->long cast truncates
+      // where DuckDB's rounds (and DuckDB's plain CAST hard-errors on
+      // garbage where Spark nulls) — the double->floor form is identical
+      // in both engines for any k, not just the clean-integer fixture
+      val k = floor(get_json_object(col("props"), "$.k").cast("double")).cast("long")
       t(s, dir, "events")
         .groupBy(col("event_type"))
         .agg(sum(k).as("k_sum"), count(when(k > 50, 1)).as("n_high"))
@@ -1583,11 +1587,13 @@ object SparkEntry {
            length(text) AS n_chars_q
          FROM documents""",
 
-    // exact SQL twin of the JSON extraction (DuckDB's ->> operator)
+    // exact SQL twin of the JSON extraction (DuckDB's ->> operator;
+    // TRY_CAST to DOUBLE + floor mirrors Spark's null-on-garbage and
+    // truncate-not-round semantics exactly)
     "q_json_extract" ->
       """SELECT event_type,
-           CAST(sum(CAST(props ->> 'k' AS BIGINT)) AS BIGINT) AS k_sum,
-           CAST(count(*) FILTER (WHERE CAST(props ->> 'k' AS BIGINT) > 50) AS BIGINT) AS n_high
+           CAST(sum(CAST(floor(TRY_CAST(props ->> 'k' AS DOUBLE)) AS BIGINT)) AS BIGINT) AS k_sum,
+           CAST(count(*) FILTER (WHERE CAST(floor(TRY_CAST(props ->> 'k' AS DOUBLE)) AS BIGINT) > 50) AS BIGINT) AS n_high
          FROM events GROUP BY event_type""",
 
     // exact SQL twin of the batch sessionization: same lag/new-session

@@ -40,6 +40,22 @@ object KernelProps extends Properties("geo-kernels") {
       }
     }
 
+  private val interiorRingGen: Gen[(Long, Int)] = for {
+    r <- Gen.choose(1, 4)
+    z <- Gen.choose(4, 29) // 2^z > 2r so an interior cell exists
+    tx <- Gen.choose(r.toLong, (1L << z) - 1 - r)
+    ty <- Gen.choose(r.toLong, (1L << z) - 1 - r)
+  } yield (CellId.pack(z, tx, ty), r)
+
+  property("ring(r) of an interior cell is COMPLETE: exactly 8r cells") =
+    forAll(interiorRingGen) { case (c, r) =>
+      // soundness alone is vacuously true on a buggy empty ring; the ring
+      // feeds kNN candidate gathering, where a silently dropped cell means
+      // silently missing neighbors
+      val ring = CellId.ring(c, r)
+      ring.length == 8 * r && ring.distinct.length == ring.length
+    }
+
   private val zGen = Gen.choose(1, 22)
   private val tileGen: Gen[(Int, Long, Long)] = for {
     z <- zGen
