@@ -78,6 +78,27 @@ object AnnIndex {
   def quant(emb: Column): Column =
     transform(emb, v => floor(v.cast("double") * 1000).cast("long"))
 
+  /** The embedding column double-widened (exact IEEE754 for float input) —
+    * the form every index kernel consumes. */
+  private[pipeline] def embD: Column = col("embedding").cast("array<double>")
+
+  /** Deterministic pseudo-random sample: the `n` rows whose
+    * md5("<salt>|" + vec_id) digest sorts first — the engine-portable
+    * stand-in for trained centroids/codebooks (IVF, PQ), twin-able in
+    * ANSI SQL. */
+  private[pipeline] def md5Ranked(corpus: DataFrame, salt: String, n: Int): DataFrame =
+    corpus.orderBy(md5(concat(lit(s"$salt|"), col("vec_id").cast("string"))), col("vec_id"))
+      .limit(n)
+
+  /** Per-probe top-k of a (probe_id, vec_id, <score>) relation by
+    * (score desc, vec_id) — the shared tail of every batch ANN join.
+    * NEVER a global window: partitioned by probe. */
+  private[pipeline] def rankTopK(scored: DataFrame, k: Int, score: String): DataFrame =
+    scored.withColumn("rank", row_number().over(
+        Window.partitionBy(col("probe_id")).orderBy(col(score).desc, col("vec_id"))))
+      .where(col("rank") <= k)
+      .select(col("probe_id"), col("rank"), col("vec_id"), col(score))
+
   /** Exact integer array dot — order-free, engine-portable. */
   def intDot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
@@ -152,10 +173,7 @@ object AnnIndex {
     val pq = quantized(probes).select(col("vec_id").as("probe_id"), col("vq").as("pq"))
     val scored = cand.join(quantized(corpus), "vec_id").join(pq, "probe_id")
       .select(col("probe_id"), col("vec_id"), intDot(col("vq"), col("pq")).as("dot"))
-    scored.withColumn("rank", row_number().over(
-        Window.partitionBy(col("probe_id")).orderBy(col("dot").desc, col("vec_id"))))
-      .where(col("rank") <= k)
-      .select(col("probe_id"), col("rank"), col("vec_id"), col("dot"))
+    rankTopK(scored, k, "dot")
   }
 
   /** Embedding near-dup PAIRS over the whole corpus, routed through the

@@ -42,10 +42,8 @@ object IvfIndex {
   def centroids(corpus: DataFrame, nlist: Int): Array[(Long, Array[Long])] = {
     require(nlist > 0 && nlist <= 1024,
       s"nlist=$nlist: the centroid table must stay broadcast-sized")
-    corpus
-      .orderBy(md5(concat(lit("ivf|"), col("vec_id").cast("string"))), col("vec_id"))
-      .limit(nlist)
-      .select(col("vec_id"), AnnIndex.quant(col("embedding").cast("array<double>")).as("vq"))
+    AnnIndex.md5Ranked(corpus, "ivf", nlist)
+      .select(col("vec_id"), AnnIndex.quant(AnnIndex.embD).as("vq"))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
       .sortBy(_._1)
@@ -62,7 +60,18 @@ object IvfIndex {
       while (i < n) { s += math.floor(emb(i) * 1000).toLong * cv(i); i += 1 }
       (cid, s)
     }
-    scored.sortBy { case (cid, d) => (-d, cid) }.take(nprobe).map(_._1)
+    if (nprobe == 1) {
+      // assignment is the per-row hot path of the index build — argmax
+      // scan, no per-row sort/allocation (cents is already cid-sorted, so
+      // strict > keeps the smaller-cid tie-break)
+      var best = scored(0)
+      var i = 1
+      while (i < scored.length) {
+        if (scored(i)._2 > best._2) best = scored(i)
+        i += 1
+      }
+      Array(best._1)
+    } else scored.sortBy { case (cid, d) => (-d, cid) }.take(nprobe).map(_._1)
   }
 
   /** Column form of [[routeKernel]] — a per-row map over the embedding
@@ -75,8 +84,8 @@ object IvfIndex {
     * by `cid`; here it feeds the join directly. */
   def assign(corpus: DataFrame, cents: Array[(Long, Array[Long])]): DataFrame =
     corpus.select(col("vec_id"),
-      routeUdf(cents, 1)(col("embedding").cast("array<double>"))(0).as("cid"),
-      AnnIndex.quant(col("embedding").cast("array<double>")).as("vq"))
+      routeUdf(cents, 1)(AnnIndex.embD)(0).as("cid"),
+      AnnIndex.quant(AnnIndex.embD).as("vq"))
 
   /** Batch IVF kNN: probes route to their `nprobe` nearest lists, meet the
     * assigned corpus in one equi-join on `cid`, candidates are scored with
@@ -96,15 +105,12 @@ object IvfIndex {
     val cents = centroids(corpus, nlist)
     val lists = assign(corpus, cents)
     val pr = probes.select(col("vec_id").as("probe_id"),
-        explode(routeUdf(cents, nprobe)(col("embedding").cast("array<double>"))).as("cid"),
-        AnnIndex.quant(col("embedding").cast("array<double>")).as("pq"))
+        explode(routeUdf(cents, nprobe)(AnnIndex.embD)).as("cid"),
+        AnnIndex.quant(AnnIndex.embD).as("pq"))
     val scored = lists.join(pr, "cid")
       .where(col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id"),
         AnnIndex.intDot(col("vq"), col("pq")).as("dot"))
-    scored.withColumn("rank", row_number().over(
-        Window.partitionBy(col("probe_id")).orderBy(col("dot").desc, col("vec_id"))))
-      .where(col("rank") <= k)
-      .select(col("probe_id"), col("rank"), col("vec_id"), col("dot"))
+    AnnIndex.rankTopK(scored, k, "dot")
   }
 }

@@ -44,12 +44,12 @@ object PqIndex {
     * cb(s)(j) = Array[Long](SubDim). Driver-side by design (the broadcast
     * model every PQ variant carries). */
   def codebooks(corpus: DataFrame): Array[Array[Array[Long]]] = {
-    val donors = corpus
-      .orderBy(md5(concat(lit("pq|"), col("vec_id").cast("string"))), col("vec_id"))
-      .limit(K)
-      .select(AnnIndex.quant(col("embedding").cast("array<double>")).as("vq"))
+    val donors = AnnIndex.md5Ranked(corpus, "pq", K)
+      .select(AnnIndex.quant(AnnIndex.embD).as("vq"))
       .collect()
       .map(_.getSeq[Long](0).toArray)
+    require(donors.length == K,
+      s"PQ codebooks need >= $K corpus vectors to sample, got ${donors.length}")
     Array.tabulate(M, K)((s, j) => donors(j).slice(s * SubDim, (s + 1) * SubDim))
   }
 
@@ -103,7 +103,7 @@ object PqIndex {
   /** Corpus codes relation: (vec_id, s, code) — 8 short rows per row. */
   private def corpusCodes(corpus: DataFrame, cb: Array[Array[Array[Long]]]): DataFrame =
     corpus.select(col("vec_id"),
-      posexplode(encodeUdf(cb)(col("embedding").cast("array<double>"))).as(Seq("s", "code")))
+      posexplode(encodeUdf(cb)(AnnIndex.embD)).as(Seq("s", "code")))
 
   /** Probe LUTs: (probe_id, s, code, pdot) — K·M exact integer dots per
     * probe between the probe's subvector and every codeword. */
@@ -114,24 +114,18 @@ object PqIndex {
     import probes.sparkSession.implicits._
     val cbDf = cbRows.toDF("s", "code", "cw")
     probes
-      .select(col("vec_id").as("probe_id"), AnnIndex.quant(col("embedding").cast("array<double>")).as("pq"))
+      .select(col("vec_id").as("probe_id"), AnnIndex.quant(AnnIndex.embD).as("pq"))
       .crossJoin(broadcast(cbDf))
       .select(col("probe_id"), col("s"), col("code"),
         AnnIndex.intDot(slice(col("pq"), col("s") * lit(SubDim) + 1, lit(SubDim)), col("cw")).as("pdot"))
   }
-
-  private def topKByScore(scored: DataFrame, k: Int): DataFrame =
-    scored.withColumn("rank", row_number().over(
-        Window.partitionBy(col("probe_id")).orderBy(col("score").desc, col("vec_id"))))
-      .where(col("rank") <= k)
-      .select(col("probe_id"), col("rank"), col("vec_id"), col("score"))
 
   def adcTopK(probes: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
     val cb = codebooks(corpus)
     val scored = corpusCodes(corpus, cb).join(broadcast(probeLuts(probes, cb)), Seq("s", "code"))
       .where(col("vec_id") =!= col("probe_id"))
       .groupBy(col("probe_id"), col("vec_id")).agg(sum(col("pdot")).as("score"))
-    topKByScore(scored, k)
+    AnnIndex.rankTopK(scored, k, "score")
   }
 
   /** IVF+PQ — the composed billion-scale recipe: probes route through the
@@ -147,15 +141,15 @@ object PqIndex {
     val cents = IvfIndex.centroids(corpus, nlist)
     val cb = codebooks(corpus)
     val assigned = corpus.select(col("vec_id"),
-      IvfIndex.routeUdf(cents, 1)(col("embedding").cast("array<double>"))(0).as("cid"))
+      IvfIndex.routeUdf(cents, 1)(AnnIndex.embD)(0).as("cid"))
     val pr = probes.select(col("vec_id").as("probe_id"),
-      explode(IvfIndex.routeUdf(cents, nprobe)(col("embedding").cast("array<double>"))).as("cid"))
+      explode(IvfIndex.routeUdf(cents, nprobe)(AnnIndex.embD)).as("cid"))
     val cand = assigned.join(broadcast(pr), "cid")
       .where(col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id"))
     val scored = cand.join(corpusCodes(corpus, cb), "vec_id")
       .join(broadcast(probeLuts(probes, cb)), Seq("probe_id", "s", "code"))
       .groupBy(col("probe_id"), col("vec_id")).agg(sum(col("pdot")).as("score"))
-    topKByScore(scored, k)
+    AnnIndex.rankTopK(scored, k, "score")
   }
 }
