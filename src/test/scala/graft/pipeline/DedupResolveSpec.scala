@@ -24,6 +24,44 @@ class DedupResolveSpec extends AnyFunSuite {
     assert(got == expect)
   }
 
+  test("random graphs: resolveClusters == driver-side union-find, 10 seeds") {
+    // the planted fixtures pin shapes we thought of; random edge lists pin
+    // the ones we didn't (multi-component forests, cross-links, dupes,
+    // reversed edges)
+    def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      parent.keys.map(x => x -> find(x)).toMap
+    }
+    for (seed <- 0 until 10) {
+      val rnd = new scala.util.Random(1000 + seed)
+      val n = 5 + rnd.nextInt(40)
+      val edges = Seq.fill(3 + rnd.nextInt(60)) {
+        val a = rnd.nextInt(n).toLong
+        val b = rnd.nextInt(n).toLong
+        if (a == b) (a, b + 1) else (a, b)
+      }
+      val got = Dedup.resolveClusters(edges.toDF("ida", "idb"))
+        .as[(Long, Long, Long)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+      val reps = unionFind(edges)
+      // union-find roots aren't component minima — normalize to min-per-root
+      val minOfRoot = reps.groupBy(_._2).map { case (root, m) => root -> m.keys.min }
+      val expect = reps.map { case (id, root) =>
+        val rep = minOfRoot(root)
+        id -> (rep, if (id == rep) 1L else 0L)
+      }
+      assert(got == expect, s"seed $seed: ${edges.take(8)}...")
+    }
+  }
+
   test("empty pair set resolves to an empty decision set") {
     val empty = Seq.empty[(Long, Long)].toDF("ida", "idb")
     assert(Dedup.resolveClusters(empty).count() == 0)
