@@ -31,6 +31,56 @@ class AsofMarkerSpec extends AnyFunSuite {
     assert(got == expected.map { case (a, b, c) => (a, b, c) })
   }
 
+  test("asofBackward == driver-side scan oracle on random inputs, 8 seeds") {
+    // the fixture pins the tie/miss/null cases we designed; random inputs
+    // pin the interleavings we didn't (build ts distinct per key so the
+    // winning row is well-defined)
+    for (seed <- 0 until 8) {
+      val rnd = new scala.util.Random(7000 + seed)
+      val keys = 1 + rnd.nextInt(4)
+      val builds = (0 until keys).flatMap { k =>
+        rnd.shuffle((0L until 50L).toList).take(3 + rnd.nextInt(10))
+          .map(t => (k.toLong, t, 1000L * k + t))
+      }
+      val probes = Seq.fill(30)(
+        (rnd.nextInt(keys + 1).toLong, rnd.nextInt(60).toLong, rnd.nextLong(1 << 20)))
+      val got = AsofJoin.asofBackward(
+          probes.toDF("user_id", "ts", "event_id").select($"event_id", $"user_id", $"ts"),
+          builds.toDF("user_id", "ts", "bid"), "user_id", "ts", Seq("bid"))
+        .select($"event_id", $"asof_bid")
+        .as[(Long, Option[Long])].collect().toMap
+      val expect = probes.map { case (k, t, eid) =>
+        val cand = builds.filter(b => b._1 == k && b._2 <= t)
+        eid -> (if (cand.isEmpty) None else Some(cand.maxBy(_._2)._3))
+      }.toMap
+      assert(got == expect, s"seed $seed")
+    }
+  }
+
+  test("intervalJoin == driver-side scan oracle on random inputs, 8 seeds") {
+    for (seed <- 0 until 8) {
+      val rnd = new scala.util.Random(8000 + seed)
+      val keys = 1 + rnd.nextInt(3)
+      val ivals = Seq.tabulate(4 + rnd.nextInt(12)) { i =>
+        val s = rnd.nextInt(200).toLong
+        (i.toLong, rnd.nextInt(keys).toLong, s, s + 1 + rnd.nextInt(80))
+      }
+      val probes = Seq.tabulate(40)(i =>
+        (10000L + i, rnd.nextInt(keys + 1).toLong, rnd.nextInt(300).toLong))
+      val got = AsofJoin.intervalJoin(
+          probes.toDF("event_id", "user_id", "tsm"),
+          ivals.toDF("iid", "user_id", "s", "e"),
+          "user_id", "tsm", "s", "e", Seq("iid"), bucketWidth = 16L)
+        .select($"event_id", $"iid").as[(Long, Long)].collect().toSet
+      val expect = (for {
+        (eid, k, t) <- probes
+        (iid, ik, s, e) <- ivals
+        if ik == k && s <= t && t < e
+      } yield (eid, iid)).toSet
+      assert(got == expect, s"seed $seed")
+    }
+  }
+
   test("intervalJoin == inequality join: overlaps, boundaries, multi-bucket spans") {
     val probe = Seq((1L, 100L, 5L), (2L, 100L, 10L), (3L, 100L, 99L),
       (4L, 100L, 250L), (5L, 200L, 5L), (6L, 100L, 15L)) // 6L sits AT 11L's end
