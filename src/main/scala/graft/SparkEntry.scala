@@ -461,6 +461,21 @@ object SparkEntry {
           sum(floor(col("value") * 100 + 0.5).cast("long")).as("value_cents"))
     }),
 
+    // deterministic per-class weighted sampling: each class keeps rows
+    // whose Knuth hash-rank falls under the class's rate threshold —
+    // hash-Bernoulli, so the draw is exact, partitioning-invariant and
+    // replayable (the "10% of class A, 50% of class B" rebalance every
+    // training-data pipeline runs). Zero shuffle: a per-row predicate.
+    "q_sa_weighted" -> ((s, dir) => {
+      val rate = when(col("o_orderstatus") === "F", lit(429496729L))   // ~10%
+        .when(col("o_orderstatus") === "O", lit(2147483648L))          // ~50%
+        .otherwise(lit(858993459L))                                    // ~20%
+      t(s, dir, "orders")
+        .where(krank(col("o_orderkey")) < rate)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("o_orderkey")).as("key_sum"))
+    }),
+
     // semi-structured extraction: JSON payload column -> typed field ->
     // relational rollup (get_json_object stays inside codegen; no UDF) —
     // the schema-on-read step every event-log pipeline runs first
@@ -1586,6 +1601,16 @@ object SparkEntry {
            len(regexp_extract_all(text, '\S+')) AS n_tokens,
            length(text) AS n_chars_q
          FROM documents""",
+
+    // exact SQL twin of the weighted hash-Bernoulli sample
+    "q_sa_weighted" ->
+      s"""SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_kept,
+            CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+          FROM orders
+          WHERE ${krankSql("o_orderkey")} <
+            CASE o_orderstatus WHEN 'F' THEN 429496729
+                               WHEN 'O' THEN 2147483648 ELSE 858993459 END
+          GROUP BY o_orderstatus""",
 
     // exact SQL twin of the JSON extraction (DuckDB's ->> operator;
     // TRY_CAST to DOUBLE + floor mirrors Spark's null-on-garbage and
