@@ -42,17 +42,19 @@ class AsofMarkerSpec extends AnyFunSuite {
         rnd.shuffle((0L until 50L).toList).take(3 + rnd.nextInt(10))
           .map(t => (k.toLong, t, 1000L * k + t))
       }
-      val probes = Seq.fill(30)(
-        (rnd.nextInt(keys + 1).toLong, rnd.nextInt(60).toLong, rnd.nextLong(1 << 20)))
+      // sequential event ids: collision-free, and comparing SORTED rows
+      // (not a Map/Set) keeps duplicate-output regressions visible
+      val probes = Seq.tabulate(30)(i =>
+        (rnd.nextInt(keys + 1).toLong, rnd.nextInt(60).toLong, 10000L + i))
       val got = AsofJoin.asofBackward(
           probes.toDF("user_id", "ts", "event_id").select($"event_id", $"user_id", $"ts"),
           builds.toDF("user_id", "ts", "bid"), "user_id", "ts", Seq("bid"))
         .select($"event_id", $"asof_bid")
-        .as[(Long, Option[Long])].collect().toMap
+        .as[(Long, Option[Long])].collect().sortBy(_._1).toSeq
       val expect = probes.map { case (k, t, eid) =>
         val cand = builds.filter(b => b._1 == k && b._2 <= t)
         eid -> (if (cand.isEmpty) None else Some(cand.maxBy(_._2)._3))
-      }.toMap
+      }.sortBy(_._1)
       assert(got == expect, s"seed $seed")
     }
   }
@@ -71,12 +73,15 @@ class AsofMarkerSpec extends AnyFunSuite {
           probes.toDF("event_id", "user_id", "tsm"),
           ivals.toDF("iid", "user_id", "s", "e"),
           "user_id", "tsm", "s", "e", Seq("iid"), bucketWidth = 16L)
-        .select($"event_id", $"iid").as[(Long, Long)].collect().toSet
+        // sorted multiset, not a Set: the operator's single-bucket-per-probe
+        // invariant means duplicates would be a real regression — keep them
+        // visible to the compare
+        .select($"event_id", $"iid").as[(Long, Long)].collect().sorted.toSeq
       val expect = (for {
         (eid, k, t) <- probes
         (iid, ik, s, e) <- ivals
         if ik == k && s <= t && t < e
-      } yield (eid, iid)).toSet
+      } yield (eid, iid)).sorted
       assert(got == expect, s"seed $seed")
     }
   }

@@ -52,7 +52,9 @@ class DedupResolveSpec extends AnyFunSuite {
         .as[(Long, Long, Long)].collect()
         .map(r => r._1 -> (r._2, r._3)).toMap
       val reps = unionFind(edges)
-      // union-find roots aren't component minima — normalize to min-per-root
+      // this union-find attaches the larger root under the smaller, so the
+      // final roots already ARE component minima; the normalization is kept
+      // as a guard should the union rule ever change
       val minOfRoot = reps.groupBy(_._2).map { case (root, m) => root -> m.keys.min }
       val expect = reps.map { case (id, root) =>
         val rep = minOfRoot(root)
