@@ -36,8 +36,16 @@ object SparkEntry {
   private val lngSqlO = "27.4026::DOUBLE + (o_orderkey % 29000)::DOUBLE * 0.00001::DOUBLE"
   private val latSqlC = "53.8306::DOUBLE + (c_custkey % 14000)::DOUBLE * 0.00001::DOUBLE"
   private val lngSqlC = "27.4026::DOUBLE + (c_custkey % 29000)::DOUBLE * 0.00001::DOUBLE"
-  // Knuth multiplicative hash-rank (64-bit-safe for keys < 2^31)
-  private def krank(key: Column): Column = (key * lit(2654435761L)) % lit(4294967296L)
+  // Knuth multiplicative hash-rank: (key * 2654435761) mod 2^32 for any
+  // NON-NEGATIVE key < 2^63, via the 2^31-split decomposition — low half
+  // r = key mod 2^31 multiplies safely (r*A < 2^62), and the high half
+  // contributes only its parity bit (A odd => (A*q*2^31) mod 2^32 =
+  // (q mod 2)*2^31). Bit-identical to DuckDB's exact HUGEINT
+  // (key * A) % 2^32, so sf100-scale orderkeys past 2^32 no longer
+  // silently diverge from the oracle (KrankSpec pins keys >= 2^33).
+  private[graft] def krank(key: Column): Column =
+    (key.bitwiseAND(lit(0x7FFFFFFFL)) * lit(2654435761L) % lit(4294967296L) +
+      shiftrightunsigned(key, 31).bitwiseAND(lit(1L)) * lit(2147483648L)) % lit(4294967296L)
   private def krankSql(key: String) = s"($key * 2654435761) % 4294967296"
 
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =

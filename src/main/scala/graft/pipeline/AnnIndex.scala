@@ -99,9 +99,14 @@ object AnnIndex {
       .where(col("rank") <= k)
       .select(col("probe_id"), col("rank"), col("vec_id"), col(score))
 
-  /** Exact integer array dot — order-free, engine-portable. */
+  /** Exact integer array dot — order-free, engine-portable. Positions
+    * present in only ONE array contribute nothing (zip_with null-pads the
+    * shorter side; the coalesce keeps the product lattice out of NULL) —
+    * the same semantics as the SQL twins' join-on-shared-pos, so
+    * mixed-dimension corpora score partial sums instead of NULLing the dot
+    * and sorting last. */
   def intDot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    aggregate(zip_with(a, b, (x, y) => coalesce(x * y, lit(0L))), lit(0L), (acc, x) => acc + x)
 
   /** (vec_id, c, ck): one short row per (vector, code chunk) — the single
     * source of the chunk-routing construction for topK and knnJoin. Codes

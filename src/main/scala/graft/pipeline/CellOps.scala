@@ -50,7 +50,15 @@ object CellOps {
     // lineage re-evaluates the base scan 3^rounds times. localCheckpoint
     // (auto-released by the ContextCleaner) caps it at one pass per round,
     // exactly the materialization a real run would persist between rounds.
-    var cur = cells.select(col("cell_id")).distinct().localCheckpoint(false)
+    // A cell FINER than zMax would silently pass every promotion round
+    // untouched (level-mixed non-minimal output that coverJoin's bounded
+    // ancestor chain never matches) — fail the job loudly instead, the
+    // same contract as uncompact's finer-than-target check.
+    var cur = cells.select(col("cell_id")).distinct()
+      .select(when(zOf(col("cell_id")) > zMax,
+          expr(s"CAST(raise_error('compact: input cell finer than zMax=$zMax') AS BIGINT)"))
+        .otherwise(col("cell_id")).as("cell_id"))
+      .localCheckpoint(false)
     for (z <- zMax until zMin by -1) {
       val atZ = zOf(col("cell_id")) === z
       val rest = cur.where(!atZ)

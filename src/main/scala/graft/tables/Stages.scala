@@ -189,8 +189,9 @@ final class StageRunner(spark: SparkSession, baseDir: String,
     * never served and must not push the real rollback target out of the
     * window). Un-committed (orphan) data dirs are reaped only once their
     * id falls [[keepSnapshots]] behind the current one — the grace window
-    * for a concurrently in-flight writer. Legacy unversioned `data` dirs
-    * no longer referenced are dropped. */
+    * for a concurrently in-flight writer. A legacy unversioned `data` dir
+    * (the pre-migration copy) survives as the rollback target until
+    * [[keepSnapshots]] committed versions exist, then drops. */
   private def expireSnapshots(name: String, current: StageManifest,
                               prevServed: Option[Long]): Unit = {
     val stageDir = Paths.get(s"$baseDir/$name")
@@ -213,7 +214,13 @@ final class StageRunner(spark: SparkSession, baseDir: String,
         case Some(v) if v == current.snapshot_id => false
         case Some(v) if Files.exists(versionManifestPath(name, v)) => !keepIds.contains(v)
         case Some(v) => v <= current.snapshot_id - keepSnapshots // orphan past grace
-        case None => n == "data" && dataDirOf(current) != "data"
+        // a legacy unversioned `data` dir is the only pre-migration copy —
+        // it is the de-facto rollback target of the FIRST versioned commit
+        // (whether the legacy manifest was readable or not), so it is
+        // retained until keepSnapshots committed versions exist, exactly
+        // the "previous snapshot stays intact" retention claim
+        case None => n == "data" && dataDirOf(current) != "data" &&
+          committedVersions(name).size >= keepSnapshots
       }
       if (expired) {
         rmTree(p)

@@ -101,6 +101,33 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(p0.forall(v => v >= 100000L && v < 100005L), s"probe 0 neighbors: $p0")
   }
 
+  test("mixed-dimension corpora: intDot sums shared positions, never NULL") {
+    // a 48-dim corpus row among 64-dim vectors: zip_with null-pads the
+    // shorter side, and an unguarded product lattice turns the whole dot
+    // NULL (sorting last) — the SQL twins join on shared pos and sum a
+    // partial dot instead; the engine must match that semantics
+    val full = base.where($"vec_id" === 1).select($"embedding").head().getSeq[Float](0)
+      .map(_.toDouble)
+    val short48 = full.take(48)
+    val corpus = base.select($"vec_id", expr("transform(embedding, v -> CAST(v AS DOUBLE))").as("embedding"))
+      .unionByName(Seq((600000L, short48)).toDF("vec_id", "embedding"))
+    val dots = corpus.where($"vec_id".isin(1L, 600000L))
+      .select($"vec_id", AnnIndex.intDot(
+        AnnIndex.quant($"embedding"),
+        AnnIndex.quant(typedLit(full))).as("dot"))
+      .as[(Long, Long)].collect().toMap
+    def q(v: Seq[Double]) = v.map(x => math.floor(x * 1000).toLong)
+    val expShort = q(short48).zip(q(full)).map { case (a, b) => a * b }.sum
+    val expFull = q(full).zip(q(full)).map { case (a, b) => a * b }.sum
+    assert(dots(600000L) == expShort, "short row must score its partial dot, not NULL")
+    assert(dots(1L) == expFull)
+    // and through the batch join: every emitted dot is a concrete partial
+    // sum (never NULL-sorted-last); recall of a truncated probe is not
+    // part of the LSH contract, so only the scoring semantics is pinned
+    val kj = AnnIndex.knnJoin(corpus.where($"vec_id" === 1L), corpus, k = 5, dim = 64)
+    assert(kj.where($"dot".isNull).count() == 0, "no NULL dots in a mixed-dim corpus")
+  }
+
   test("semantic dedup: nearDupPairs routes all-pairs through buckets; clusters keep-min") {
     val pairs = AnnIndex.nearDupPairs(planted, dim = 64, minCosFp = 999000L)
       .as[(Long, Long, Long)].collect()

@@ -65,6 +65,19 @@ class CellOpsIvfSpec extends AnyFunSuite {
     assert(msgs(e).exists(_.contains("finer than target")), s"unexpected error: $e")
   }
 
+  test("compact fails loudly on input cells finer than zMax") {
+    // a z15 cell in a zMax=14 compact would silently pass through every
+    // promotion round (level-mixed non-minimal output that coverJoin's
+    // bounded ancestor chain never matches) — the guard must raise instead
+    val in = Seq(CellId.pack(14, 400, 800), CellId.pack(15, 900, 900)).toDF("cell_id")
+    val e = intercept[Exception] {
+      CellOps.compact(in, zMax = 14, zMin = 11).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("finer than zMax")), s"unexpected error: $e")
+  }
+
   test("PQ encode skips missing dimensions (short embeddings) like the SQL twin") {
     val cb = PqIndex.codebooks(planted)
     val full = planted.where($"vec_id" === 3)
@@ -169,6 +182,32 @@ class CellOpsIvfSpec extends AnyFunSuite {
       val sub = donorQ.slice(s * PqIndex.SubDim, (s + 1) * PqIndex.SubDim)
       assert(rec.toSeq == sub, s"donor must reconstruct losslessly in subspace $s")
     }
+  }
+
+  test("PQ ADC LUT path scores a short probe over shared positions (twin parity)") {
+    // a 36-dim probe: subspace 4 is half-present, 5..7 absent — slice()
+    // yields short/empty probe subvectors and an unguarded zip_with product
+    // would NULL the LUT dots; the twin's position join sums only shared
+    // positions, so pdot must be the partial sum (0 for empty subspaces)
+    val full = planted.where($"vec_id" === 3)
+      .select($"embedding".cast("array<double>")).as[Seq[Double]].head()
+    val corpus = planted.select($"vec_id", $"embedding".cast("array<double>").as("embedding"))
+      .unionByName(Seq((700000L, full.take(36))).toDF("vec_id", "embedding"))
+    val got = PqIndex.adcTopK(corpus.where($"vec_id" === 700000L), corpus, k = 3)
+      .select($"probe_id", $"rank", $"vec_id", $"score")
+      .as[(Long, Int, Long, Long)].collect().toSet
+    // oracle: reconstruct corpus rows from codewords, score with the
+    // driver-side partial dot over the probe's 36 quantized positions
+    val cb = PqIndex.codebooks(corpus)
+    val recon = corpus.select($"vec_id", PqIndex.encodeUdf(cb)($"embedding").as("codes"))
+      .as[(Long, Seq[Int])].collect()
+      .map { case (id, cs) => (id, cs.zipWithIndex.flatMap { case (c, s) => cb(s)(c) }) }
+    val pq = full.take(36).map(v => math.floor(v * 1000).toLong)
+    val exp = recon.filter(_._1 != 700000L)
+      .map { case (vid, rv) => (vid, pq.zip(rv).map { case (a, b) => a * b }.sum) }
+      .sortBy { case (vid, sc) => (-sc, vid) }.take(3).zipWithIndex
+      .map { case ((vid, sc), i) => (700000L, i + 1, vid, sc) }.toSet
+    assert(got == exp, "short-probe ADC must equal partial-dot reconstruction scoring")
   }
 
   test("PQ adcTopK == exact dot against the reconstructed (codeword) corpus") {

@@ -137,6 +137,31 @@ class ResumeSaltSinkSpec extends AnyFunSuite {
     assert(Files.getLastModifiedTime(runner.manifestPath("lamps_ranked")) == lampStamp)
   }
 
+  test("legacy unversioned data dir survives migration as the rollback target") {
+    // a baseDir written before snapshot versioning: `data` dir + a manifest
+    // the current schema cannot parse. The first versioned commit must NOT
+    // delete the only pre-migration copy — it is the de-facto previous
+    // snapshot; it drops only once keepSnapshots committed versions exist.
+    val dir = Files.createTempDirectory("graft_legacy").toString
+    val legacyData = Paths.get(s"$dir/lg/data")
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").write.parquet(legacyData.toString)
+    Files.write(Paths.get(s"$dir/lg/manifest.json"),
+      "{not json at all".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+    val runner = new StageRunner(spark, dir) // keepSnapshots = 2
+    runner.stage("lg")(Seq((3L, "c")).toDF("id", "v"))
+    assert(runner.snapshotId("lg").contains(1L))
+    assert(Files.isDirectory(legacyData),
+      "first versioned commit must retain the pre-migration copy")
+    assert(spark.read.parquet(legacyData.toString).count() == 2, "legacy rows intact")
+
+    runner.invalidate("lg")
+    runner.stage("lg")(Seq((4L, "d")).toDF("id", "v"))
+    assert(runner.snapshotId("lg").contains(2L))
+    assert(!Files.isDirectory(legacyData),
+      "once keepSnapshots committed versions exist the legacy dir drops")
+  }
+
   test("salted hot-cell join == plain join, row for row") {
     val skewed = SyntheticWorld.testWorld.copy(lamps = 400, hotCellSkew = 0.5, seed = 7L)
     val pts = SyntheticWorld.osmNodes(spark, skewed)
