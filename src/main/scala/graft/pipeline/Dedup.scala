@@ -261,49 +261,93 @@ object Dedup {
   val GuaranteedHamming = 3
 
   /** Dedup cluster resolution: candidate PAIRS (ida, idb) -> per-doc
-    * keep/drop decisions. Connected components by iterative min-label
-    * propagation (lbl(v) <- min(lbl(v), min over neighbors)), then the
-    * component minimum is the kept representative — the same keep-min rule
-    * as exact dedup (SparkEntry q_dedup_exact). Output: (doc_id, rep_id,
-    * keep) for every doc that appears in a pair; docs in no pair are
-    * trivially kept and are the caller's to union in.
+    * keep/drop decisions. Connected components by alternating
+    * large-star/small-star rounds (Kiveris et al., "Connected Components
+    * in MapReduce and Beyond" — the published O(log n)-round algorithm),
+    * then the component minimum is the kept representative — the same
+    * keep-min rule as exact dedup (SparkEntry q_dedup_exact). Output:
+    * (doc_id, rep_id, keep) for every doc that appears in a pair; docs in
+    * no pair are trivially kept and are the caller's to union in.
     *
-    * Scale shape: each round is one equi-join + one groupBy-min over the
-    * EDGE list (never the n² pair space), localCheckpointed to break
-    * lineage growth; convergence needs O(component diameter) rounds —
-    * near-dup clusters are cliques or near-cliques, so 1-2 rounds in
-    * practice (DedupResolveSpec pins a chain, the worst case). The per-
-    * round driver action is one bounded count (the same accepted pattern
-    * as KnnJoin's ring rounds). For adversarial long-path graphs at
-    * 10^12 rows, swap the propagation body for large-star/small-star
-    * (Kiveris et al.) — same interface, O(log n) rounds. */
+    * One round = large-star (every strictly-larger neighbor of a node
+    * re-attaches to the node's neighborhood minimum) then small-star
+    * (every smaller-or-equal neighbor and the node itself attach to that
+    * minimum). Each is one groupBy-min + one equi-join over the EDGE list
+    * (never the n² pair space), localCheckpointed to break lineage growth.
+    * Convergence needs O(log n) rounds for ANY graph shape — the r3
+    * min-label propagation was O(component diameter) and require-failed on
+    * chains past 64 hops; DedupResolveSpec now pins a 200-node chain
+    * resolving in a handful of rounds. The per-round driver action is one
+    * (count, xor-hash) signature aggregate; because a signature repeat is
+    * what ends the loop, the final star forest is then VERIFIED exactly
+    * (every pair must link a node to its own-star minimum) — a hash
+    * collision or round-budget overrun fails loudly, never mislabels. */
   def resolveClusters(pairs: DataFrame): DataFrame = {
-    val edges = pairs.select(col("ida").as("a"), col("idb").as("b"))
-      .unionByName(pairs.select(col("idb").as("a"), col("ida").as("b")))
+    // every doc in any pair gets a decision row (self-pairs count as
+    // trivial components even though they drop from the edge set)
+    val nodes = pairs.select(col("ida").as("id"))
+      .unionByName(pairs.select(col("idb").as("id")))
       .distinct().localCheckpoint(false)
-    var labels = edges.select(col("a").as("id")).distinct()
-      .withColumn("lbl", col("id")).localCheckpoint(false)
-    var changed = 1L
+    // canonical undirected pair set (x < y), self-loops dropped
+    var p = pairs.select(least(col("ida"), col("idb")).as("x"),
+        greatest(col("ida"), col("idb")).as("y"))
+      .where(col("x") =!= col("y")).distinct().localCheckpoint(false)
+
+    def sym(pp: DataFrame): DataFrame =
+      pp.select(col("x").as("a"), col("y").as("b"))
+        .unionByName(pp.select(col("y").as("a"), col("x").as("b")))
+    // m(a) = min(N(a) ∪ {a}) over the symmetric edge list
+    def mins(s: DataFrame): DataFrame =
+      s.groupBy(col("a")).agg(min(col("b")).as("nb"))
+        .select(col("a"), least(col("a"), col("nb")).as("m"))
+    // order-free set signature: (|p|, xor of pair hashes) — xor, not sum,
+    // so ANSI overflow semantics can never abort the loop
+    def signature(pp: DataFrame): (Long, Any) = {
+      val r = pp.agg(count(lit(1)), bit_xor(xxhash64(col("x"), col("y")))).head()
+      (r.getLong(0), r.get(1))
+    }
+
     var rounds = 0
-    val maxRounds = 64
-    while (changed > 0 && rounds < maxRounds) {
-      val nbrMin = edges.join(labels.select(col("id").as("b"), col("lbl").as("nl")), "b")
-        .groupBy(col("a")).agg(min(col("nl")).as("nmin"))
-        .select(col("a").as("id"), col("nmin"))
-      val updated = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"), least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"))
-        .localCheckpoint(false)
-      changed = updated.join(labels.select(col("id"), col("lbl").as("old")), "id")
-        .where(col("lbl") < col("old")).count()
-      labels = updated
+    val maxRounds = 48 // ~log2(10^12) with slack; a star forest is stable
+    var converged = false
+    var sig = signature(p)
+    while (!converged && rounds < maxRounds) {
+      // large-star: pair (a, b) with b > a sends b to m(a); m(a) <= a < b,
+      // so the output pair (m, b) is canonical and never a self-loop
+      val large = sym(p).where(col("b") > col("a"))
+        .join(mins(sym(p)), "a")
+        .select(col("m").as("x"), col("b").as("y"))
+        .distinct().localCheckpoint(false)
+      // small-star: pair (a, b) with b < a sends b to m(a) (m <= b, drop
+      // the self-loop when equal), and every node attaches to its own m
+      val s2 = sym(large)
+      val m2 = mins(s2).localCheckpoint(false) // feeds both halves
+      val part1 = s2.where(col("b") < col("a")).join(m2, "a")
+        .select(col("m").as("x"), col("b").as("y"))
+        .where(col("x") =!= col("y"))
+      val part2 = m2.where(col("m") =!= col("a"))
+        .select(col("m").as("x"), col("a").as("y"))
+      p = part1.unionByName(part2).distinct().localCheckpoint(false)
+      val nsig = signature(p)
+      converged = nsig == sig
+      sig = nsig
       rounds += 1
     }
-    // returning a non-fixpoint would silently mislabel components — refuse
-    // instead (diameter > 64 means the input is not a near-dup pair graph;
-    // switch to large-star/small-star for such shapes)
-    require(changed == 0,
-      s"resolveClusters did not converge in $maxRounds rounds (component diameter too large)")
-    labels.select(col("id").as("doc_id"), col("lbl").as("rep_id"),
-      when(col("id") === col("lbl"), 1L).otherwise(0L).as("keep"))
+    // exact fixpoint verification: in a converged star forest every pair
+    // links a component-minimum center x (m(x) = x) to a leaf y whose own
+    // neighborhood minimum is x — anything else means the signature lied
+    // or maxRounds was hit, and returning would silently mislabel
+    val reps = mins(sym(p)).localCheckpoint(false) // (a, m); feeds check + labels
+    val violations = p
+      .join(reps.select(col("a").as("x"), col("m").as("mx")), "x")
+      .join(reps.select(col("a").as("y"), col("m").as("my")), "y")
+      .where(col("mx") =!= col("x") || col("my") =!= col("x"))
+      .count()
+    require(converged && violations == 0,
+      s"resolveClusters did not reach a verified star forest in $rounds/$maxRounds rounds")
+    nodes.join(reps.select(col("a").as("id"), col("m")), Seq("id"), "left")
+      .select(col("id").as("doc_id"),
+        coalesce(col("m"), col("id")).as("rep_id"),
+        when(coalesce(col("m"), col("id")) === col("id"), 1L).otherwise(0L).as("keep"))
   }
 }

@@ -64,6 +64,21 @@ class DedupResolveSpec extends AnyFunSuite {
     }
   }
 
+  test("a 200-node chain (diameter 199) resolves — O(log n) star rounds, not O(diameter)") {
+    // the r3 min-label propagation walked one hop per round and
+    // require-failed past diameter 64; large-star/small-star must resolve
+    // an adversarial long path in logarithmically many rounds
+    val chain = (0L until 199L).map(i => (i, i + 1))
+    // interleave reversed + shuffled-id edges so the path is not presented
+    // in id order (the adversarial presentation for min-propagation)
+    val pairs = chain.map { case (a, b) => (1000 - b, 1000 - a) } // ids 801..1000, still a path
+    val got = Dedup.resolveClusters(pairs.toDF("ida", "idb"))
+      .as[(Long, Long, Long)].collect()
+    assert(got.length == 200)
+    assert(got.forall(_._2 == 801L), s"all 200 nodes label to the chain minimum 801")
+    assert(got.count(_._3 == 1L) == 1 && got.find(_._3 == 1L).get._1 == 801L)
+  }
+
   test("empty pair set resolves to an empty decision set") {
     val empty = Seq.empty[(Long, Long)].toDF("ida", "idb")
     assert(Dedup.resolveClusters(empty).count() == 0)
