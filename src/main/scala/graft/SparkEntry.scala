@@ -660,8 +660,9 @@ object SparkEntry {
         k = 3, dim = 64, multiProbe = true)
     }),
 
-    // IVF ANN: deterministic md5-sampled coarse quantizer (16 lists),
-    // probes route to their 2 max-dot lists, corpus meets probes in ONE
+    // IVF ANN: md5-seeded coarse quantizer TRAINED with 2 deterministic
+    // Lloyd's rounds (16 lists, broadcast centroid TABLE — no closure),
+    // probes route to their 2 nearest-L2 lists, corpus meets probes in ONE
     // equi-join on the list id, exact integer scoring, per-probe top-3.
     // Candidate cost ~ nprobe/nlist of the corpus BY CONSTRUCTION — the
     // tunable complement to the LSH index's geometry-driven buckets.
@@ -1090,23 +1091,49 @@ object SparkEntry {
              CAST(sum(CAST(bit AS BIGINT) << CAST(j % 16 AS INTEGER)) AS BIGINT) AS ck
            FROM bits GROUP BY vec_id, j // 16)"""
 
-  /** Shared IVF-routing CTE chain (twin of IvfIndex centroids + assign):
-    * md5-first centroid sample -> exact-integer-dot coarse assignment
-    * (ties -> smaller cid). Yields `assign` (vec_id, cid) and `cdots`
-    * (vec_id, cid, dot) for probe routing. Composes after `quant`. */
-  private val ivfRouteCtes: String =
-    """cids AS (
+  /** One Lloyd's round (twin of an IvfIndex.centroidTable loop iteration):
+    * squared-L2 assignment under `cin`, integer-exact per-dim mean
+    * (floorDiv via the pmod identity — Spark `div` and DuckDB `//` agree
+    * because the numerator is exactly divisible), empty lists keep their
+    * previous centroid. */
+  private def ivfRoundCtes(cin: String, r: Int, cout: String): String =
+    s"""d$r AS (
+           SELECT q.vec_id, c.cid, sum((q.vq - c.cq) * (q.vq - c.cq)) AS d
+           FROM quant q JOIN $cin c ON c.pos = q.pos GROUP BY q.vec_id, c.cid),
+         a$r AS (
+           SELECT vec_id, cid FROM (
+             SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+             FROM d$r) WHERE rn = 1),
+         m$r AS (
+           SELECT cid, pos, (s - ((s % n) + n) % n) // n AS c
+           FROM (SELECT a.cid, q.pos, CAST(sum(q.vq) AS BIGINT) AS s, count(*) AS n
+                 FROM a$r a JOIN quant q ON q.vec_id = a.vec_id
+                 GROUP BY a.cid, q.pos)),
+         $cout AS (
+           SELECT c.cid, c.pos, COALESCE(m.c, c.cq) AS cq
+           FROM $cin c LEFT JOIN m$r m ON m.cid = c.cid AND m.pos = c.pos)"""
+
+  /** Shared IVF-routing CTE chain (twin of IvfIndex.centroidTable +
+    * assign): md5-seeded centroids, 2 unrolled Lloyd's rounds, squared-L2
+    * coarse assignment (ties -> smaller cid). Yields `c2` (cid, pos, cq) —
+    * the trained centroids — plus `assign` (vec_id, cid) and `cdist`
+    * (vec_id, cid, d) for probe routing. Composes after `quant`. */
+  private lazy val ivfRouteCtes: String =
+    s"""cids AS (
            SELECT vec_id AS cid FROM (SELECT DISTINCT vec_id FROM quant) v
            ORDER BY md5('ivf|' || CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
-         cq AS (SELECT c.cid, q.pos, q.vq FROM cids c JOIN quant q ON q.vec_id = c.cid),
-         cdots AS (
-           SELECT q.vec_id, c.cid, sum(q.vq * c.vq) AS dot
-           FROM quant q JOIN cq c ON c.pos = q.pos GROUP BY q.vec_id, c.cid),
+         c0 AS (SELECT c.cid, q.pos, q.vq AS cq FROM cids c JOIN quant q ON q.vec_id = c.cid),
+         ${ivfRoundCtes("c0", 0, "c1")},
+         ${ivfRoundCtes("c1", 1, "c2")},
+         cdist AS (
+           SELECT q.vec_id, c.cid, sum((q.vq - c.cq) * (q.vq - c.cq)) AS d
+           FROM quant q JOIN c2 c ON c.pos = q.pos GROUP BY q.vec_id, c.cid),
          assign AS (
            SELECT vec_id, cid FROM (
              SELECT vec_id, cid,
-               row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid) AS rn
-             FROM cdots) WHERE rn = 1)"""
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+             FROM cdist) WHERE rn = 1)"""
 
   /** Shared PQ CTE chain (twin of PqIndex codebooks + encode): md5-first
     * donor sample -> per-subspace codebooks -> integer-L2 argmin codes.
@@ -1802,17 +1829,18 @@ object SparkEntry {
            FROM scored)
          SELECT probe_id, rank, vec_id, dot FROM ranked WHERE rank <= 3""",
 
-    // exact SQL twin of IvfIndex.knnJoin: md5-first centroid sample (16),
-    // exact-integer-dot assignment (ties -> smaller cid), probes route to
-    // their 2 best lists, candidates scored exactly, per-probe top-3
+    // exact SQL twin of IvfIndex.knnJoin: md5-seeded centroids, 2 unrolled
+    // Lloyd's rounds, squared-L2 assignment/routing (ties -> smaller cid),
+    // probes route to their 2 nearest lists, candidates scored with the
+    // exact dot, per-probe top-3
     "q_ann_ivf" ->
       s"""WITH $annQuantCte,
          $ivfRouteCtes,
          proute AS (
            SELECT vec_id AS probe_id, cid FROM (
              SELECT vec_id, cid,
-               row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid) AS rn
-             FROM cdots WHERE vec_id < 20) WHERE rn <= 2),
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+             FROM cdist WHERE vec_id < 20) WHERE rn <= 2),
          cand AS (
            SELECT p.probe_id, a.vec_id FROM proute p JOIN assign a ON a.cid = p.cid
            WHERE a.vec_id <> p.probe_id),
@@ -1856,8 +1884,8 @@ object SparkEntry {
          proute AS (
            SELECT vec_id AS probe_id, cid FROM (
              SELECT vec_id, cid,
-               row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid) AS rn
-             FROM cdots WHERE vec_id < 10) WHERE rn <= 2),
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+             FROM cdist WHERE vec_id < 10) WHERE rn <= 2),
          cand AS (
            SELECT p.probe_id, a.vec_id FROM proute p JOIN assign a ON a.cid = p.cid
            WHERE a.vec_id <> p.probe_id),

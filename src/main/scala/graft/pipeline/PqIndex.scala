@@ -68,7 +68,7 @@ object PqIndex {
           val base = s * SubDim + i
           // positions past the embedding's length contribute NO term —
           // the same semantics as the SQL twin's join on existing pos rows
-          // (and as IvfIndex.routeKernel's truncation); zero-substituting
+          // (and as IvfIndex.intSqDist's missing-position rule); zero-substituting
           // would diverge from the oracle for short embeddings
           if (base < vq.length) {
             val diff = vq(base) - cb(s)(j)(i)
@@ -136,14 +136,12 @@ object PqIndex {
     * carries one int list id + 8 code ids per row; both the candidate join
     * and the score join are equi-joins with broadcast probe sides. */
   def ivfAdcTopK(probes: DataFrame, corpus: DataFrame, k: Int,
-                 nlist: Int, nprobe: Int): DataFrame = {
+                 nlist: Int, nprobe: Int, trainRounds: Int = 2): DataFrame = {
     require(nprobe >= 1 && nprobe <= nlist, s"nprobe=$nprobe out of [1, $nlist]")
-    val cents = IvfIndex.centroids(corpus, nlist)
+    val cents = IvfIndex.centroidTable(corpus, nlist, trainRounds)
     val cb = codebooks(corpus)
-    val assigned = corpus.select(col("vec_id"),
-      IvfIndex.routeUdf(cents, 1)(AnnIndex.embD)(0).as("cid"))
-    val pr = probes.select(col("vec_id").as("probe_id"),
-      explode(IvfIndex.routeUdf(cents, nprobe)(AnnIndex.embD)).as("cid"))
+    val assigned = IvfIndex.assign(corpus, cents).select(col("vec_id"), col("cid"))
+    val pr = IvfIndex.route(probes, cents, nprobe).select(col("probe_id"), col("cid"))
     val cand = assigned.join(broadcast(pr), "cid")
       .where(col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id"))

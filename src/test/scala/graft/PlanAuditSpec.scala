@@ -237,10 +237,36 @@ class PlanAuditSpec extends AnyFunSuite {
       k = 3, nlist = 16, nprobe = 2)
     kj.collect()
     val plan = kj.queryExecution.executedPlan.toString
-    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
-      s"IVF routing must be an equi-join on cid:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"no cartesian anywhere:\n$plan")
+    // the ONLY nested-loop joins are against the BROADCAST centroid table
+    // (nlist rows, the intended assignment/routing scan); the corpus-side
+    // candidate join on cid must be a hash equi-join
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"assignment must join the broadcast centroid table:\n$plan")
+    assert(plan.contains("HashJoin") && plan.contains("cid"),
+      s"candidates must meet probes in an equi-join on cid:\n$plan")
     assert(plan.contains("windowspecdefinition(probe_id"),
       "top-k window must be partitioned by probe, never global")
+  }
+
+  test("IVF assignment: broadcast centroid TABLE, no closure UDF, map-side argmin") {
+    // the r3 build closed a centroid Array over a UDF (nlist require-capped
+    // at 1024); the join-based build must show the centroids as a broadcast
+    // relation and keep the whole kernel in codegen — no UDF anywhere
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val cents = pipeline.IvfIndex.centroidTable(emb, 16, trainRounds = 1)
+    val assigned = pipeline.IvfIndex.assign(emb, cents)
+    assigned.collect()
+    val plan = assigned.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"centroids must arrive as a broadcast table:\n$plan")
+    assert(!plan.contains("UDF") && !plan.contains("BatchEvalPython"),
+      s"assignment must be UDF-free codegen:\n$plan")
+    // argmin is a partial-aggregable min_by: the exchange carries one
+    // combined row per vector, not |corpus| x nlist rows
+    assert(plan.contains("partial_min_by") || plan.contains("partial min_by")
+      || plan.contains("min_by"), s"argmin should aggregate map-side:\n$plan")
   }
 
   test("coverJoin: the compacted cover broadcasts; points never exchange") {

@@ -144,8 +144,9 @@ class CellOpsIvfSpec extends AnyFunSuite {
   }
 
   test("IVF routing scans ~nprobe/nlist of the corpus, and every vector lands in one list") {
-    val cents = IvfIndex.centroids(planted, 16)
-    assert(cents.length == 16 && cents.map(_._1).distinct.length == 16)
+    val cents = IvfIndex.centroidTable(planted, 16)
+    val cids = cents.select($"cid").as[Long].collect()
+    assert(cids.length == 16 && cids.distinct.length == 16)
     val lists = IvfIndex.assign(planted, cents).cache()
     val n = lists.count()
     assert(n == planted.count(), "assignment is total: one list per vector")
@@ -241,10 +242,9 @@ class CellOpsIvfSpec extends AnyFunSuite {
       .select($"probe_id", $"rank", $"vec_id", $"score")
       .as[(Long, Int, Long, Long)].collect().toSet
     // oracle: IVF candidate set x PQ reconstruction scores, per-probe top-3
-    val cents = IvfIndex.centroids(planted, 16)
+    val cents = IvfIndex.centroidTable(planted, 16)
     val cand = IvfIndex.assign(planted, cents).select($"vec_id", $"cid")
-      .join(probes.select($"vec_id".as("probe_id"),
-        explode(IvfIndex.routeUdf(cents, 2)($"embedding".cast("array<double>"))).as("cid")), "cid")
+      .join(IvfIndex.route(probes, cents, 2).select($"probe_id", $"cid"), "cid")
       .where($"vec_id" =!= $"probe_id")
       .select($"probe_id", $"vec_id").as[(Long, Long)].collect().toSet
     val cb = PqIndex.codebooks(planted)
@@ -270,7 +270,7 @@ class CellOpsIvfSpec extends AnyFunSuite {
     // through the snapshot layer and prove the rebuild is skipped
     val dir = java.nio.file.Files.createTempDirectory("graft_ann_stage").toString
     val runner = new graft.tables.StageRunner(spark, dir)
-    val cents = IvfIndex.centroids(planted, 16)
+    val cents = IvfIndex.centroidTable(planted, 16)
     var builds = 0
     def build() = { builds += 1; IvfIndex.assign(planted, cents) }
     val first = runner.stage("ivf_lists")(build())
@@ -282,23 +282,43 @@ class CellOpsIvfSpec extends AnyFunSuite {
     assert(runner.snapshotId("ivf_lists").contains(1L))
   }
 
-  test("IVF knnJoin == brute force restricted to the probed lists") {
-    val cents = IvfIndex.centroids(planted, 16)
-    val lists = IvfIndex.assign(planted, cents)
-    val probes = planted.where($"vec_id" < 10)
-    val got = IvfIndex.knnJoin(probes, planted, k = 3, nlist = 16, nprobe = 2)
-      .select($"probe_id", $"rank", $"vec_id").as[(Long, Int, Long)].collect().toSet
-    // oracle: per probe, exact integer dot over exactly the 2 routed lists
-    val pr = probes.select($"vec_id".as("probe_id"),
-        explode(IvfIndex.routeUdf(cents, 2)($"embedding".cast("array<double>"))).as("cid"),
-        AnnIndex.quant($"embedding".cast("array<double>")).as("pq"))
-    val exp = lists.join(pr, "cid").where($"vec_id" =!= $"probe_id")
-      .select($"probe_id", $"vec_id", AnnIndex.intDot($"vq", $"pq").as("dot"))
-      .as[(Long, Long, Long)].collect()
-      .groupBy(_._1).toSeq.flatMap { case (p, rows) =>
-        rows.sortBy(r => (-r._3, r._2)).take(3).zipWithIndex
-          .map { case (r, i) => (p, i + 1, r._2) }
-      }.toSet
-    assert(got == exp)
+  test("IVF knnJoin == sequential oracle (seed, 2 Lloyd's rounds, route, scan lists)") {
+    val got = IvfIndex.knnJoin(planted.where($"vec_id" < 10), planted,
+        k = 3, nlist = 16, nprobe = 2)
+      .select($"probe_id", $"rank", $"vec_id", $"dot")
+      .as[(Long, Int, Long, Long)].collect().toSet
+    // sequential oracle: the whole trained index re-derived driver-side
+    // from the raw embeddings — md5 seeding, 2 k-means rounds with
+    // floor-division means, L2 routing, dot scoring
+    val vecs = planted.select($"vec_id", AnnIndex.quant($"embedding".cast("array<double>")))
+      .as[(Long, Seq[Long])].collect().map { case (id, v) => id -> v.toArray }.toMap
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val seeds = vecs.keys.toSeq.sortBy(id => (md5hex(s"ivf|$id"), id)).take(16)
+    def sqd(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    var cents: Map[Long, Array[Long]] = seeds.map(id => id -> vecs(id)).toMap
+    def assignAll(): Map[Long, Long] =
+      vecs.map { case (id, v) => id -> cents.toSeq.map { case (cid, cv) => (sqd(v, cv), cid) }.min._2 }
+    for (_ <- 0 until 2) {
+      val byList = assignAll().groupBy(_._2)
+      cents = cents.map { case (cid, old) =>
+        cid -> byList.get(cid).map { members =>
+          val vs = members.keys.map(vecs).toSeq
+          Array.tabulate(64)(d => Math.floorDiv(vs.map(_(d)).sum, vs.size.toLong))
+        }.getOrElse(old)
+      }
+    }
+    val asg = assignAll()
+    val exp = (0L until 10L).flatMap { p =>
+      val routes = cents.toSeq.map { case (cid, cv) => (sqd(vecs(p), cv), cid) }
+        .sorted.take(2).map(_._2).toSet
+      vecs.keys.filter(v => v != p && routes.contains(asg(v))).toSeq
+        .map(v => (v, vecs(v).zip(vecs(p)).map { case (x, y) => x * y }.sum))
+        .sortBy { case (v, dot) => (-dot, v) }.take(3).zipWithIndex
+        .map { case ((v, dot), i) => (p, i + 1, v, dot) }
+    }.toSet
+    assert(got == exp, "engine index must equal the sequential trained-IVF oracle")
   }
 }

@@ -1,0 +1,73 @@
+package graft.pipeline
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The trained coarse quantizer's reason to exist: on CLUSTERED embeddings
+  * (the realistic regime — random sampling is fine on the uniform synthetic
+  * corpus) md5-sampled centroids give unbalanced Voronoi lists, which is
+  * exactly the hot-list skew the index exists to avoid. The deterministic
+  * Lloyd's rounds must (a) bound max/mean list population below the sampled
+  * baseline and (b) never lose recall against it. */
+class IvfTrainSpec extends AnyFunSuite {
+  lazy val spark = SparkSuite.spark
+  import spark.implicits._
+
+  val Dim = 64
+  val NList = 8
+  // 8 well-separated clusters with skewed sizes (one dominant) — the shape
+  // that makes sampled centroids pile onto the big cluster
+  val clusterSizes = Seq(300, 60, 60, 60, 40, 40, 20, 20)
+  def center(c: Int, d: Int): Double = ((c * 37 + d * 13) % 100) / 100.0
+
+  lazy val corpus = {
+    val rows = for {
+      (sz, c) <- clusterSizes.zipWithIndex
+      i <- 0 until sz
+    } yield ((c * 1000 + i).toLong,
+      // per-dim pseudo-random jitter (±0.05, decorrelated across dims so
+      // each cluster is a ball Lloyd's can meaningfully partition, not a
+      // degenerate line)
+      Array.tabulate(Dim)(d => center(c, d) + (((c * 1000 + i) * (d + 7) * 2654435761L) % 101 - 50) * 0.001))
+    rows.toDF("vec_id", "embedding").cache()
+  }
+  val n = clusterSizes.sum
+
+  def listSizes(trainRounds: Int): Array[Long] = {
+    val cents = IvfIndex.centroidTable(corpus, NList, trainRounds)
+    IvfIndex.assign(corpus, cents).groupBy($"cid").count()
+      .select($"count").as[Long].collect().sorted
+  }
+
+  /** recall@5 of own-cluster neighbors for one probe per cluster. */
+  def recallAt5(trainRounds: Int): Double = {
+    val probes = corpus.where($"vec_id" % 1000 === 7)
+    val top = IvfIndex.knnJoin(probes, corpus, k = 5, NList, nprobe = 2, trainRounds)
+      .select($"probe_id", $"vec_id").as[(Long, Long)].collect()
+    val hits = top.count { case (p, v) => v / 1000 == p / 1000 }
+    hits.toDouble / (clusterSizes.length * 5)
+  }
+
+  test("k-means rounds bound max/mean list population on clustered data") {
+    val sampled = listSizes(0)
+    val trained = listSizes(2)
+    val mean = n.toDouble / NList
+    val sampledRatio = sampled.max / mean
+    val trainedRatio = trained.max / mean
+    info(f"sampled max/mean = $sampledRatio%.2f (sizes ${sampled.mkString(",")})")
+    info(f"trained max/mean = $trainedRatio%.2f (sizes ${trained.mkString(",")})")
+    assert(trainedRatio < sampledRatio,
+      f"training must improve balance: $trainedRatio%.2f !< $sampledRatio%.2f")
+    assert(trainedRatio <= 3.0,
+      f"trained max/mean $trainedRatio%.2f unbounded — quantizer did not spread")
+  }
+
+  test("trained recall@5 >= the sampled baseline, and is high on clustered data") {
+    val r0 = recallAt5(0)
+    val r2 = recallAt5(2)
+    info(f"recall@5 sampled=$r0%.2f trained=$r2%.2f")
+    assert(r2 >= r0, f"training must not lose recall: $r2%.2f < $r0%.2f")
+    assert(r2 >= 0.9, f"trained recall@5 $r2%.2f too low for well-separated clusters")
+  }
+}
