@@ -684,10 +684,11 @@ object SparkEntry {
     }),
 
     // IVF+PQ composed — the billion-scale recipe end-to-end: probes route
-    // through the IVF lists (sub-linear candidates), and only candidates
-    // are scored via the PQ lookup tables (compressed scoring; the corpus
-    // side never touches an embedding). Broadcast probe sides on both
-    // joins; per-probe top-3.
+    // through the trained IVF lists (sub-linear candidates), and only
+    // candidates are scored via RESIDUAL PQ lookup tables (the corpus side
+    // carries one list id + 8 residual codes; score = probe-centroid dot +
+    // summed residual LUT hits — exact by linearity). Broadcast probe
+    // sides on both joins; per-probe top-3.
     "q_ann_ivfpq" -> ((s, dir) => {
       val corpus = annCorpus(t(s, dir, "embeddings"))
       pipeline.PqIndex.ivfAdcTopK(corpus.where(col("vec_id") < 10), corpus,
@@ -1874,27 +1875,62 @@ object SparkEntry {
            FROM scored)
          SELECT probe_id, rank, vec_id, score FROM ranked WHERE rank <= 3""",
 
-    // exact SQL twin of PqIndex.ivfAdcTopK: IVF routing CTEs pick the
-    // candidates, PQ code CTEs score them — composed from the same shared
-    // fragments the standalone twins use
+    // exact SQL twin of PqIndex.ivfAdcTopK, RESIDUAL path: the trained IVF
+    // CTEs pick candidates AND supply each vector's list centroid; the
+    // residual (vq - centroid) is PQ-encoded from md5-ranked residual
+    // donors, and the score decomposes exactly as
+    // dot(probe, centroid) + sum_s LUT_s[code_s]
     "q_ann_ivfpq" ->
       s"""WITH $annQuantCte,
          $ivfRouteCtes,
-         $pqCodeCtes,
+         resid AS (
+           SELECT q.vec_id, a.cid, q.pos, q.vq - c.cq AS rv
+           FROM quant q
+           JOIN assign a ON a.vec_id = q.vec_id
+           JOIN c2 c ON c.cid = a.cid AND c.pos = q.pos),
+         rdonors AS (
+           SELECT vec_id, rn - 1 AS j FROM (
+             SELECT vec_id,
+               row_number() OVER (ORDER BY md5('pq|' || CAST(vec_id AS VARCHAR)), vec_id) AS rn
+             FROM (SELECT DISTINCT vec_id FROM quant)) WHERE rn <= 16),
+         cbr AS (
+           SELECT r.pos // 8 AS s, d.j, r.pos % 8 AS i, r.rv AS cq
+           FROM rdonors d JOIN resid r ON r.vec_id = d.vec_id),
+         rdists AS (
+           SELECT r.vec_id, c.s, c.j, sum((r.rv - c.cq) * (r.rv - c.cq)) AS d2
+           FROM resid r JOIN cbr c ON c.s = r.pos // 8 AND c.i = r.pos % 8
+           GROUP BY r.vec_id, c.s, c.j),
+         rcodes AS (
+           SELECT vec_id, s, j AS code FROM (
+             SELECT vec_id, s, j,
+               row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, j) AS rn
+             FROM rdists) WHERE rn = 1),
          proute AS (
            SELECT vec_id AS probe_id, cid FROM (
              SELECT vec_id, cid,
                row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
              FROM cdist WHERE vec_id < 10) WHERE rn <= 2),
+         rluts AS (
+           SELECT p.vec_id AS probe_id, c.s, c.j AS code, sum(p.vq * c.cq) AS pdot
+           FROM quant p JOIN cbr c ON c.s = p.pos // 8 AND c.i = p.pos % 8
+           WHERE p.vec_id < 10
+           GROUP BY p.vec_id, c.s, c.j),
+         ctr AS (
+           SELECT p.vec_id AS probe_id, c.cid, sum(p.vq * c.cq) AS cdot
+           FROM quant p JOIN c2 c ON c.pos = p.pos
+           WHERE p.vec_id < 10
+           GROUP BY p.vec_id, c.cid),
          cand AS (
-           SELECT p.probe_id, a.vec_id FROM proute p JOIN assign a ON a.cid = p.cid
+           SELECT p.probe_id, a.vec_id, a.cid
+           FROM proute p JOIN assign a ON a.cid = p.cid
            WHERE a.vec_id <> p.probe_id),
-         ${pqLutCte("p.vec_id < 10")},
          scored AS (
-           SELECT c.probe_id, c.vec_id, CAST(sum(l.pdot) AS BIGINT) AS score
+           SELECT c.probe_id, c.vec_id,
+             CAST(sum(l.pdot) + min(t.cdot) AS BIGINT) AS score
            FROM cand c
-           JOIN codes k ON k.vec_id = c.vec_id
-           JOIN luts l ON l.probe_id = c.probe_id AND l.s = k.s AND l.code = k.code
+           JOIN rcodes k ON k.vec_id = c.vec_id
+           JOIN rluts l ON l.probe_id = c.probe_id AND l.s = k.s AND l.code = k.code
+           JOIN ctr t ON t.probe_id = c.probe_id AND t.cid = c.cid
            GROUP BY c.probe_id, c.vec_id),
          ranked AS (
            SELECT probe_id, vec_id, score,

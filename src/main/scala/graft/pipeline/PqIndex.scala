@@ -7,70 +7,86 @@ import org.apache.spark.sql.functions._
 /**
  * Product quantization (PQ) — the embedding-compression layer of the ANN
  * stack (the canonical billion-scale recipe is IVF routing + PQ-compressed
- * residual scoring; here PQ composes with [[IvfIndex]]/[[AnnIndex]] as the
- * scoring-side companion). A 64-dim vector compresses to M=8 one-byte-ish
- * codes: the vector splits into 8 contiguous 8-dim subvectors, each
- * replaced by the id of its nearest codeword (K=16 per subspace) — 64
- * floats become 8 small ints, a ~32x memory cut, and probe scoring becomes
- * 8 table lookups per corpus row (ADC — asymmetric distance computation:
- * the probe stays exact, only the corpus side is quantized).
+ * RESIDUAL scoring; [[ivfAdcTopK]] composes exactly that). A dim-d vector
+ * compresses to `m` codes: it splits into `m` contiguous subvectors, each
+ * replaced by the id of its nearest codeword (`k` per subspace) — d floats
+ * become m small ints, and probe scoring becomes m table lookups per
+ * corpus row (ADC — asymmetric distance computation: the probe stays
+ * exact, only the corpus side is quantized).
  *
- * Engine-portable determinism (full DuckDB twin, q_ann_pq):
- *  - codebooks: the K corpus vectors whose md5("pq|" || vec_id) digest
+ * Parameterization ([[PqParams]]): the defaults (64, 8, 16) are the
+ * oracle-gate configuration (q_ann_pq/q_ann_ivfpq replay every step in
+ * ANSI SQL; a 256-codeword twin would be oracle-cost for no extra
+ * coverage); the canonical production rate-distortion point k = 256
+ * (one byte per subspace) is exercised by PqResidualSpec.
+ *
+ * Engine-portable determinism (full DuckDB twin):
+ *  - codebooks: the `k` corpus vectors whose md5("pq|" || vec_id) digest
  *    sorts first donate their subvector slices as codewords (deterministic
- *    sampling in place of k-means training, same trade as [[IvfIndex]] —
- *    the compression/scoring SHAPE is exactly PQ's and every step replays
- *    in ANSI SQL).
+ *    sampling; every step replays in ANSI SQL).
  *  - encoding metric: exact integer squared-L2 over the shared
  *    floor(v*1000) quantization, ties toward the smaller codeword id.
  *  - ADC score: sum over subspaces of the exact integer dot between the
- *    probe's subvector and the corpus row's codeword.
+ *    probe's subvector and the corpus row's codeword (+ the probe-centroid
+ *    dot on the residual path).
  *
- * Scale shape at 10^12 rows: codebooks are tiny (K·M subvectors) and
+ * Scale shape at 10^12 rows: codebooks are tiny (k·m subvectors) and
  * closed over by a per-row encode kernel — the index build is a
- * zero-shuffle map (persist the 8 codes, drop the embedding). Probe-side
- * LUTs are K·M integer dots per probe, built relationally and joined to
+ * zero-shuffle map (persist the m codes, drop the embedding). Probe-side
+ * LUTs are k·m integer dots per probe, built relationally and joined to
  * the exploded corpus codes on (subspace, code) — probes broadcast, the
  * corpus never shuffles before the per-probe top-k.
  */
 object PqIndex {
-  val Dim = 64
-  val M = 8        // subspaces
-  val SubDim = 8   // Dim / M
-  val K = 16       // codewords per subspace
+  /** dim = embedding length, m = subspaces, k = codewords per subspace. */
+  final case class PqParams(dim: Int, m: Int, k: Int) {
+    require(dim > 0 && m > 0 && dim % m == 0, s"m=$m must divide dim=$dim")
+    require(k > 0 && k <= 4096, s"k=$k: codebooks must stay driver/broadcast-sized")
+    val subDim: Int = dim / m
+  }
+  val Default: PqParams = PqParams(64, 8, 16)
+  // oracle-configuration constants, kept for spec/twin readability
+  val Dim = Default.dim
+  val M = Default.m
+  val SubDim = Default.subDim
+  val K = Default.k
 
-  /** Deterministic codebooks: codeword j of subspace s is the s-th 8-dim
-    * slice (quantized) of the j-th md5-ranked corpus vector. Returned as
-    * cb(s)(j) = Array[Long](SubDim). Driver-side by design (the broadcast
-    * model every PQ variant carries). */
-  def codebooks(corpus: DataFrame): Array[Array[Array[Long]]] = {
-    val donors = AnnIndex.md5Ranked(corpus, "pq", K)
-      .select(AnnIndex.quant(AnnIndex.embD).as("vq"))
-      .collect()
+  /** Deterministic codebooks from any quantized-vector relation
+    * (vec_id, vq): codeword j of subspace s is the s-th subDim slice of
+    * the j-th md5-ranked donor. cb(s)(j) = Array[Long](subDim).
+    * Driver-side by design (the broadcast model every PQ variant
+    * carries; k is require-bounded). */
+  def codebooksQ(vecs: DataFrame, p: PqParams = Default): Array[Array[Array[Long]]] = {
+    val donors = vecs
+      .orderBy(md5(concat(lit("pq|"), col("vec_id").cast("string"))), col("vec_id"))
+      .limit(p.k)
+      .select(col("vq")).collect()
       .map(_.getSeq[Long](0).toArray)
-    require(donors.length == K,
-      s"PQ codebooks need >= $K corpus vectors to sample, got ${donors.length}")
-    Array.tabulate(M, K)((s, j) => donors(j).slice(s * SubDim, (s + 1) * SubDim))
+    require(donors.length == p.k,
+      s"PQ codebooks need >= ${p.k} corpus vectors to sample, got ${donors.length}")
+    Array.tabulate(p.m, p.k)((s, j) => donors(j).slice(s * p.subDim, (s + 1) * p.subDim))
   }
 
-  /** Encode kernel: the M nearest-codeword ids (exact integer squared-L2,
-    * ties -> smaller j) of one embedding. */
-  def encodeKernel(cb: Array[Array[Array[Long]]], emb: Seq[Double]): Array[Int] = {
-    val vq = Array.tabulate(math.min(Dim, emb.length))(i => math.floor(emb(i) * 1000).toLong)
-    Array.tabulate(M) { s =>
+  /** Codebooks over the raw embedding column (quantizes first). */
+  def codebooks(corpus: DataFrame, p: PqParams = Default): Array[Array[Array[Long]]] =
+    codebooksQ(corpus.select(col("vec_id"), AnnIndex.quant(AnnIndex.embD).as("vq")), p)
+
+  /** Encode kernel over a QUANTIZED vector: the m nearest-codeword ids
+    * (exact integer squared-L2, ties -> smaller j). Positions past the
+    * vector's length contribute NO term — the same semantics as the SQL
+    * twin's join on existing pos rows; zero-substituting would diverge
+    * from the oracle for short vectors. */
+  def encodeQKernel(cb: Array[Array[Array[Long]]], vq: Seq[Long], p: PqParams): Array[Int] =
+    Array.tabulate(p.m) { s =>
       var best = 0
       var bestD = Long.MaxValue
       var j = 0
-      while (j < K) {
+      while (j < p.k) {
         var d = 0L
         var i = 0
-        while (i < SubDim) {
-          val base = s * SubDim + i
-          // positions past the embedding's length contribute NO term —
-          // the same semantics as the SQL twin's join on existing pos rows
-          // (and as IvfIndex.intSqDist's missing-position rule); zero-substituting
-          // would diverge from the oracle for short embeddings
-          if (base < vq.length) {
+        while (i < p.subDim) {
+          val base = s * p.subDim + i
+          if (base < vq.length && i < cb(s)(j).length) {
             val diff = vq(base) - cb(s)(j)(i)
             d += diff * diff
           }
@@ -81,33 +97,32 @@ object PqIndex {
       }
       best
     }
-  }
+
+  /** Encode kernel over a raw embedding (quantizes, then [[encodeQKernel]]). */
+  def encodeKernel(cb: Array[Array[Array[Long]]], emb: Seq[Double],
+                   p: PqParams = Default): Array[Int] =
+    encodeQKernel(cb,
+      Array.tabulate(math.min(p.dim, emb.length))(i => math.floor(emb(i) * 1000).toLong), p)
 
   /** Column form of [[encodeKernel]] — the zero-shuffle index build. */
-  def encodeUdf(cb: Array[Array[Array[Long]]]) =
-    udf { (emb: Seq[Double]) => encodeKernel(cb, emb) }
+  def encodeUdf(cb: Array[Array[Array[Long]]], p: PqParams = Default) =
+    udf { (emb: Seq[Double]) => encodeKernel(cb, emb, p) }
 
-  /** Batch ADC top-k: corpus rows carry only their M codes; each probe
-    * builds a (subspace, codeword) -> exact-integer-dot lookup table
-    * relationally, the exploded codes meet the LUT in ONE equi-join on
-    * (s, code), and the per-probe score is the sum over subspaces —
-    * followed by a window top-k BY PROBE. Output (probe_id, rank, vec_id,
-    * score); self-matches excluded.
-    *
-    * Approximation contract, stated not hidden: score is the exact dot
-    * against the QUANTIZED corpus row (the codeword centroids), so ranking
-    * fidelity degrades with quantization error — near-duplicates of a
-    * codebook donor rank exactly; far vectors coarsely. Exhaustive
-    * guarantees stay with the exact scans; PQ buys the 32x memory cut that
-    * makes a 10^12-row scoring pass feasible at all. */
-  /** Corpus codes relation: (vec_id, s, code) — 8 short rows per row. */
-  private def corpusCodes(corpus: DataFrame, cb: Array[Array[Array[Long]]]): DataFrame =
+  /** Column form of [[encodeQKernel]] (already-quantized input — the
+    * residual path). */
+  def encodeQUdf(cb: Array[Array[Array[Long]]], p: PqParams = Default) =
+    udf { (vq: Seq[Long]) => encodeQKernel(cb, vq, p) }
+
+  /** Corpus codes relation: (vec_id, s, code) — m short rows per row. */
+  private def corpusCodes(corpus: DataFrame, cb: Array[Array[Array[Long]]],
+                          p: PqParams): DataFrame =
     corpus.select(col("vec_id"),
-      posexplode(encodeUdf(cb)(AnnIndex.embD)).as(Seq("s", "code")))
+      posexplode(encodeUdf(cb, p)(AnnIndex.embD)).as(Seq("s", "code")))
 
-  /** Probe LUTs: (probe_id, s, code, pdot) — K·M exact integer dots per
+  /** Probe LUTs: (probe_id, s, code, pdot) — k·m exact integer dots per
     * probe between the probe's subvector and every codeword. */
-  private def probeLuts(probes: DataFrame, cb: Array[Array[Array[Long]]]): DataFrame = {
+  private def probeLuts(probes: DataFrame, cb: Array[Array[Array[Long]]],
+                        p: PqParams): DataFrame = {
     val cbRows = cb.zipWithIndex.flatMap { case (sub, s) =>
       sub.zipWithIndex.map { case (cw, j) => (s, j, cw.toSeq) }
     }.toSeq
@@ -117,37 +132,85 @@ object PqIndex {
       .select(col("vec_id").as("probe_id"), AnnIndex.quant(AnnIndex.embD).as("pq"))
       .crossJoin(broadcast(cbDf))
       .select(col("probe_id"), col("s"), col("code"),
-        AnnIndex.intDot(slice(col("pq"), col("s") * lit(SubDim) + 1, lit(SubDim)), col("cw")).as("pdot"))
+        AnnIndex.intDot(slice(col("pq"), col("s") * lit(p.subDim) + 1, lit(p.subDim)), col("cw")).as("pdot"))
   }
 
-  def adcTopK(probes: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
-    val cb = codebooks(corpus)
-    val scored = corpusCodes(corpus, cb).join(broadcast(probeLuts(probes, cb)), Seq("s", "code"))
+  /** Batch ADC top-k: corpus rows carry only their m codes; each probe
+    * builds a (subspace, codeword) -> exact-integer-dot lookup table
+    * relationally, the exploded codes meet the LUT in ONE equi-join on
+    * (s, code), and the per-probe score is the sum over subspaces —
+    * followed by a window top-k BY PROBE. Output (probe_id, rank, vec_id,
+    * score); self-matches excluded.
+    *
+    * THIS IS A SCAN SCORER, NOT A BATCH kNN OPERATOR: by contract it
+    * touches m·|corpus| pre-aggregation rows PER PROBE (full-ADC — the
+    * whole corpus is scored). The probe side is require-bounded
+    * (`maxProbes`) so a caller cannot mistake it for [[ivfAdcTopK]], the
+    * composed sub-linear path that scores IVF candidates only.
+    *
+    * Approximation contract, stated not hidden: score is the exact dot
+    * against the QUANTIZED corpus row (the codeword centroids), so ranking
+    * fidelity degrades with quantization error — near-duplicates of a
+    * codebook donor rank exactly; far vectors coarsely. Exhaustive
+    * guarantees stay with the exact scans; PQ buys the ~(4·dim/m)x memory
+    * cut that makes a 10^12-row scoring pass feasible at all. */
+  def adcTopK(probes: DataFrame, corpus: DataFrame, k: Int,
+              p: PqParams = Default, maxProbes: Int = 4096): DataFrame = {
+    require(probes.limit(maxProbes + 1).count() <= maxProbes,
+      s"adcTopK scores the FULL corpus per probe (scan contract) — more than " +
+        s"$maxProbes probes means you want ivfAdcTopK, the sub-linear composed path")
+    val cb = codebooks(corpus, p)
+    val scored = corpusCodes(corpus, cb, p)
+      .join(broadcast(probeLuts(probes, cb, p)), Seq("s", "code"))
       .where(col("vec_id") =!= col("probe_id"))
       .groupBy(col("probe_id"), col("vec_id")).agg(sum(col("pdot")).as("score"))
     AnnIndex.rankTopK(scored, k, "score")
   }
 
-  /** IVF+PQ — the composed billion-scale recipe: probes route through the
-    * IVF coarse quantizer to their `nprobe` lists (sub-linear candidate
-    * selection, [[IvfIndex]]), and ONLY those candidates are scored with
-    * the PQ lookup tables (compressed scoring, no embedding access on the
-    * corpus side). At 10^12 rows this is the pass that fits: the corpus
-    * carries one int list id + 8 code ids per row; both the candidate join
-    * and the score join are equi-joins with broadcast probe sides. */
+  /** IVF+PQ — the composed billion-scale recipe, RESIDUAL-encoded: the
+    * corpus assigns to its trained IVF list ([[IvfIndex]]), each vector's
+    * RESIDUAL (vector minus its list centroid) is PQ-encoded — residuals
+    * are small and centered, so the same k codewords spend their
+    * rate-distortion budget where the data actually is (PqResidualSpec
+    * measures reconstruction error strictly below the raw-vector path) —
+    * and probes score candidates as
+    *   dot(probe, centroid_of_list) + Σ_s LUT_s[code_s]
+    * (exact, because dot(p, c + r̂) decomposes linearly; the LUT holds
+    * dot(probe_subvector, residual_codeword)). At 10^12 rows this is the
+    * pass that fits: the corpus carries one int list id + m code ids per
+    * row; candidate selection is sub-linear (nprobe/nlist by
+    * construction), scoring never touches a corpus embedding, and every
+    * probe-side relation broadcasts. */
   def ivfAdcTopK(probes: DataFrame, corpus: DataFrame, k: Int,
-                 nlist: Int, nprobe: Int, trainRounds: Int = 2): DataFrame = {
+                 nlist: Int, nprobe: Int, trainRounds: Int = 2,
+                 p: PqParams = Default): DataFrame = {
     require(nprobe >= 1 && nprobe <= nlist, s"nprobe=$nprobe out of [1, $nlist]")
     val cents = IvfIndex.centroidTable(corpus, nlist, trainRounds)
-    val cb = codebooks(corpus)
-    val assigned = IvfIndex.assign(corpus, cents).select(col("vec_id"), col("cid"))
-    val pr = IvfIndex.route(probes, cents, nprobe).select(col("probe_id"), col("cid"))
-    val cand = assigned.join(broadcast(pr), "cid")
+    val assigned = IvfIndex.assign(corpus, cents) // (vec_id, cid, vq)
+    // residual r_i = v_i - c_i over the vector's OWN positions (transform
+    // preserves vq's length — join-on-pos twin semantics for short rows;
+    // centroids are full-dim means by construction)
+    val resid = assigned.join(broadcast(cents), "cid")
+      .select(col("vec_id"), col("cid"),
+        expr("transform(vq, (x, i) -> x - coalesce(try_element_at(cvq, i + 1), 0L))").as("vq"))
+      .localCheckpoint(false) // feeds codebook sampling + encoding
+    val cbR = codebooksQ(resid, p)
+    val codes = resid.select(col("vec_id"),
+      posexplode(encodeQUdf(cbR, p)(col("vq"))).as(Seq("s", "code")))
+    val pr = IvfIndex.route(probes, cents, nprobe) // (probe_id, cid, pq)
+    // per-(probe, routed list) centroid dot — the linear term of the score
+    val ctr = pr.join(broadcast(cents), "cid")
+      .select(col("probe_id"), col("cid"), AnnIndex.intDot(col("pq"), col("cvq")).as("cdot"))
+    val cand = assigned.select(col("vec_id"), col("cid"))
+      .join(broadcast(pr.select(col("probe_id"), col("cid"))), "cid")
       .where(col("vec_id") =!= col("probe_id"))
-      .select(col("probe_id"), col("vec_id"))
-    val scored = cand.join(corpusCodes(corpus, cb), "vec_id")
-      .join(broadcast(probeLuts(probes, cb)), Seq("probe_id", "s", "code"))
-      .groupBy(col("probe_id"), col("vec_id")).agg(sum(col("pdot")).as("score"))
+      .select(col("probe_id"), col("vec_id"), col("cid"))
+    val scored = cand.join(codes, "vec_id")
+      .join(broadcast(probeLuts(probes, cbR, p)), Seq("probe_id", "s", "code"))
+      .groupBy(col("probe_id"), col("vec_id"), col("cid"))
+      .agg(sum(col("pdot")).as("radc"))
+      .join(broadcast(ctr), Seq("probe_id", "cid"))
+      .select(col("probe_id"), col("vec_id"), (col("radc") + col("cdot")).as("score"))
     AnnIndex.rankTopK(scored, k, "score")
   }
 }

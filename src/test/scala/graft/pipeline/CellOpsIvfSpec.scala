@@ -236,23 +236,37 @@ class CellOpsIvfSpec extends AnyFunSuite {
     assert(got == exp, "ADC lookup-sum must equal the reconstructed exact dot")
   }
 
-  test("IVF+PQ == reconstructed-dot scoring restricted to the IVF candidates") {
+  test("IVF+PQ == residual-reconstruction dot scoring restricted to the IVF candidates") {
     val probes = planted.where($"vec_id" < 5)
     val got = PqIndex.ivfAdcTopK(probes, planted, k = 3, nlist = 16, nprobe = 2)
       .select($"probe_id", $"rank", $"vec_id", $"score")
       .as[(Long, Int, Long, Long)].collect().toSet
-    // oracle: IVF candidate set x PQ reconstruction scores, per-probe top-3
+    // oracle: IVF candidate set, then score = dot(probe, centroid + r̂)
+    // with r̂ the residual reconstructed from its codewords — driver-side
     val cents = IvfIndex.centroidTable(planted, 16)
+    val centMap = cents.select($"cid", $"cvq").as[(Long, Seq[Long])].collect()
+      .map { case (c, v) => c -> v.toArray }.toMap
+    val assigned = IvfIndex.assign(planted, cents)
+      .select($"vec_id", $"cid", $"vq").as[(Long, Long, Seq[Long])].collect()
+    val residMap = assigned.map { case (id, cid, vq) =>
+      id -> (cid, vq.toArray.zip(centMap(cid)).map { case (x, c) => x - c })
+    }.toMap
+    // residual codebooks: md5-ranked donor residuals (same salt as the engine)
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val donorIds = residMap.keys.toSeq.sortBy(id => (md5hex(s"pq|$id"), id)).take(PqIndex.K)
+    val cbR = Array.tabulate(PqIndex.M, PqIndex.K)((s, j) =>
+      residMap(donorIds(j))._2.slice(s * PqIndex.SubDim, (s + 1) * PqIndex.SubDim))
+    val recon = residMap.map { case (id, (cid, rq)) =>
+      val codes = PqIndex.encodeQKernel(cbR, rq, PqIndex.Default)
+      val rhat: Array[Long] = codes.zipWithIndex.flatMap { case (c, s) => cbR(s)(c).toSeq }
+      id -> centMap(cid).zip(rhat).map { case (cv, rv) => cv + rv }
+    }
     val cand = IvfIndex.assign(planted, cents).select($"vec_id", $"cid")
       .join(IvfIndex.route(probes, cents, 2).select($"probe_id", $"cid"), "cid")
       .where($"vec_id" =!= $"probe_id")
       .select($"probe_id", $"vec_id").as[(Long, Long)].collect().toSet
-    val cb = PqIndex.codebooks(planted)
-    val recon = planted.select($"vec_id",
-        PqIndex.encodeUdf(cb)($"embedding".cast("array<double>")).as("codes"))
-      .as[(Long, Seq[Int])].collect()
-      .map { case (id, cs) =>
-        (id, cs.zipWithIndex.flatMap { case (c, s) => cb(s)(c) }.toArray) }.toMap
     val probesQ = probes.select($"vec_id", AnnIndex.quant($"embedding".cast("array<double>")))
       .as[(Long, Seq[Long])].collect()
     val exp = probesQ.flatMap { case (pid, pq) =>
@@ -261,7 +275,8 @@ class CellOpsIvfSpec extends AnyFunSuite {
         .sortBy { case (vid, sc) => (-sc, vid) }.take(3).zipWithIndex
         .map { case ((vid, sc), i) => (pid, i + 1, vid, sc) }
     }.toSet
-    assert(got == exp, "composed IVF+PQ must equal candidate-restricted reconstruction scoring")
+    assert(got == exp,
+      "composed IVF+PQ must equal candidate-restricted residual reconstruction scoring")
   }
 
   test("IVF index build stages through StageRunner: resume serves the snapshot") {
