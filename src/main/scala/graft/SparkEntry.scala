@@ -726,6 +726,19 @@ object SparkEntry {
         .select(col("c_custkey"), col("cell_id"), col("cover_cell"))
     }),
 
+    // polyfill: polygon -> minimal compacted cover. Candidate z17 cells
+    // over the diamond's bbox keep iff their CENTER passes the F6 ray-cast
+    // (codegen kernel; the twin uses the convex half-plane form, as
+    // q_f6_pip does), then 3 compact rounds collapse to mixed zoom
+    // [14, 17] — the exclusion-zone index a planet-scale cover needs.
+    "q_cell_polyfill" -> ((s, dir) => {
+      val diamondLat = Seq(53.8381234, 53.8421234, 53.8461234, 53.8421234)
+      val diamondLng = Seq(27.4101234, 27.4401234, 27.4101234, 27.3801234)
+      pipeline.CellOps.coverOfPolygon(s, diamondLat, diamondLng, zMax = 17, zMin = 14)
+        .select(col("cell_id"),
+          shiftrightunsigned(col("cell_id"), 58).cast("long").as("zl"))
+    }),
+
     // semantic dedup at scale: LSH-bucketed all-pairs embedding near-dup
     // (never n² — candidates share a chunk bucket) -> exact fixed-point
     // cosine verify -> connected components -> keep-min decisions. The
@@ -1970,6 +1983,49 @@ object SparkEntry {
             FROM ccell, range(0, 4) d)
           SELECT a.c_custkey, a.cell_id, r.cell_id AS cover_cell
           FROM anc a JOIN r11 r ON a.anc = r.cell_id""",
+
+    // exact SQL twin of CellOps.coverOfPolygon: bbox bounds from the
+    // vertex list (same mercator formulas; power-of-two scalings are
+    // IEEE-exact so the floors agree bit-for-bit), candidate grid via a
+    // static over-approximate range (DuckDB range() takes no lateral
+    // args; 64 >= any test bbox side), tile-center inversion (the P2
+    // formulas), convex half-plane containment (the q_f6_pip form of the
+    // same diamond), then 3 compact rounds z17 -> z14
+    "q_cell_polyfill" ->
+      s"""WITH verts(vlat, vlng) AS (VALUES
+            (53.8381234::DOUBLE, 27.4101234::DOUBLE),
+            (53.8421234::DOUBLE, 27.4401234::DOUBLE),
+            (53.8461234::DOUBLE, 27.4101234::DOUBLE),
+            (53.8421234::DOUBLE, 27.3801234::DOUBLE)),
+          bounds AS (
+            SELECT
+              min(CAST(floor((0.5::DOUBLE + vlng / 360.0::DOUBLE) * 131072) AS BIGINT)) AS txmin,
+              max(CAST(floor((0.5::DOUBLE + vlng / 360.0::DOUBLE) * 131072) AS BIGINT)) AS txmax,
+              min(CAST(floor((0.5::DOUBLE - ln((1.0::DOUBLE + least(greatest(sin(vlat * pi() / 180.0::DOUBLE), -0.9999::DOUBLE), 0.9999::DOUBLE))
+                / (1.0::DOUBLE - least(greatest(sin(vlat * pi() / 180.0::DOUBLE), -0.9999::DOUBLE), 0.9999::DOUBLE))) / (4 * pi())) * 131072) AS BIGINT)) AS tymin,
+              max(CAST(floor((0.5::DOUBLE - ln((1.0::DOUBLE + least(greatest(sin(vlat * pi() / 180.0::DOUBLE), -0.9999::DOUBLE), 0.9999::DOUBLE))
+                / (1.0::DOUBLE - least(greatest(sin(vlat * pi() / 180.0::DOUBLE), -0.9999::DOUBLE), 0.9999::DOUBLE))) / (4 * pi())) * 131072) AS BIGINT)) AS tymax
+            FROM verts),
+          grid AS (
+            SELECT b.txmin + gx.range AS tx, b.tymin + gy.range AS ty
+            FROM bounds b, range(0, 64) gx, range(0, 64) gy
+            WHERE b.txmin + gx.range <= b.txmax AND b.tymin + gy.range <= b.tymax),
+          ctr AS (
+            SELECT tx, ty,
+              180.0::DOUBLE / pi() * (2 * atan(exp((1 - 2 * ((ty + 0.5::DOUBLE) / 131072.0::DOUBLE)) * pi())) - pi() / 2) AS lat,
+              180.0::DOUBLE * (2 * ((tx + 0.5::DOUBLE) / 131072.0::DOUBLE) - 1) AS lng
+            FROM grid),
+          p17 AS (
+            SELECT DISTINCT 17 * ${1L << 58} + tx * ${1L << 29} + ty AS cell_id
+            FROM ctr
+            WHERE ((27.4401234 - 27.4101234) * (lat - 53.8381234) - (53.8421234 - 53.8381234) * (lng - 27.4101234)) > 0
+              AND ((27.4101234 - 27.4401234) * (lat - 53.8421234) - (53.8461234 - 53.8421234) * (lng - 27.4401234)) > 0
+              AND ((27.3801234 - 27.4101234) * (lat - 53.8461234) - (53.8421234 - 53.8461234) * (lng - 27.4101234)) > 0
+              AND ((27.4101234 - 27.3801234) * (lat - 53.8421234) - (53.8381234 - 53.8421234) * (lng - 27.3801234)) > 0),
+          ${compactRoundCtes("p17", 17, "p16")},
+          ${compactRoundCtes("p16", 16, "p15")},
+          ${compactRoundCtes("p15", 15, "p14")}
+          SELECT cell_id, CAST(cell_id // ${1L << 58} AS BIGINT) AS zl FROM p14""",
 
     // exact SQL twin of nearDupPairs + resolveClusters: same chunk-bucket
     // candidate pairs, same fixed-point cosine, recursive-CTE components

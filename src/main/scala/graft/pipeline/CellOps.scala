@@ -102,6 +102,46 @@ object CellOps {
       .drop("anc")
   }
 
+  /** Polyfill: polygon -> minimal compacted cell cover (the H3/S2
+    * `polyfill` analog). Candidate cells are the polygon's bbox grid at
+    * `zMax`; a cell is covered iff its CENTER lies inside the polygon
+    * (ray-cast, the same codegen kernel as the F6 point-in-polygon
+    * filter); the covered set compacts to mixed zoom [zMin, zMax].
+    * Reference analog: the buildings exclusion zones rasterize WKT fills
+    * at ONE fixed zoom (make_buildings.py:24-27); this is the
+    * index-maintenance form a planet-scale exclusion cover needs.
+    *
+    * Scale shape: the candidate grid is generated relationally
+    * (range × range — bbox-bounded, never collected), containment is a
+    * per-row codegen expression, and compaction is the bounded groupBy
+    * cascade of [[compact]]. For covers whose bbox at zMax exceeds grid
+    * budget, polyfill coarse first and [[uncompact]] selectively — the
+    * same algebra, fewer candidates. */
+  def coverOfPolygon(spark: org.apache.spark.sql.SparkSession,
+                     lats: Seq[Double], lngs: Seq[Double],
+                     zMax: Int, zMin: Int): DataFrame = {
+    require(lats.length == lngs.length && lats.length >= 3, "need a polygon")
+    require(zMax >= zMin && zMin >= 0 && zMax <= 29, s"bad z range [$zMin, $zMax]")
+    val scale = (1L << zMax).toDouble
+    def txOf(lng: Double): Long = math.floor(graft.core.Mercator.projectX(lng) * scale / 256.0).toLong
+    def tyOf(lat: Double): Long = math.floor(graft.core.Mercator.projectY(lat) * scale / 256.0).toLong
+    // bbox from the polygon literal (driver-side arithmetic on the
+    // operator's arguments, not on data)
+    val (txMin, txMax) = (lngs.map(txOf).min, lngs.map(txOf).max)
+    val (tyMin, tyMax) = (lats.map(tyOf).min, lats.map(tyOf).max) // projectY inverts lat order; min/max over all vertices is order-free
+    val grid = spark.range(txMin, txMax + 1).select(col("id").as("tx"))
+      .crossJoin(spark.range(tyMin, tyMax + 1).select(col("id").as("ty")))
+    // tile-center inversion (the P2 wgs_at_tile formulas, column form)
+    val ctrLat = lit(180.0) / lit(math.Pi) *
+      (lit(2.0) * atan(exp((lit(1.0) - lit(2.0) * (col("ty").cast("double") + lit(0.5)) / lit(scale)) * lit(math.Pi))) - lit(math.Pi) / lit(2.0))
+    val ctrLng = lit(180.0) * (lit(2.0) * (col("tx").cast("double") + lit(0.5)) / lit(scale) - lit(1.0))
+    import org.apache.spark.sql.functions.typedLit
+    val covered = grid
+      .where(graft.functions.GeoF.pointInPoly(ctrLat, ctrLng, typedLit(lats), typedLit(lngs)))
+      .select((lit(zMax.toLong) * lit(ZShift) + col("tx") * lit(XYShift) + col("ty")).as("cell_id"))
+    compact(covered, zMax, zMin)
+  }
+
   /** Expand a (possibly compacted) cover back to uniform level `z`: each
     * cell at a coarser level explodes into its 4^(z-zc) descendants —
     * `uncompact`, the inverse used when a consumer wants one fixed zoom.

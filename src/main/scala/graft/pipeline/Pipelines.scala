@@ -130,6 +130,26 @@ object Pipelines {
       .repartition(col("cell_id"))
   }
 
+  /** Cover-path form of [[negativeCells]]: the painted exclusion set is
+    * COMPACTED to mixed zoom [zMin, cfg.z] and candidates probe it through
+    * the bounded ancestor-chain [[CellOps.coverJoin]] (anti form) —
+    * identical output by compact's losslessness (PolyfillSpec pins it on
+    * the buildings exclusion zones), but the broadcast side is the
+    * compacted cover: for area-shaped exclusions (WKT fills,
+    * make_buildings.py:24-27) that is orders of magnitude smaller than
+    * the fine painted set, which is what keeps the anti-join broadcastable
+    * at planet-scale exclusion zones. */
+  def negativeCellsViaCover(spark: SparkSession, painted: DataFrame, cfg: Config,
+                            n: Int, seedTag: Long, zMin: Int): DataFrame = {
+    val cover = CellOps.compact(painted.select(col("cell_id")), cfg.z, zMin)
+    val grid = GeoUdfs.gridCells(spark, cfg.ext)
+    val free = grid.join(
+      CellOps.coverJoin(grid, cover, cfg.z, zMin).select(col("cell_id")),
+      Seq("cell_id"), "left_anti")
+    HashRank.sample(free, "cell_id", cfg.seed + seedTag, n)
+      .repartition(col("cell_id"))
+  }
+
   private def exampleIdAtCell: Column =
     format_string("m_x%dy%d", GeoF.cellTx(col("cell_id")), GeoF.cellTy(col("cell_id")))
 
