@@ -1,0 +1,111 @@
+package graft.streaming
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.{Files, Path}
+
+/** Multi-batch streaming evidence (the single-file oracle queries deliver
+  * ONE micro-batch, so watermark eviction and late-data semantics were
+  * asserted only in prose — VERDICT r3 "Next round" #7): files arrive one
+  * per micro-batch and the documented semantics are observed across
+  * batches — a duplicate inside the watermark is suppressed, the SAME key
+  * re-emits after eviction (the price of bounded state, stated in the
+  * q_stream_dedup scaladoc), and session windows finalize exactly when
+  * the watermark passes their end. */
+class StreamingSemanticsSpec extends AnyFunSuite {
+  lazy val spark = SparkSuite.spark
+  import spark.implicits._
+
+  private val schema = new StructType()
+    .add("user_id", "long").add("event_type", "string").add("ts", "timestamp")
+  private val baseMs = 1767225600000L // 2026-01-01 00:00:00 UTC
+  private def at(min: Long) = new java.sql.Timestamp(baseMs + min * 60000L)
+
+  /** Drop one parquet file into the watched dir (one micro-batch). */
+  private def feed(dir: Path, name: String,
+                   rows: Seq[(Long, String, java.sql.Timestamp)]): Unit = {
+    val tmp = Files.createTempDirectory("graft_feed")
+    rows.toDF("user_id", "event_type", "ts")
+      .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = Files.list(tmp).toArray.map(_.asInstanceOf[Path])
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    Files.move(part, dir.resolve(name))
+  }
+
+  test("dedup-within-watermark: in-window duplicate suppressed, evicted key re-emits") {
+    val dir = Files.createTempDirectory("graft_stream_dedup")
+    val qname = s"sem_dedup_${System.nanoTime()}"
+    val q = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+      .parquet(dir.toString)
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+      .select($"user_id", $"event_type", $"ts")
+      .writeStream.outputMode("append").format("memory").queryName(qname).start()
+    try {
+      def rowsOfUser1 = spark.table(qname).where($"user_id" === 1L)
+        .select($"ts").as[java.sql.Timestamp].collect().map(_.getTime).sorted.toSeq
+
+      // batch 1: first event + an in-window duplicate 10 min later
+      feed(dir, "f1.parquet", Seq((1L, "click", at(0)), (1L, "click", at(10)),
+        (2L, "click", at(5))))
+      q.processAllAvailable()
+      assert(rowsOfUser1 == Seq(at(0).getTime),
+        "the duplicate 10 min inside the 1 h watermark must be suppressed")
+
+      // batch 2: an unrelated event 3 h later advances the watermark to
+      // t0+2h — key 1's state (event time t0 + 1 h delay) is evicted
+      feed(dir, "f2.parquet", Seq((9L, "fill", at(180))))
+      q.processAllAvailable()
+      assert(rowsOfUser1 == Seq(at(0).getTime), "eviction emits nothing by itself")
+
+      // batch 3: the SAME key again at t0+2h30 (above the watermark) —
+      // state is gone, so it re-emits BY DESIGN: bounded state trades
+      // exactly this re-emission for never growing without bound
+      feed(dir, "f3.parquet", Seq((1L, "click", at(150))))
+      q.processAllAvailable()
+      assert(rowsOfUser1 == Seq(at(0).getTime, at(150).getTime),
+        "an evicted key must be re-admitted (and re-emitted) after the watermark passed")
+    } finally q.stop()
+  }
+
+  test("session windows finalize exactly when the watermark passes their end") {
+    val dir = Files.createTempDirectory("graft_stream_sess")
+    val qname = s"sem_sess_${System.nanoTime()}"
+    val q = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+      .parquet(dir.toString)
+      .withWatermark("ts", "0 seconds")
+      .groupBy($"user_id", session_window($"ts", "30 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select($"user_id", unix_millis($"session_window.start").as("start_ms"),
+        unix_millis($"session_window.end").as("end_ms"), $"n")
+      .writeStream.outputMode("append").format("memory").queryName(qname).start()
+    try {
+      def sessions = spark.table(qname).where($"user_id" === 5L)
+        .select($"start_ms", $"end_ms", $"n").as[(Long, Long, Long)]
+        .collect().sorted.toSeq
+
+      // batch 1: two events 10 min apart — one OPEN session, nothing emits
+      feed(dir, "g1.parquet", Seq((5L, "a", at(0)), (5L, "a", at(10))))
+      q.processAllAvailable()
+      assert(sessions == Seq(), "an open session must not emit in append mode")
+
+      // batch 2: an event 2 h later opens a new session AND advances the
+      // watermark past the first session's end (t0+40m) — it finalizes
+      feed(dir, "g2.parquet", Seq((5L, "a", at(120))))
+      q.processAllAvailable()
+      assert(sessions == Seq((baseMs, baseMs + 40 * 60000L, 2L)),
+        "the first session must finalize once the watermark passes its end")
+
+      // batch 3: 5 h — the second session (t0+2h .. t0+2h30m) finalizes;
+      // the third stays open in state
+      feed(dir, "g3.parquet", Seq((5L, "a", at(300))))
+      q.processAllAvailable()
+      assert(sessions == Seq(
+        (baseMs, baseMs + 40 * 60000L, 2L),
+        (baseMs + 120 * 60000L, baseMs + 150 * 60000L, 1L)),
+        "each session finalizes per watermark; the open tail never emits")
+    } finally q.stop()
+  }
+}
