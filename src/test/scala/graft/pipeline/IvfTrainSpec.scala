@@ -63,6 +63,26 @@ class IvfTrainSpec extends AnyFunSuite {
       f"trained max/mean $trainedRatio%.2f unbounded — quantizer did not spread")
   }
 
+  test("nlist past the old 1024 closure cap: 2048 lists build and route") {
+    // the r3 build require-failed at nlist > 1024 (centroid array in a UDF
+    // closure); the broadcast-table join must carry √n-regime list counts
+    // modulus > corpus size so all 4096 vectors are pairwise distinct
+    // (a small modulus collapses ids mod p onto the same vector and lists
+    // merge by the tie-break, undercounting occupancy)
+    val big = spark.range(4096).select($"id".as("vec_id"),
+      expr("transform(sequence(0, 63), d -> CAST(pmod(id * (d + 3) * 2654435761 + id, 100003) AS DOUBLE) / 100003.0)")
+        .as("embedding"))
+    val cents = IvfIndex.centroidTable(big, nlist = 2048, trainRounds = 0)
+    assert(cents.count() == 2048)
+    val lists = IvfIndex.assign(big, cents)
+    assert(lists.count() == 4096, "assignment stays total at 2048 lists")
+    assert(lists.select($"cid").distinct().count() > 1024,
+      "routing uses the full list space beyond the old cap")
+    val top = IvfIndex.knnJoin(big.where($"vec_id" < 3), big,
+      k = 2, nlist = 2048, nprobe = 4, trainRounds = 0)
+    assert(top.count() > 0, "probing still returns candidates")
+  }
+
   test("trained recall@5 >= the sampled baseline, and is high on clustered data") {
     val r0 = recallAt5(0)
     val r2 = recallAt5(2)
