@@ -672,6 +672,18 @@ object SparkEntry {
         k = 3, nlist = 16, nprobe = 2)
     }),
 
+    // two-level (hierarchical) IVF — the path PAST the flat index's
+    // broadcast ceiling: only 4 super centroids broadcast; the 4x8
+    // sub-lists are keyed by super cell and meet corpus/probes in
+    // ordinary equi-joins on scid, so total list count is unbounded by
+    // broadcast size. Probe -> 2 nearest supers -> 4 nearest of THEIR
+    // sub-lists -> one equi-join on the sub-list id, exact dot, top-3.
+    "q_ann_ivf2" -> ((s, dir) => {
+      val corpus = annCorpus(t(s, dir, "embeddings"))
+      pipeline.IvfIndex.knnJoinTwoLevel(corpus.where(col("vec_id") < 10), corpus,
+        k = 3, nsuper = 4, nsub = 8, nprobeSuper = 2, nprobe = 4, trainRounds = 1)
+    }),
+
     // PQ (product quantization) ADC scoring: the corpus compresses to 8
     // nearest-codeword ids (md5-sampled deterministic codebooks, exact
     // integer squared-L2 encoding — a ~32x memory cut), probes build
@@ -772,6 +784,31 @@ object SparkEntry {
           .orderBy(col("p")).rowsBetween(0, 3)))
         .where(col("p") <= col("len") - 8)
         .select(col("doc_id"), col("fp")).distinct()
+    }),
+
+    // repetition quality signals (the Gopher-style repetition filters):
+    // per doc the token count, distinct-token count, the most-repeated
+    // token's count and the most-repeated word-2-gram's count — the
+    // integer signals repetition thresholds divide (no float fractions to
+    // diverge between engines). Scale shape: bigrams are a per-row zip
+    // (zero shuffle to build), then two doc-keyed groupBys with map-side
+    // combine — never an O(n²)-per-row expression.
+    "q_text_repetition" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), filter(split(col("text"), "\\s+"), x => x =!= "").as("toks"))
+      val tok = toks.select(col("doc_id"), explode(col("toks")).as("tok"))
+      val tokStats = tok.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n_toks"), count(lit(1)).as("n_distinct"),
+          max(col("c")).as("top_tok_n"))
+      val bigrams = toks.where(size(col("toks")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(toks) - 1), i -> concat(toks[i - 1], ' ', toks[i]))")).as("bg"))
+      val bgStats = bigrams.groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id")).agg(max(col("c")).as("top_bigram_n"))
+      tokStats.join(bgStats, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_toks"), col("n_distinct"), col("top_tok_n"),
+          coalesce(col("top_bigram_n"), lit(0L)).as("top_bigram_n"))
     }),
 
     // keyword extraction (the relational tf-idf form, kept integer-exact):
@@ -1716,6 +1753,33 @@ object SparkEntry {
            FROM grams)
          SELECT DISTINCT doc_id, fp FROM wins WHERE p <= len - 8""",
 
+    // exact SQL twin of q_text_repetition: tokens renumbered after the
+    // empty filter (adjacency = surviving tokens, as the engine's
+    // filtered-array zip), bigrams by a pos+1 self-join, integer counts
+    "q_text_repetition" ->
+      """WITH toks AS (
+           SELECT doc_id, generate_subscripts(string_split_regex(text, '\s+'), 1) AS pos,
+                  unnest(string_split_regex(text, '\s+')) AS tok
+           FROM documents),
+         tk AS (
+           SELECT doc_id, row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS p, tok
+           FROM toks WHERE tok <> ''),
+         tstats AS (
+           SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_toks,
+                  count(*) AS n_distinct, CAST(max(c) AS BIGINT) AS top_tok_n
+           FROM (SELECT doc_id, tok, count(*) AS c FROM tk GROUP BY doc_id, tok)
+           GROUP BY doc_id),
+         bg AS (
+           SELECT a.doc_id, a.tok || ' ' || b.tok AS bg
+           FROM tk a JOIN tk b ON b.doc_id = a.doc_id AND b.p = a.p + 1),
+         bstats AS (
+           SELECT doc_id, CAST(max(c) AS BIGINT) AS top_bigram_n
+           FROM (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY doc_id, bg)
+           GROUP BY doc_id)
+         SELECT t.doc_id, t.n_toks, t.n_distinct, t.top_tok_n,
+                COALESCE(b.top_bigram_n, 0) AS top_bigram_n
+         FROM tstats t LEFT JOIN bstats b ON b.doc_id = t.doc_id""",
+
     // exact SQL twin of the keyword extraction: same token regex, same
     // (tf DESC, df ASC, term) ordinal scoring — no float idf to diverge
     "q_text_keywords" ->
@@ -1857,6 +1921,75 @@ object SparkEntry {
              FROM cdist WHERE vec_id < 20) WHERE rn <= 2),
          cand AS (
            SELECT p.probe_id, a.vec_id FROM proute p JOIN assign a ON a.cid = p.cid
+           WHERE a.vec_id <> p.probe_id),
+         scored AS (
+           SELECT c.probe_id, c.vec_id, CAST(sum(q.vq * pq.vq) AS BIGINT) AS dot
+           FROM cand c
+           JOIN quant q ON q.vec_id = c.vec_id
+           JOIN quant pq ON pq.vec_id = c.probe_id AND pq.pos = q.pos
+           GROUP BY c.probe_id, c.vec_id),
+         ranked AS (
+           SELECT probe_id, vec_id, dot,
+             row_number() OVER (PARTITION BY probe_id ORDER BY dot DESC, vec_id) AS rank
+           FROM scored)
+         SELECT probe_id, rank, vec_id, dot FROM ranked WHERE rank <= 3""",
+
+    // exact SQL twin of IvfIndex.knnJoinTwoLevel: 4 md5-seeded super
+    // centroids + 1 unrolled Lloyd's round, per-super md5 'ivf2' sub
+    // seeding (8/cell), own-cell sub-assignment, 2-super -> 4-sub-list
+    // probe routing, exact-dot scoring, per-probe top-3
+    "q_ann_ivf2" ->
+      s"""WITH $annQuantCte,
+         cids AS (
+           SELECT vec_id AS cid FROM (SELECT DISTINCT vec_id FROM quant) v
+           ORDER BY md5('ivf|' || CAST(vec_id AS VARCHAR)), vec_id LIMIT 4),
+         c0 AS (SELECT c.cid, q.pos, q.vq AS cq FROM cids c JOIN quant q ON q.vec_id = c.cid),
+         ${ivfRoundCtes("c0", 0, "c1")},
+         cdist AS (
+           SELECT q.vec_id, c.cid, sum((q.vq - c.cq) * (q.vq - c.cq)) AS d
+           FROM quant q JOIN c1 c ON c.pos = q.pos GROUP BY q.vec_id, c.cid),
+         sassign AS (
+           SELECT vec_id, cid FROM (
+             SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+             FROM cdist) WHERE rn = 1),
+         sroute AS (
+           SELECT vec_id AS probe_id, cid AS scid FROM (
+             SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+             FROM cdist WHERE vec_id < 10) WHERE rn <= 2),
+         subs AS (
+           SELECT scid, vec_id AS cid FROM (
+             SELECT a.cid AS scid, a.vec_id,
+               row_number() OVER (PARTITION BY a.cid
+                 ORDER BY md5('ivf2|' || CAST(a.vec_id AS VARCHAR)), a.vec_id) AS rn
+             FROM sassign a) WHERE rn <= 8),
+         subq AS (SELECT s.scid, s.cid, q.pos, q.vq AS cq
+                  FROM subs s JOIN quant q ON q.vec_id = s.cid),
+         sd AS (
+           SELECT q.vec_id, c.cid, sum((q.vq - c.cq) * (q.vq - c.cq)) AS d
+           FROM quant q
+           JOIN sassign a ON a.vec_id = q.vec_id
+           JOIN subq c ON c.scid = a.cid AND c.pos = q.pos
+           GROUP BY q.vec_id, c.cid),
+         assign2 AS (
+           SELECT vec_id, cid FROM (
+             SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+             FROM sd) WHERE rn = 1),
+         pd AS (
+           SELECT p.vec_id AS probe_id, c.cid, sum((p.vq - c.cq) * (p.vq - c.cq)) AS d
+           FROM quant p
+           JOIN sroute r ON r.probe_id = p.vec_id
+           JOIN subq c ON c.scid = r.scid AND c.pos = p.pos
+           GROUP BY p.vec_id, c.cid),
+         proute2 AS (
+           SELECT probe_id, cid FROM (
+             SELECT probe_id, cid,
+               row_number() OVER (PARTITION BY probe_id ORDER BY d, cid) AS rn
+             FROM pd) WHERE rn <= 4),
+         cand AS (
+           SELECT p.probe_id, a.vec_id FROM proute2 p JOIN assign2 a ON a.cid = p.cid
            WHERE a.vec_id <> p.probe_id),
          scored AS (
            SELECT c.probe_id, c.vec_id, CAST(sum(q.vq * pq.vq) AS BIGINT) AS dot

@@ -144,4 +144,75 @@ object IvfIndex {
         AnnIndex.intDot(col("vq"), col("pq")).as("dot"))
     AnnIndex.rankTopK(scored, k, "dot")
   }
+
+  /** Per-super-cell sub-centroid seeding for the two-level index: within
+    * each super cell, the `nsub` members whose md5("ivf2|" || vec_id)
+    * digest sorts first donate their vectors — (scid, cid, cvq), cid
+    * globally unique (the donor's vec_id). A window per super cell, never
+    * a global rank. */
+  def subCentroids(superAssigned: DataFrame, nsub: Int): DataFrame = {
+    require(nsub > 0 && nsub <= (1 << 16), s"nsub=$nsub out of range")
+    superAssigned.select(col("cid").as("scid"), col("vec_id"), col("vq"))
+      .withColumn("rn", row_number().over(Window.partitionBy(col("scid"))
+        .orderBy(md5(concat(lit("ivf2|"), col("vec_id").cast("string"))), col("vec_id"))))
+      .where(col("rn") <= nsub)
+      .select(col("scid"), col("vec_id").as("cid"), col("vq").as("cvq"))
+  }
+
+  /** Two-level (hierarchical) IVF kNN — the documented path PAST the
+    * broadcast ceiling of the flat index: only the `nsuper` SUPER
+    * centroids broadcast; the sub-centroid table (nsuper·nsub lists
+    * total) is keyed by super cell and meets the corpus and probes in
+    * ordinary equi-joins on `scid`, so total list count is unbounded by
+    * broadcast size — at 10^12 rows, nsuper ≈ nsub ≈ n^(1/4)-ish keeps
+    * both levels tiny while lists stay ≈ √n.
+    *
+    * Routing: probe -> `nprobeSuper` nearest super cells (broadcast join,
+    * as the flat index) -> among ONLY those cells' sub-lists, `nprobe`
+    * nearest (equi-join on scid + per-probe window) -> candidates meet
+    * the sub-assigned corpus in ONE equi-join on the sub-list id. Corpus
+    * assignment mirrors it: super assignment (broadcast), then argmin
+    * over the own-cell sub-centroids (equi-join on scid).
+    *
+    * Determinism: super level = [[centroidTable]] (md5 "ivf" seeding +
+    * trained rounds); sub level = per-cell md5 "ivf2" seeding. The whole
+    * chain replays in ANSI SQL (q_ann_ivf2).
+    *
+    * Recall contract: found iff the neighbor's super cell is among the
+    * probe's `nprobeSuper` routes AND its sub-list among the `nprobe`
+    * sub-routes — each level is the standard IVF dial; both widen recall
+    * linearly in scan cost. */
+  def knnJoinTwoLevel(probes: DataFrame, corpus: DataFrame, k: Int,
+                      nsuper: Int, nsub: Int, nprobeSuper: Int, nprobe: Int,
+                      trainRounds: Int = 1): DataFrame = {
+    require(nprobeSuper >= 1 && nprobeSuper <= nsuper,
+      s"nprobeSuper=$nprobeSuper out of [1, $nsuper]")
+    require(nprobe >= 1 && nprobe <= nsuper.toLong * nsub,
+      s"nprobe=$nprobe out of [1, ${nsuper.toLong * nsub}]")
+    val sCents = centroidTable(corpus, nsuper, trainRounds)
+    val sAssigned = assign(corpus, sCents).localCheckpoint(false) // feeds subs + lists
+    val subs = subCentroids(sAssigned, nsub).localCheckpoint(false) // feeds assign + route
+    // corpus -> sub-list: argmin over the OWN super cell's sub-centroids
+    val lists = sAssigned.select(col("vec_id"), col("cid").as("scid"), col("vq"))
+      .join(subs, "scid")
+      .select(col("vec_id"), col("vq"), col("cid"),
+        intSqDist(col("vq"), col("cvq")).as("d"))
+      .groupBy(col("vec_id"))
+      .agg(min_by(col("cid"), struct(col("d"), col("cid"))).as("cid"),
+        first(col("vq")).as("vq"))
+    val pr2 = route(probes, sCents, nprobeSuper)
+      .select(col("probe_id"), col("cid").as("scid"), col("pq"))
+      .join(subs, "scid")
+      .select(col("probe_id"), col("pq"), col("cid"),
+        intSqDist(col("pq"), col("cvq")).as("d"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("probe_id")).orderBy(col("d"), col("cid"))))
+      .where(col("rn") <= nprobe)
+      .select(col("probe_id"), col("cid"), col("pq"))
+    val scored = lists.join(pr2, "cid")
+      .where(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        AnnIndex.intDot(col("vq"), col("pq")).as("dot"))
+    AnnIndex.rankTopK(scored, k, "dot")
+  }
 }

@@ -269,6 +269,24 @@ class PlanAuditSpec extends AnyFunSuite {
       || plan.contains("min_by"), s"argmin should aggregate map-side:\n$plan")
   }
 
+  test("two-level IVF: nested-loop ONLY vs the tiny super table; sub level equi-joins") {
+    // the whole point of the hierarchy: nothing ever cross-joins the full
+    // sub-list table — sub-centroids meet corpus/probes keyed by scid
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val kj = pipeline.IvfIndex.knnJoinTwoLevel(emb.where($"vec_id" < 5), emb,
+      k = 3, nsuper = 4, nsub = 8, nprobeSuper = 2, nprobe = 4, trainRounds = 1)
+    kj.collect()
+    val plan = kj.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"no cartesian anywhere:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"super routing joins the broadcast super table:\n$plan")
+    assert(plan.contains("HashJoin") && plan.contains("scid"),
+      s"sub-centroids must meet corpus/probes in equi-joins on scid:\n$plan")
+    assert(plan.contains("windowspecdefinition(probe_id"),
+      "sub-routing and top-k windows are partitioned by probe, never global")
+  }
+
   test("coverJoin: the compacted cover broadcasts; points never exchange") {
     val z12 = graft.core.CellId.pack(12, 100, 200)
     val cover = graft.core.CellId.children(z12).flatMap(graft.core.CellId.children)

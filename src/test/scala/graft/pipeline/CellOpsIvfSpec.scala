@@ -158,6 +158,58 @@ class CellOpsIvfSpec extends AnyFunSuite {
     lists.unpersist()
   }
 
+  test("two-level IVF == sequential oracle; planted cluster recalled") {
+    val got = IvfIndex.knnJoinTwoLevel(planted.where($"vec_id" < 10), planted,
+        k = 3, nsuper = 4, nsub = 8, nprobeSuper = 2, nprobe = 4, trainRounds = 1)
+      .select($"probe_id", $"rank", $"vec_id", $"dot")
+      .as[(Long, Int, Long, Long)].collect().toSet
+    // sequential oracle: the whole hierarchy re-derived driver-side
+    val vecs = planted.select($"vec_id", AnnIndex.quant($"embedding".cast("array<double>")))
+      .as[(Long, Seq[Long])].collect().map { case (id, v) => id -> v.toArray }.toMap
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def sqd(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    // super level: md5 'ivf' seeds + ONE Lloyd's round
+    val seeds = vecs.keys.toSeq.sortBy(id => (md5hex(s"ivf|$id"), id)).take(4)
+    var sCents: Map[Long, Array[Long]] = seeds.map(id => id -> vecs(id)).toMap
+    def assignAll(): Map[Long, Long] =
+      vecs.map { case (id, v) => id -> sCents.toSeq.map { case (c, cv) => (sqd(v, cv), c) }.min._2 }
+    locally {
+      val byList = assignAll().groupBy(_._2)
+      sCents = sCents.map { case (cid, old) =>
+        cid -> byList.get(cid).map { members =>
+          val vs = members.keys.map(vecs).toSeq
+          Array.tabulate(64)(d => Math.floorDiv(vs.map(_(d)).sum, vs.size.toLong))
+        }.getOrElse(old)
+      }
+    }
+    val sAsg = assignAll()
+    // sub level: per-cell md5 'ivf2' seeds (8/cell), own-cell assignment
+    val subs: Map[Long, Seq[Long]] = sAsg.groupBy(_._2).map { case (scid, members) =>
+      scid -> members.keys.toSeq.sortBy(id => (md5hex(s"ivf2|$id"), id)).take(8)
+    }
+    val subAsg: Map[Long, Long] = vecs.map { case (id, v) =>
+      id -> subs(sAsg(id)).map(c => (sqd(v, vecs(c)), c)).min._2
+    }
+    val exp = (0L until 10L).flatMap { p =>
+      val superRoutes = sCents.toSeq.map { case (c, cv) => (sqd(vecs(p), cv), c) }
+        .sorted.take(2).map(_._2)
+      val subRoutes = superRoutes.flatMap(sc => subs(sc))
+        .map(c => (sqd(vecs(p), vecs(c)), c)).sorted.take(4).map(_._2).toSet
+      vecs.keys.filter(v => v != p && subRoutes.contains(subAsg(v))).toSeq
+        .map(v => (v, vecs(v).zip(vecs(p)).map { case (x, y) => x * y }.sum))
+        .sortBy { case (v, dot) => (-dot, v) }.take(3).zipWithIndex
+        .map { case ((v, dot), i) => (p, i + 1, v, dot) }
+    }.toSet
+    assert(got == exp, "engine hierarchy must equal the sequential two-level oracle")
+    // recall sanity: probe 0's planted near-dups route with it through
+    // both levels and fill its top-3
+    val p0 = got.filter(_._1 == 0L).map(_._3)
+    assert(p0.forall(v => v >= 100000L && v < 100005L), s"probe 0 neighbors: $p0")
+  }
+
   // ---------------- PqIndex ----------------
 
   test("PQ: codes are M ids in [0,K); donors encode to themselves exactly") {
