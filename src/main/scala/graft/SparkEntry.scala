@@ -109,6 +109,29 @@ object SparkEntry {
     base.unionByName(aug)
   }
 
+  /** Winnowing fingerprint relation (doc_id, fp) — MOSS-style: 5-gram
+    * hashes at every position, min over each window of 4 consecutive
+    * grams, distinct mins. Guarantee: any shared substring of >= k+w-1 = 8
+    * chars yields a shared fingerprint; ~1/w of positions survive — a
+    * position-robust 4x sketch. Shared by q_text_winnow and the
+    * contamination audit. Same dual-path rule as MinHash: md5-portable
+    * h60 under the oracle gate, xxhash64 in production (the winnowing
+    * guarantee holds for ANY gram hash; md5 per position is the minhash
+    * 9.4s lesson). Per-row explode + one per-doc window. */
+  private def winnowFps(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").where(length(col("text")) >= 5)
+      .select(col("doc_id"), col("text"), length(col("text")).as("len"))
+    val grams = d.select(col("doc_id"), col("len"),
+      posexplode(expr("transform(sequence(1, length(text) - 4), i -> substring(text, i, 5))"))
+        .as(Seq("p", "g")))
+    val gramHash = if (oracleHashing) pipeline.Dedup.h60(col("g")) else xxhash64(col("g"))
+    grams.select(col("doc_id"), col("len"), col("p"), gramHash.as("h"))
+      .withColumn("fp", min(col("h")).over(Window.partitionBy(col("doc_id"))
+        .orderBy(col("p")).rowsBetween(0, 3)))
+      .where(col("p") <= col("len") - 8)
+      .select(col("doc_id"), col("fp")).distinct()
+  }
+
   /** Flagship: the streetlamp original-tiles pipeline (SURVEY.md §3.1) on a
     * deterministic synthetic world — scan, hash-rank sample, edge filter,
     * cell join vs the image corpus, rasterize, anti-join negatives, labeled
@@ -769,21 +792,28 @@ object SparkEntry {
     // chars yields a shared fingerprint; ~1/w of positions survive — a
     // position-robust 4x sketch (unlike the whole-doc md5 fingerprint,
     // which any edit breaks). Per-row explode + one per-doc window.
-    "q_text_winnow" -> ((s, dir) => {
-      val d = t(s, dir, "documents").where(length(col("text")) >= 5)
-        .select(col("doc_id"), col("text"), length(col("text")).as("len"))
-      val grams = d.select(col("doc_id"), col("len"),
-        posexplode(expr("transform(sequence(1, length(text) - 4), i -> substring(text, i, 5))"))
-          .as(Seq("p", "g")))
-      // same dual-path rule as MinHash: md5-portable h60 under the oracle
-      // gate, xxhash64 in production (the winnowing guarantee holds for
-      // ANY gram hash; md5 per position is the minhash 9.4s lesson)
-      val gramHash = if (oracleHashing) pipeline.Dedup.h60(col("g")) else xxhash64(col("g"))
-      grams.select(col("doc_id"), col("len"), col("p"), gramHash.as("h"))
-        .withColumn("fp", min(col("h")).over(Window.partitionBy(col("doc_id"))
-          .orderBy(col("p")).rowsBetween(0, 3)))
-        .where(col("p") <= col("len") - 8)
-        .select(col("doc_id"), col("fp")).distinct()
+    "q_text_winnow" -> ((s, dir) => winnowFps(s, dir)),
+
+    // benchmark-contamination audit — the decontamination step every
+    // training corpus runs against held-out eval sets: corpus docs that
+    // share a winnowing fingerprint with the "benchmark" set (doc_id %
+    // 97 == 0 stands in for the benchmark corpus; in production it is a
+    // second table). The winnowing contract makes this sound: any shared
+    // substring of >= 8 chars GUARANTEES a shared fingerprint, so
+    // thresholding n_shared_fps is the standard overlap filter. Scale
+    // shape: ONE equi-join on the fingerprint hash (the benchmark side
+    // is small -> broadcast) + one doc-keyed groupBy — never a doc x
+    // benchmark pair space.
+    "q_text_contamination" -> ((s, dir) => {
+      val fps = winnowFps(s, dir)
+      val bench = fps.where(col("doc_id") % 97 === 0)
+        .select(col("fp"), col("doc_id").as("bench_id"))
+      fps.where(col("doc_id") % 97 =!= 0)
+        .join(bench, "fp")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_hits"),
+          countDistinct(col("fp")).as("n_shared_fps"),
+          countDistinct(col("bench_id")).as("n_bench_docs"))
     }),
 
     // repetition quality signals (the Gopher-style repetition filters):
@@ -1752,6 +1782,31 @@ object SparkEntry {
                ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
            FROM grams)
          SELECT DISTINCT doc_id, fp FROM wins WHERE p <= len - 8""",
+
+    // exact SQL twin of the contamination audit: same winnowing
+    // fingerprints (md5 h60 path), fp equi-join vs the % 97 benchmark
+    // subset, per-doc hit rollup
+    "q_text_contamination" ->
+      """WITH grams AS (
+           SELECT doc_id, length(text) AS len, i - 1 AS p,
+             CAST('0x' || substr(md5(substring(text, CAST(i AS INTEGER), 5)), 1, 15) AS BIGINT) AS h
+           FROM documents, unnest(range(1, greatest(length(text) - 4, 0) + 1)) AS t(i)
+           WHERE length(text) >= 5),
+         wins AS (
+           SELECT doc_id, p, len,
+             min(h) OVER (PARTITION BY doc_id ORDER BY p
+               ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+           FROM grams),
+         fps AS (SELECT DISTINCT doc_id, fp FROM wins WHERE p <= len - 8),
+         bench AS (SELECT fp, doc_id AS bench_id FROM fps WHERE doc_id % 97 = 0),
+         hits AS (
+           SELECT f.doc_id, f.fp, b.bench_id
+           FROM fps f JOIN bench b ON b.fp = f.fp
+           WHERE f.doc_id % 97 <> 0)
+         SELECT doc_id, count(*) AS n_hits,
+           CAST(count(DISTINCT fp) AS BIGINT) AS n_shared_fps,
+           CAST(count(DISTINCT bench_id) AS BIGINT) AS n_bench_docs
+         FROM hits GROUP BY doc_id""",
 
     // exact SQL twin of q_text_repetition: tokens renumbered after the
     // empty filter (adjacency = surviving tokens, as the engine's
