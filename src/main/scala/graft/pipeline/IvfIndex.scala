@@ -41,9 +41,16 @@ import org.apache.spark.sql.functions._
  * equi-join on `cid`, exact scoring touches only the probed lists, and
  * top-k is a window partitioned BY PROBE. Hot lists are ordinary join
  * skew — AQE skew-join splits them, the same contract as the flagship
- * cell joins. Past the broadcast ceiling the documented swap is a
- * two-level coarse quantizer (route to a super-list, then within it) —
- * the same composition this module already expresses.
+ * cell joins.
+ *
+ * Cost honesty, stated not hidden: exact assignment is n·nlist distance
+ * kernels per pass — the k-means price every IVF build pays. At extreme
+ * (n, nlist) the standard moves compose here directly: TRAIN on a
+ * sampled subset (pass `corpus.where(hash-rank < rate)` — centroids only
+ * need the sample) and assign the full corpus once; or use
+ * [[knnJoinTwoLevel]], which cuts the per-row assignment work from nlist
+ * to nsuper + nsub comparisons (10^6 -> ~2·10^3 at 10^12 rows) — the
+ * same reason FAISS routes assignment through a coarse index.
  */
 object IvfIndex {
 
@@ -149,7 +156,9 @@ object IvfIndex {
     * each super cell, the `nsub` members whose md5("ivf2|" || vec_id)
     * digest sorts first donate their vectors — (scid, cid, cvq), cid
     * globally unique (the donor's vec_id). A window per super cell, never
-    * a global rank. */
+    * a global rank — and rank <= nsub is the WindowGroupLimit shape, so
+    * each map task forwards at most nsub rows per cell to the exchange
+    * (a giant super cell never sorts its full membership). */
   def subCentroids(superAssigned: DataFrame, nsub: Int): DataFrame = {
     require(nsub > 0 && nsub <= (1 << 16), s"nsub=$nsub out of range")
     superAssigned.select(col("cid").as("scid"), col("vec_id"), col("vq"))

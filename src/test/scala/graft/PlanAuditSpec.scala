@@ -285,6 +285,16 @@ class PlanAuditSpec extends AnyFunSuite {
       s"sub-centroids must meet corpus/probes in equi-joins on scid:\n$plan")
     assert(plan.contains("windowspecdefinition(probe_id"),
       "sub-routing and top-k windows are partitioned by probe, never global")
+    // sub-centroid seeding (rank <= nsub per super cell) pushes down to a
+    // map-side WindowGroupLimit — a giant cell never sorts its membership
+    val subsPlan = {
+      val cents = pipeline.IvfIndex.centroidTable(emb, 4, 1)
+      val subs = pipeline.IvfIndex.subCentroids(pipeline.IvfIndex.assign(emb, cents), 8)
+      subs.collect()
+      subs.queryExecution.executedPlan.toString
+    }
+    assert(subsPlan.contains("WindowGroupLimit"),
+      s"sub seeding must map-side-limit per cell:\n$subsPlan")
   }
 
   test("coverJoin: the compacted cover broadcasts; points never exchange") {
