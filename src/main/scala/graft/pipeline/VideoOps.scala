@@ -16,16 +16,26 @@ import org.apache.spark.sql.functions._
  * are exact integer math, and the per-frame decode call has the signature
  * a real container decoder would have (bytes × frame index → pixels).
  *
- * ONLY the container decode itself is a STUB — this environment ships no
- * video codec — replaced by a deterministic fake: frame pixels derive from
- * xxhash-style mixing of (video bytes' md5, frame index), so outputs are
- * reproducible across partitionings and the plumbing is testable
- * end-to-end. Swap [[decodeFrameStub]] for a JNI/FFmpeg binding on a real
- * cluster; nothing else changes.
+ * Container decode is REAL for uncompressed YUV4MPEG2 streams
+ * ([[graft.core.Y4m]] — a pure-JVM demuxer, no codec needed; BT.601
+ * integer YUV→BGR): [[decodeFrame]] dispatches on the container magic,
+ * and [[sampleFramesAuto]] probes (w, h, fps, n_frames) from the bytes
+ * themselves. ONLY compressed codecs (h264/vp9/...) remain env-blocked —
+ * those inputs fall to the deterministic STUB (frame pixels from
+ * xxhash-style mixing of (video bytes' md5, frame index), reproducible
+ * across partitionings so the plumbing stays testable end-to-end). Swap
+ * the stub arm for a JNI/FFmpeg binding on a real cluster; nothing else
+ * changes.
  */
 object VideoOps {
   val FrameW = 64
   val FrameH = 64
+
+  /** Container decode: real demux for y4m, deterministic stub otherwise
+    * (the env-blocked compressed-codec arm). */
+  def decodeFrame(bytes: Array[Byte], frameIdx: Int): ImageCodec.Raw =
+    if (graft.core.Y4m.isY4m(bytes)) graft.core.Y4m.decodeFrame(bytes, frameIdx)
+    else decodeFrameStub(bytes, frameIdx)
 
   /** STUB container decode: deterministic fake pixels from
     * (md5(bytes), frameIdx). Real signature, fake pixels. */
@@ -47,7 +57,7 @@ object VideoOps {
   }
 
   private val frameUdf = udf { (bytes: Array[Byte], idx: Int) =>
-    ImageCodec.encode(decodeFrameStub(bytes, idx), "png")
+    ImageCodec.encode(decodeFrame(bytes, idx), "png")
   }
 
   /** Sample every `everyNth` frame of each video. Input: (video_id, bytes,
@@ -64,6 +74,35 @@ object VideoOps {
       .select(col("video_id"), col("frame_idx").cast("int").as("frame_idx"),
         // exact pts: frame_idx * 1000 / fps, floored integer ms
         floor(col("frame_idx") * lit(1000L) / col("fps")).cast("long").as("pts_ms"),
+        frameUdf(col("bytes"), col("frame_idx").cast("int")).as("frame_png"))
+  }
+
+  private val metaUdf = udf { (bytes: Array[Byte]) =>
+    if (graft.core.Y4m.isY4m(bytes)) {
+      val h = graft.core.Y4m.parseHeader(bytes)
+      Some((h.w, h.h, h.fpsNum, h.fpsDen, graft.core.Y4m.frameCount(bytes)))
+    } else None
+  }
+
+  /** Sample frames of self-describing containers: metadata (w, h, fps
+    * rational, frame count) is PROBED from the bytes per row — no caller-
+    * supplied n_frames/fps columns to drift from the container truth.
+    * Input: (video_id, bytes); non-y4m rows (no supported container)
+    * yield zero rows rather than fake metadata. pts is the exact rational
+    * floor(idx * 1000 * den / num) in integer ms. Same scale shape as
+    * [[sampleFrames]]: per-row probe + per-row explode, no shuffle. */
+  def sampleFramesAuto(videos: DataFrame, everyNth: Int): DataFrame = {
+    require(everyNth > 0, "everyNth must be positive")
+    videos
+      .withColumn("meta", metaUdf(col("bytes")))
+      .where(col("meta").isNotNull && col("meta._5") > 0)
+      .withColumn("frame_idx",
+        explode(sequence(lit(0), col("meta._5") - 1, lit(everyNth))))
+      .select(col("video_id"),
+        col("meta._1").as("w"), col("meta._2").as("h"),
+        col("frame_idx").cast("int").as("frame_idx"),
+        floor(col("frame_idx") * lit(1000L) * col("meta._4") / col("meta._3"))
+          .cast("long").as("pts_ms"),
         frameUdf(col("bytes"), col("frame_idx").cast("int")).as("frame_png"))
   }
 }
