@@ -136,6 +136,54 @@ object Y4m {
     ImageCodec.Raw(hd.h, hd.w, bgr)
   }
 
+  /** Forward BT.601 limited-range integer transform of one BGR raster to
+    * Y + C420 chroma planes (chroma = 2x2 box mean of the per-pixel
+    * chroma, rounded). The encoder half of the container: [[decodeFrame]]
+    * inverts it within ±2 per channel (rounding + range clipping). */
+  def bgrToYuv420(raw: ImageCodec.Raw): (Array[Byte], Array[Byte], Array[Byte]) = {
+    require(raw.w % 2 == 0 && raw.h % 2 == 0, "C420 needs even dimensions")
+    val yp = new Array[Byte](raw.w * raw.h)
+    val uf = new Array[Int](raw.w * raw.h)
+    val vf = new Array[Int](raw.w * raw.h)
+    var i = 0
+    while (i < raw.w * raw.h) {
+      val b = raw.bgr(i * 3) & 0xFF
+      val g = raw.bgr(i * 3 + 1) & 0xFF
+      val r = raw.bgr(i * 3 + 2) & 0xFF
+      yp(i) = (((66 * r + 129 * g + 25 * b + 128) >> 8) + 16).toByte
+      uf(i) = ((-38 * r - 74 * g + 112 * b + 128) >> 8) + 128
+      vf(i) = ((112 * r - 94 * g - 18 * b + 128) >> 8) + 128
+      i += 1
+    }
+    val cw = raw.w / 2
+    val up = new Array[Byte](cw * (raw.h / 2))
+    val vp = new Array[Byte](cw * (raw.h / 2))
+    var cy = 0
+    while (cy < raw.h / 2) {
+      var cx = 0
+      while (cx < cw) {
+        val p0 = (cy * 2) * raw.w + cx * 2
+        val p1 = p0 + raw.w
+        up(cy * cw + cx) = ((uf(p0) + uf(p0 + 1) + uf(p1) + uf(p1 + 1) + 2) / 4).toByte
+        vp(cy * cw + cx) = ((vf(p0) + vf(p0 + 1) + vf(p1) + vf(p1 + 1) + 2) / 4).toByte
+        cx += 1
+      }
+      cy += 1
+    }
+    (yp, up, vp)
+  }
+
+  /** Frame sequence (uniform-dim BGR rasters) -> one y4m stream — the
+    * real uncompressed-container form of the reference's dir2vid/list2vid
+    * sink (video.py:8-29, 31-47), with y4m in place of the env-blocked
+    * DIVX encoder. */
+  def encodeBgr(frames: Seq[ImageCodec.Raw], fpsNum: Int, fpsDen: Int): Array[Byte] = {
+    require(frames.nonEmpty, "y4m: empty frame sequence")
+    val (w, h) = (frames.head.w, frames.head.h)
+    require(frames.forall(f => f.w == w && f.h == h), "y4m: frame dims must be uniform")
+    encode(w, h, fpsNum, fpsDen, c444 = false, frames.map(bgrToYuv420))
+  }
+
   /** Build a y4m stream from raw planes — the test-side encoder (and a
     * legitimate sink for uncompressed interchange). `frames` are
     * (yPlane, uPlane, vPlane) at the layout `c444` implies. */

@@ -84,6 +84,26 @@ object VideoOps {
     } else None
   }
 
+  private val assembleUdf = udf { (pngs: Seq[Array[Byte]], fpsNum: Int, fpsDen: Int) =>
+    graft.core.Y4m.encodeBgr(pngs.map(ImageCodec.decode), fpsNum, fpsDen)
+  }
+
+  /** Video SINK (the reference's dir2vid/list2vid shape, S17): sampled/
+    * rendered frames re-assemble into one uncompressed y4m container per
+    * video — (video_id, frame_idx, frame_png) -> (video_id, y4m). Frames
+    * order by frame_idx inside the row (array_sort on the collected
+    * structs — a per-group sort of an already-grouped list, never a
+    * global one); the only shuffle is the groupBy on video_id. A video's
+    * frames must fit one row by contract (the reference writes one avi
+    * per directory of frames); for longer media, chunk by
+    * (video_id, segment) upstream — same operator per segment. */
+  def assembleVideos(frames: DataFrame, fpsNum: Int, fpsDen: Int): DataFrame =
+    frames.groupBy(col("video_id"))
+      .agg(array_sort(collect_list(struct(col("frame_idx"), col("frame_png")))).as("fs"))
+      .select(col("video_id"),
+        assembleUdf(expr("transform(fs, f -> f.frame_png)"), lit(fpsNum), lit(fpsDen))
+          .as("y4m"))
+
   /** Sample frames of self-describing containers: metadata (w, h, fps
     * rational, frame count) is PROBED from the bytes per row — no caller-
     * supplied n_frames/fps columns to drift from the container truth.

@@ -87,6 +87,74 @@ class Y4mSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Y4m.decodeFrame(cut, 1))
   }
 
+  test("video sink: BGR -> y4m -> BGR roundtrips within BT.601 rounding (±2)") {
+    // a deterministic color gradient exercises all three channels
+    val w = 8; val h = 4
+    def frame(k: Int): ImageCodec.Raw = {
+      val bgr = new Array[Byte](w * h * 3)
+      for (y <- 0 until h; x <- 0 until w) {
+        val o = (y * w + x) * 3
+        bgr(o) = ((x * 30 + k * 11) % 240).toByte
+        bgr(o + 1) = ((y * 50 + k * 7) % 240).toByte
+        bgr(o + 2) = ((x * 10 + y * 20 + k * 13) % 240).toByte
+      }
+      ImageCodec.Raw(h, w, bgr)
+    }
+    val frames = (0 until 3).map(frame)
+    val stream = Y4m.encodeBgr(frames, 24, 1)
+    assert(Y4m.frameCount(stream) == 3)
+    for (i <- 0 until 3) {
+      val back = Y4m.decodeFrame(stream, i)
+      // C420 shares chroma per 2x2 block: on this steep gradient the
+      // per-pixel error is bounded by the within-block chroma spread
+      // amplified by the inverse transform (~2x for B from U — worst case
+      // here ±31); the frame MEAN must stay within ±1.5 per channel (the
+      // averaging is unbiased), and flat colors below roundtrip within ±2
+      val exp = frames(i)
+      val maxDelta = back.bgr.zip(exp.bgr).map { case (a, b) => math.abs((a & 0xFF) - (b & 0xFF)) }.max
+      assert(maxDelta <= 40, s"frame $i max pixel delta $maxDelta")
+      for (ch <- 0 until 3) {
+        def mean(arr: Array[Byte]) =
+          arr.indices.filter(_ % 3 == ch).map(arr(_) & 0xFF).sum.toDouble / (w * h)
+        assert(math.abs(mean(back.bgr) - mean(exp.bgr)) <= 1.5,
+          s"frame $i channel $ch mean drift")
+      }
+    }
+    // flat-color frames (no chroma averaging error) roundtrip within ±2
+    val flat = ImageCodec.Raw(2, 2, Array.fill(12)(0.toByte).zipWithIndex.map {
+      case (_, i) => (if (i % 3 == 0) 200 else if (i % 3 == 1) 100 else 50).toByte })
+    val backFlat = Y4m.decodeFrame(Y4m.encodeBgr(Seq(flat), 1, 1), 0)
+    backFlat.bgr.zip(flat.bgr).foreach { case (a, b) =>
+      assert(math.abs((a & 0xFF) - (b & 0xFF)) <= 2, "flat color roundtrip")
+    }
+  }
+
+  test("assembleVideos: sample -> reassemble -> resample is frame-stable") {
+    val spark = SparkSuite.spark
+    import spark.implicits._
+    import graft.pipeline.VideoOps
+    // start from a REAL y4m corpus, sample every frame, reassemble, and
+    // resample: indices, pts and pixel content must be preserved
+    val src = Y4m.encode(4, 2, 24, 1, c444 = false,
+      (0 until 4).map(i => gray(4, 2, 20 + i * 40)))
+    val videos = Seq(("v1", src)).toDF("video_id", "bytes")
+    val sampled = VideoOps.sampleFramesAuto(videos, everyNth = 1)
+    val reassembled = VideoOps.assembleVideos(
+      sampled.select($"video_id", $"frame_idx", $"frame_png"), 24, 1)
+      .withColumnRenamed("y4m", "bytes")
+    val resampled = VideoOps.sampleFramesAuto(reassembled, everyNth = 1)
+      .select($"frame_idx", $"pts_ms", $"frame_png").collect().sortBy(_.getInt(0))
+    assert(resampled.map(_.getInt(0)).toSeq == Seq(0, 1, 2, 3))
+    assert(resampled.map(_.getLong(1)).toSeq == Seq(0L, 41L, 83L, 125L))
+    // gray frames: luma-only content survives the yuv roundtrip within ±2
+    for ((row, i) <- resampled.zipWithIndex) {
+      val dec = ImageCodec.decode(row.getAs[Array[Byte]]("frame_png"))
+      val expGray = ((298 * (20 + i * 40 - 16) + 128) >> 8).min(255).max(0)
+      dec.bgr.foreach(b => assert(math.abs((b & 0xFF) - expGray) <= 2,
+        s"frame $i gray $expGray vs ${b & 0xFF}"))
+    }
+  }
+
   test("VideoOps: real decode for y4m, deterministic stub otherwise; auto-probe sampling") {
     val spark = SparkSuite.spark
     import spark.implicits._
