@@ -761,6 +761,27 @@ object SparkEntry {
         .select(col("c_custkey"), col("cell_id"), col("cover_cell"))
     }),
 
+    // zonal statistics — the named GIS rollup: per compacted-cover cell
+    // (the "zone"), the count and money rollup of the points it contains.
+    // coverJoin routes each point to its UNIQUE covering cell (disjoint
+    // cover), then one groupBy on the zone — the broadcastable-zone form
+    // of raster zonal stats at any scale.
+    "q_cell_zonal" -> ((s, dir) => {
+      val ord = t(s, dir, "orders").select(col("o_orderkey"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("price_cents"),
+        latOf(col("o_orderkey")).as("lat"), lngOf(col("o_orderkey")).as("lng"))
+      val cover = pipeline.CellOps.compact(
+        ord.select(GeoF.cellAtWgs(col("lat"), col("lng"), 14).as("cell_id")),
+        zMax = 14, zMin = 12)
+      val pts = ord.select(col("o_orderkey"), col("price_cents"),
+        GeoF.cellAtWgs(col("lat"), col("lng"), 14).as("cell_id"))
+      pipeline.CellOps.coverJoin(pts, cover, zMax = 14, zMin = 12)
+        .groupBy(col("cover_cell"))
+        .agg(count(lit(1)).as("n_pts"),
+          sum(col("price_cents")).as("price_cents_sum"),
+          min(col("o_orderkey")).as("min_key"))
+    }),
+
     // polyfill: polygon -> minimal compacted cover. Candidate z17 cells
     // over the diamond's bbox keep iff their CENTER passes the F6 ray-cast
     // (codegen kernel; the twin uses the convex half-plane form, as
@@ -2171,6 +2192,35 @@ object SparkEntry {
             FROM ccell, range(0, 4) d)
           SELECT a.c_custkey, a.cell_id, r.cell_id AS cover_cell
           FROM anc a JOIN r11 r ON a.anc = r.cell_id""",
+
+    // exact SQL twin of the zonal rollup: the cover-join twin's ancestor
+    // chain -> one GROUP BY on the matched cover cell, half-up money cents
+    "q_cell_zonal" ->
+      s"""WITH $cellCoverCtes,
+          opts AS (
+            SELECT o_orderkey,
+              CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents,
+              (256.0::DOUBLE * (0.5::DOUBLE + ($lngSqlO) / 360.0::DOUBLE)) AS wx,
+              (256.0::DOUBLE * (0.5::DOUBLE - ln((1.0::DOUBLE + least(greatest(sin(($latSqlO) * pi() / 180.0::DOUBLE), -0.9999::DOUBLE), 0.9999::DOUBLE))
+                 / (1.0::DOUBLE - least(greatest(sin(($latSqlO) * pi() / 180.0::DOUBLE), -0.9999::DOUBLE), 0.9999::DOUBLE))) / (4 * pi()))) AS wy
+            FROM orders),
+          ocell AS (
+            SELECT o_orderkey, price_cents,
+              14 * ${1L << 58} +
+              CAST(floor(wx * 16384 / 256) AS BIGINT) * ${1L << 29} +
+              CAST(floor(wy * 16384 / 256) AS BIGINT) AS cell_id
+            FROM opts),
+          anc AS (
+            SELECT o_orderkey, price_cents,
+              (14 - d.range) * ${1L << 58} +
+              (((cell_id % ${1L << 58}) // ${1L << 29}) >> d.range) * ${1L << 29} +
+              ((cell_id % ${1L << 29}) >> d.range) AS anc
+            FROM ocell, range(0, 3) d)
+          SELECT r.cell_id AS cover_cell, count(*) AS n_pts,
+            CAST(sum(a.price_cents) AS BIGINT) AS price_cents_sum,
+            min(a.o_orderkey) AS min_key
+          FROM anc a JOIN r12 r ON a.anc = r.cell_id
+          GROUP BY r.cell_id""",
 
     // exact SQL twin of CellOps.coverOfPolygon: bbox bounds from the
     // vertex list (same mercator formulas; power-of-two scalings are
