@@ -90,6 +90,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // production optimizer config (same as Verify): pip filters gain their
+    // sargable bbox conjunct before the scan
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ plans.PipBboxPushdown
 
     def time[A](f: => A): (A, Double) = {
       val t0 = System.nanoTime()

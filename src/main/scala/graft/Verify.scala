@@ -29,6 +29,11 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // production optimizer config: the bbox-injection rule runs under the
+    // whole oracle battery, so its row-identical guarantee is validated
+    // against DuckDB on every pip query at every sf
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ plans.PipBboxPushdown
     new java.io.File(outDir).mkdirs()
     // aux export for the phash-banding oracle: the synthetic corpus'
     // (cell_id, phash) metadata at a fixed path, so DuckDB can re-run the

@@ -11,4 +11,10 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def toColumn(e: Expression): Column = ExpressionUtils.column(e)
   def toExpression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** `SparkSessionExtensions.buildOptimizerRules` is `private[sql]`; the
+    * extension spec uses this to assert a rule actually registered. */
+  def optimizerRules(ext: org.apache.spark.sql.SparkSessionExtensions,
+                     session: org.apache.spark.sql.SparkSession) =
+    ext.buildOptimizerRules(session)
 }
