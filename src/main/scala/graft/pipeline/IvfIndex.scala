@@ -78,23 +78,29 @@ object IvfIndex {
       .localCheckpoint(false)
     if (trainRounds > 0) {
       val q = quantized(corpus).localCheckpoint(false) // feeds every round
-      for (_ <- 0 until trainRounds) {
-        // integer-exact per-dim mean: floorDiv(s, n) = (s - pmod(s, n)) div n
-        // — exactly divisible, so truncating and flooring division agree
-        val means = assignQ(q, cents)
-          .select(col("cid"), posexplode(col("vq")).as(Seq("pos", "v")))
-          .groupBy(col("cid"), col("pos"))
-          .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
-          .select(col("cid"), col("pos"), expr("(s - pmod(s, n)) div n").as("c"))
-          .groupBy(col("cid"))
-          .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
-            x => x.getField("c")).as("nu"))
-        cents = cents.join(means, Seq("cid"), "left")
-          .select(col("cid"), coalesce(col("nu"), col("cvq")).as("cvq"))
-          .localCheckpoint(false)
-      }
+      for (_ <- 0 until trainRounds)
+        cents = meansUpdate(assignQ(q, cents), cents).localCheckpoint(false)
     }
     cents
+  }
+
+  /** One Lloyd's mean update: assigned (vec_id, cid, vq) -> new centroid
+    * table with each list's integer-exact per-dim mean — floorDiv(s, n) =
+    * (s - pmod(s, n)) div n, exactly divisible so truncating and flooring
+    * division agree; lists that went empty keep their previous centroid.
+    * Extra key columns on `cents` (e.g. the two-level scid) pass through. */
+  private def meansUpdate(assigned: DataFrame, cents: DataFrame): DataFrame = {
+    val means = assigned
+      .select(col("cid"), posexplode(col("vq")).as(Seq("pos", "v")))
+      .groupBy(col("cid"), col("pos"))
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+      .select(col("cid"), col("pos"), expr("(s - pmod(s, n)) div n").as("c"))
+      .groupBy(col("cid"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        x => x.getField("c")).as("nu"))
+    val keep = cents.columns.filter(_ != "cvq").map(col)
+    cents.join(means, Seq("cid"), "left")
+      .select(keep :+ coalesce(col("nu"), col("cvq")).as("cvq"): _*)
   }
 
   /** Assignment: each corpus vector to its squared-L2-nearest centroid
@@ -191,24 +197,37 @@ object IvfIndex {
     * probe's `nprobeSuper` routes AND its sub-list among the `nprobe`
     * sub-routes — each level is the standard IVF dial; both widen recall
     * linearly in scan cost. */
-  def knnJoinTwoLevel(probes: DataFrame, corpus: DataFrame, k: Int,
-                      nsuper: Int, nsub: Int, nprobeSuper: Int, nprobe: Int,
-                      trainRounds: Int = 1): DataFrame = {
-    require(nprobeSuper >= 1 && nprobeSuper <= nsuper,
-      s"nprobeSuper=$nprobeSuper out of [1, $nsuper]")
-    require(nprobe >= 1 && nprobe <= nsuper.toLong * nsub,
-      s"nprobe=$nprobe out of [1, ${nsuper.toLong * nsub}]")
-    val sCents = centroidTable(corpus, nsuper, trainRounds)
-    val sAssigned = assign(corpus, sCents).localCheckpoint(false) // feeds subs + lists
-    val subs = subCentroids(sAssigned, nsub).localCheckpoint(false) // feeds assign + route
-    // corpus -> sub-list: argmin over the OWN super cell's sub-centroids
-    val lists = sAssigned.select(col("vec_id"), col("cid").as("scid"), col("vq"))
-      .join(subs, "scid")
+  /** Corpus -> sub-list assignment: argmin over the OWN super cell's
+    * sub-centroids (equi-join on scid) — (vec_id, cid, vq). Shared by the
+    * index build and the sub-level training rounds. */
+  private def subAssign(sAssigned: DataFrame, subs: DataFrame): DataFrame =
+    sAssigned.select(col("vec_id"), col("cid").as("scid"), col("vq"))
+      .join(subs.select(col("scid"), col("cid"), col("cvq")), "scid")
       .select(col("vec_id"), col("vq"), col("cid"),
         intSqDist(col("vq"), col("cvq")).as("d"))
       .groupBy(col("vec_id"))
       .agg(min_by(col("cid"), struct(col("d"), col("cid"))).as("cid"),
         first(col("vq")).as("vq"))
+
+  def knnJoinTwoLevel(probes: DataFrame, corpus: DataFrame, k: Int,
+                      nsuper: Int, nsub: Int, nprobeSuper: Int, nprobe: Int,
+                      trainRounds: Int = 1, subTrainRounds: Int = 0): DataFrame = {
+    require(nprobeSuper >= 1 && nprobeSuper <= nsuper,
+      s"nprobeSuper=$nprobeSuper out of [1, $nsuper]")
+    require(nprobe >= 1 && nprobe <= nsuper.toLong * nsub,
+      s"nprobe=$nprobe out of [1, ${nsuper.toLong * nsub}]")
+    require(subTrainRounds >= 0 && subTrainRounds <= 16,
+      s"subTrainRounds=$subTrainRounds out of [0,16]")
+    val sCents = centroidTable(corpus, nsuper, trainRounds)
+    val sAssigned = assign(corpus, sCents).localCheckpoint(false) // feeds subs + lists
+    // sub level: md5-seeded per cell, then optional Lloyd's rounds — the
+    // same relational training as the super level, confined to each cell
+    // (assignment joins on scid, so means can never mix cells; the
+    // trained sub-centroid keeps its scid through meansUpdate)
+    var subs = subCentroids(sAssigned, nsub).localCheckpoint(false) // feeds assign + route
+    for (_ <- 0 until subTrainRounds)
+      subs = meansUpdate(subAssign(sAssigned, subs), subs).localCheckpoint(false)
+    val lists = subAssign(sAssigned, subs)
     val pr2 = route(probes, sCents, nprobeSuper)
       .select(col("probe_id"), col("cid").as("scid"), col("pq"))
       .join(subs, "scid")

@@ -210,6 +210,66 @@ class CellOpsIvfSpec extends AnyFunSuite {
     assert(p0.forall(v => v >= 100000L && v < 100005L), s"probe 0 neighbors: $p0")
   }
 
+  test("two-level IVF sub-training == sequential oracle with per-cell Lloyd's rounds") {
+    val got = IvfIndex.knnJoinTwoLevel(planted.where($"vec_id" < 6), planted,
+        k = 3, nsuper = 4, nsub = 8, nprobeSuper = 2, nprobe = 4,
+        trainRounds = 1, subTrainRounds = 1)
+      .select($"probe_id", $"rank", $"vec_id", $"dot")
+      .as[(Long, Int, Long, Long)].collect().toSet
+    val vecs = planted.select($"vec_id", AnnIndex.quant($"embedding".cast("array<double>")))
+      .as[(Long, Seq[Long])].collect().map { case (id, v) => id -> v.toArray }.toMap
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def sqd(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    // super level (seed + 1 round), as the engine
+    val seeds = vecs.keys.toSeq.sortBy(id => (md5hex(s"ivf|$id"), id)).take(4)
+    var sCents: Map[Long, Array[Long]] = seeds.map(id => id -> vecs(id)).toMap
+    def assignAll(): Map[Long, Long] =
+      vecs.map { case (id, v) => id -> sCents.toSeq.map { case (c, cv) => (sqd(v, cv), c) }.min._2 }
+    locally {
+      val byList = assignAll().groupBy(_._2)
+      sCents = sCents.map { case (cid, old) =>
+        cid -> byList.get(cid).map { members =>
+          val vs = members.keys.map(vecs).toSeq
+          Array.tabulate(64)(d => Math.floorDiv(vs.map(_(d)).sum, vs.size.toLong))
+        }.getOrElse(old)
+      }
+    }
+    val sAsg = assignAll()
+    // sub level: seed per cell, then ONE per-cell Lloyd's round
+    val subMembers = sAsg.groupBy(_._2).map { case (sc, m) => sc -> m.keys.toSeq }
+    var subCent: Map[Long, (Long, Array[Long])] = subMembers.flatMap { case (sc, members) =>
+      members.sortBy(id => (md5hex(s"ivf2|$id"), id)).take(8).map(c => c -> (sc, vecs(c)))
+    }
+    def subAssignAll(): Map[Long, Long] = vecs.keys.map { id =>
+      val sc = sAsg(id)
+      id -> subCent.collect { case (c, (s, cv)) if s == sc => (sqd(vecs(id), cv), c) }.min._2
+    }.toMap
+    locally {
+      val byList = subAssignAll().groupBy(_._2)
+      subCent = subCent.map { case (cid, (sc, old)) =>
+        cid -> (sc, byList.get(cid).map { members =>
+          val vs = members.keys.map(vecs).toSeq
+          Array.tabulate(64)(d => Math.floorDiv(vs.map(_(d)).sum, vs.size.toLong))
+        }.getOrElse(old))
+      }
+    }
+    val subAsg = subAssignAll()
+    val exp = (0L until 6L).flatMap { p =>
+      val superRoutes = sCents.toSeq.map { case (c, cv) => (sqd(vecs(p), cv), c) }
+        .sorted.take(2).map(_._2).toSet
+      val subRoutes = subCent.toSeq.collect { case (c, (sc, cv)) if superRoutes(sc) =>
+        (sqd(vecs(p), cv), c) }.sorted.take(4).map(_._2).toSet
+      vecs.keys.filter(v => v != p && subRoutes.contains(subAsg(v))).toSeq
+        .map(v => (v, vecs(v).zip(vecs(p)).map { case (x, y) => x * y }.sum))
+        .sortBy { case (v, dot) => (-dot, v) }.take(3).zipWithIndex
+        .map { case ((v, dot), i) => (p, i + 1, v, dot) }
+    }.toSet
+    assert(got == exp, "engine sub-training must equal the per-cell Lloyd's oracle")
+  }
+
   // ---------------- PqIndex ----------------
 
   test("PQ: codes are M ids in [0,K); donors encode to themselves exactly") {
