@@ -73,6 +73,7 @@ object Y4m {
   /** Data offset of frame `idx` (just past its FRAME line), walking the
     * per-frame headers. Fails loudly on truncation. */
   def frameDataOffset(bytes: Array[Byte], hd: Header, idx: Int): Int = {
+    require(idx >= 0, s"y4m: negative frame index $idx")
     var off = hd.dataStart
     var i = 0
     while (i <= idx) {
