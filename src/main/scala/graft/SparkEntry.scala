@@ -826,7 +826,9 @@ object SparkEntry {
     // is small -> broadcast) + one doc-keyed groupBy — never a doc x
     // benchmark pair space.
     "q_text_contamination" -> ((s, dir) => {
-      val fps = winnowFps(s, dir)
+      // the fingerprint relation feeds BOTH join sides — materialize once
+      // (auto-released) instead of running the per-doc window twice
+      val fps = winnowFps(s, dir).localCheckpoint(false)
       val bench = fps.where(col("doc_id") % 97 === 0)
         .select(col("fp"), col("doc_id").as("bench_id"))
       fps.where(col("doc_id") % 97 =!= 0)

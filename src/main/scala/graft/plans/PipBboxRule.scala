@@ -38,17 +38,27 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType}
 object PipBboxPushdown extends Rule[LogicalPlan] {
 
   private def bounds(arr: Expression): Option[(Double, Double)] = arr match {
-    case Literal(data: ArrayData, ArrayType(DoubleType, _)) if data.numElements() > 0 =>
-      var mn = Double.MaxValue
-      var mx = Double.MinValue
-      var i = 0
-      while (i < data.numElements()) {
-        val v = data.getDouble(i)
-        if (v < mn) mn = v
-        if (v > mx) mx = v
-        i += 1
-      }
-      Some((mn, mx))
+    // any FOLDABLE double array (typedLit's Literal, array(lit...)'s
+    // CreateArray, a constant-folded transform) — evaluated at plan time
+    case e if e.foldable && e.dataType == ArrayType(DoubleType, false) ||
+              e.foldable && e.dataType == ArrayType(DoubleType, true) =>
+      Option(e.eval(null)).map(_.asInstanceOf[ArrayData]).filter(_.numElements() > 0)
+        .flatMap { data =>
+          var mn = Double.MaxValue
+          var mx = Double.MinValue
+          var ok = true
+          var i = 0
+          while (i < data.numElements()) {
+            if (data.isNullAt(i)) ok = false
+            else {
+              val v = data.getDouble(i)
+              if (v < mn) mn = v
+              if (v > mx) mx = v
+            }
+            i += 1
+          }
+          if (ok) Some((mn, mx)) else None // a null vertex: no bbox claim
+        }
     case _ => None
   }
 

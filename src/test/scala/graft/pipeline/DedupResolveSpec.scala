@@ -79,6 +79,36 @@ class DedupResolveSpec extends AnyFunSuite {
     assert(got.count(_._3 == 1L) == 1 && got.find(_._3 == 1L).get._1 == 801L)
   }
 
+  test("large random graphs (2000 nodes): star rounds == union-find, 3 seeds") {
+    // the 10-seed suite covers small graphs; this pins the star rounds on
+    // graphs big enough to have deep trees and many mid-size components
+    def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      parent.keys.map(x => x -> find(x)).toMap
+    }
+    for (seed <- 0 until 3) {
+      val rnd = new scala.util.Random(7000 + seed)
+      // sparse: ~0.6 edges/node leaves long chains and many components
+      val edges = Seq.fill(1200) {
+        (rnd.nextInt(2000).toLong, rnd.nextInt(2000).toLong)
+      }.filter(e => e._1 != e._2)
+      val got = Dedup.resolveClusters(edges.toDF("ida", "idb"))
+        .as[(Long, Long, Long)].collect().map(r => r._1 -> r._2).toMap
+      val reps = unionFind(edges)
+      val minOfRoot = reps.groupBy(_._2).map { case (root, m) => root -> m.keys.min }
+      val expect = reps.map { case (id, root) => id -> minOfRoot(root) }
+      assert(got == expect, s"seed $seed mismatch")
+    }
+  }
+
   test("empty pair set resolves to an empty decision set") {
     val empty = Seq.empty[(Long, Long)].toDF("ida", "idb")
     assert(Dedup.resolveClusters(empty).count() == 0)
