@@ -409,6 +409,32 @@ class CellOpsIvfSpec extends AnyFunSuite {
     assert(runner.snapshotId("ivf_lists").contains(1L))
   }
 
+  test("IVF incremental append: the delta assigns against the committed centroid snapshot") {
+    // index maintenance at 100 TB: assignment is a per-row map against a
+    // FROZEN centroid snapshot, so corpus appends assign only the delta —
+    // existing lists are untouched, and the result equals a full rebuild
+    // against the same snapshot (never retrain on append; retraining is a
+    // new snapshot id and a recompute of the downstream cone)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_inc").toString
+    val runner = new graft.tables.StageRunner(spark, dir)
+    val base = planted.where($"vec_id" < 400)
+    val delta = planted.where($"vec_id" >= 400)
+    runner.stage("ivf_cents")(IvfIndex.centroidTable(base, 16))
+    val cents = runner.readAsOf("ivf_cents", 1L)
+    val baseLists = runner.stage("ivf_lists", inputs = Seq("ivf_cents"))(
+      IvfIndex.assign(base, cents))
+    val deltaLists = IvfIndex.assign(delta, runner.readAsOf("ivf_cents", 1L))
+    val incremental = baseLists.select($"vec_id", $"cid")
+      .unionByName(deltaLists.select($"vec_id", $"cid"))
+      .as[(Long, Long)].collect().toSet
+    val rebuilt = IvfIndex.assign(planted, cents)
+      .select($"vec_id", $"cid").as[(Long, Long)].collect().toSet
+    assert(incremental == rebuilt,
+      "append-only assignment must equal a full rebuild against the same snapshot")
+    // the committed base lists were not recomputed by the append
+    assert(runner.snapshotId("ivf_lists").contains(1L))
+  }
+
   test("IVF knnJoin == sequential oracle (seed, 2 Lloyd's rounds, route, scan lists)") {
     val got = IvfIndex.knnJoin(planted.where($"vec_id" < 10), planted,
         k = 3, nlist = 16, nprobe = 2)
