@@ -54,6 +54,39 @@ class PolyfillSpec extends AnyFunSuite {
     assert(cover.size < expected.size, "compaction must shrink a solid cover")
   }
 
+  test("random star polygons: polyfill == sequential fill, 5 seeds") {
+    // arbitrary simple polygons (angularly-sorted vertices around a
+    // center are star-shaped, hence simple) — the diamond fixture pins
+    // the twin; this pins the operator on shapes nobody hand-picked
+    for (seed <- 0 until 5) {
+      val rnd = new scala.util.Random(4000 + seed)
+      val n = 5 + rnd.nextInt(5)
+      val (cLat, cLng) = (53.84 + rnd.nextDouble() * 0.01, 27.40 + rnd.nextDouble() * 0.02)
+      // ONE radius per vertex (independent per-axis radii could cross
+      // edges); lat flattened to roughly square cells at this latitude
+      val angles = Seq.fill(n)(rnd.nextDouble() * 2 * math.Pi).sorted
+      val verts = angles.map { a =>
+        val r = 0.003 + rnd.nextDouble() * 0.005
+        (cLat + r * math.sin(a) * 0.5, cLng + r * math.cos(a))
+      }
+      val lats = verts.map(_._1)
+      val lngs = verts.map(_._2)
+      val zMax = 16
+      val cover = CellOps.coverOfPolygon(spark, lats, lngs, zMax, zMin = 13)
+      val scale = (1L << zMax).toDouble
+      def tx(lng: Double) = math.floor(Mercator.projectX(lng) * scale / 256.0).toLong
+      def ty(lat: Double) = math.floor(Mercator.projectY(lat) * scale / 256.0).toLong
+      val expected = (for {
+        x <- lngs.map(tx).min to lngs.map(tx).max
+        y <- lats.map(ty).min to lats.map(ty).max
+        (clat, clng) = Mercator.wgsAtTile(x, y, zMax)
+        if inPoly(clat, clng, lats, lngs)
+      } yield CellId.pack(zMax, x, y)).toSet
+      val expanded = CellOps.uncompact(cover, zMax).as[Long].collect().toSet
+      assert(expanded == expected, s"seed $seed: polyfill vs sequential fill")
+    }
+  }
+
   test("buildings exclusion negatives are identical through the compacted-cover path") {
     val w = SyntheticWorld.testWorld
     val nodes = SyntheticWorld.osmNodes(spark, w)
