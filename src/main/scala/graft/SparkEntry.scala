@@ -1067,6 +1067,18 @@ object SparkEntry {
         .select(col("ida"), col("idb"), col("hamming"))
     }),
 
+    // image dedup end-to-end: perceptual near-dup PAIRS (tight hamming<=2
+    // budget — the duplicate-strength regime) resolve to keep/drop
+    // decisions through the same connected-components operator as text
+    // and semantic dedup — the two-stage design closed over every
+    // modality the engine carries
+    "q_phash_resolve" -> ((s, _) => {
+      val images = tables.SyntheticWorld.images(s, tables.SyntheticWorld.testWorld)
+      val hs = images.select(col("cell_id").as("doc_id"), col("phash").as("sh"))
+      val pairs = pipeline.Dedup.simhashPairsFromHashes(hs, verifyHamming = 2, hashBits = 64)
+      pipeline.Dedup.resolveClusters(pairs.select(col("ida"), col("idb")))
+    }),
+
     // multimodal frame sampling: the REAL operator over a derived videos
     // table; the frame_png column is dropped so Catalyst prunes the stub
     // decode and the oracle value-checks the relational plumbing (frame
@@ -1619,6 +1631,24 @@ object SparkEntry {
           FROM banded a JOIN banded b
             ON a.chunk = b.chunk AND a.ck = b.ck AND a.doc_id < b.doc_id
           WHERE bit_count(xor(a.sh, b.sh)) <= 6""",
+
+    // exact SQL twin of the perceptual-dedup resolve: same chunk-banded
+    // candidate pairs at hamming <= 2, recursive-CTE connected components
+    "q_phash_resolve" ->
+      s"""WITH RECURSIVE h AS (
+            SELECT cell_id AS doc_id, phash AS sh
+            FROM read_parquet('${Verify.AuxImagesMeta}/*.parquet')),
+          banded AS (
+            SELECT doc_id, sh, c.range AS chunk,
+              (sh >> CAST(c.range * 16 AS INTEGER)) & 65535 AS ck
+            FROM h, range(0, 4) c),
+          cand AS (
+            SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+            FROM banded a JOIN banded b
+              ON a.chunk = b.chunk AND a.ck = b.ck AND a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.sh, b.sh)) <= 2),
+          ${ccResolveCtes("SELECT ida, idb FROM cand")}
+          $ccResolveSelect""",
 
     "q_a4_busyfree" ->
       """WITH grid AS (
