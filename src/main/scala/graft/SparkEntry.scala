@@ -708,14 +708,16 @@ object SparkEntry {
     }),
 
     // PQ (product quantization) ADC scoring: the corpus compresses to 8
-    // nearest-codeword ids (md5-sampled deterministic codebooks, exact
-    // integer squared-L2 encoding — a ~32x memory cut), probes build
+    // nearest-codeword ids under TRAINED codebooks (md5-seeded + 2
+    // deterministic per-subspace Lloyd's rounds; exact integer squared-L2
+    // encoding — a ~32x memory cut), probes build
     // (subspace, codeword) -> exact-dot LUTs, and scoring is one equi-join
     // on (s, code) + a per-probe sum — the scoring-side companion to the
     // IVF/LSH routers for 10^12-row passes.
     "q_ann_pq" -> ((s, dir) => {
       val corpus = annCorpus(t(s, dir, "embeddings"))
-      pipeline.PqIndex.adcTopK(corpus.where(col("vec_id") < 10), corpus, k = 3)
+      pipeline.PqIndex.adcTopK(corpus.where(col("vec_id") < 10), corpus, k = 3,
+        pqTrainRounds = 2)
     }),
 
     // IVF+PQ composed — the billion-scale recipe end-to-end: probes route
@@ -727,7 +729,7 @@ object SparkEntry {
     "q_ann_ivfpq" -> ((s, dir) => {
       val corpus = annCorpus(t(s, dir, "embeddings"))
       pipeline.PqIndex.ivfAdcTopK(corpus.where(col("vec_id") < 10), corpus,
-        k = 3, nlist = 16, nprobe = 2)
+        k = 3, nlist = 16, nprobe = 2, pqTrainRounds = 2)
     }),
 
     // H3/S2-style compact: order points -> z14 cell cover -> collapse
@@ -1251,19 +1253,51 @@ object SparkEntry {
                row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
              FROM cdist) WHERE rn = 1)"""
 
-  /** Shared PQ CTE chain (twin of PqIndex codebooks + encode): md5-first
-    * donor sample -> per-subspace codebooks -> integer-L2 argmin codes.
-    * Yields `cb` (s, j, i, cq) and `codes` (vec_id, s, code). Composes
+  /** One per-subspace Lloyd's round (twin of a PqIndex.codebooksTrainedQ
+    * loop iteration over relation `rel`(vec_id, pos, `vcol`)): subvector
+    * argmin assignment under `cin`, integer floor-division means per
+    * (subspace, codeword, dim), codewords with empty cells keep their
+    * previous value (LEFT JOIN from `cin` — positions absent from the
+    * seed stay absent). CTE names carry `tag` so the raw and residual
+    * chains can coexist. */
+  private def pqRoundCtes(rel: String, vcol: String, tag: String,
+                          cin: String, r: Int, cout: String): String =
+    s"""${tag}pd$r AS (
+           SELECT q.vec_id, c.s, c.j, sum((q.$vcol - c.cq) * (q.$vcol - c.cq)) AS d2
+           FROM $rel q JOIN $cin c ON c.s = q.pos // 8 AND c.i = q.pos % 8
+           GROUP BY q.vec_id, c.s, c.j),
+         ${tag}pa$r AS (
+           SELECT vec_id, s, j FROM (
+             SELECT vec_id, s, j,
+               row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, j) AS rn
+             FROM ${tag}pd$r) WHERE rn = 1),
+         ${tag}pm$r AS (
+           SELECT s, j, i, (sm - ((sm % n) + n) % n) // n AS c
+           FROM (SELECT a.s, a.j, q.pos % 8 AS i,
+                        CAST(sum(q.$vcol) AS BIGINT) AS sm, count(*) AS n
+                 FROM ${tag}pa$r a
+                 JOIN $rel q ON q.vec_id = a.vec_id AND q.pos // 8 = a.s
+                 GROUP BY a.s, a.j, q.pos % 8)),
+         $cout AS (
+           SELECT c.s, c.j, c.i, COALESCE(m.c, c.cq) AS cq
+           FROM $cin c LEFT JOIN ${tag}pm$r m ON m.s = c.s AND m.j = c.j AND m.i = c.i)"""
+
+  /** Shared PQ CTE chain (twin of PqIndex codebooksTrained + encode):
+    * md5-first donor SEED -> 2 unrolled per-subspace Lloyd's rounds ->
+    * integer-L2 argmin codes under the trained codebooks. Yields `cb`
+    * (s, j, i, cq — trained) and `codes` (vec_id, s, code). Composes
     * after `quant`. */
-  private val pqCodeCtes: String =
-    """donors AS (
+  private lazy val pqCodeCtes: String =
+    s"""donors AS (
            SELECT vec_id, rn - 1 AS j FROM (
              SELECT vec_id,
                row_number() OVER (ORDER BY md5('pq|' || CAST(vec_id AS VARCHAR)), vec_id) AS rn
              FROM (SELECT DISTINCT vec_id FROM quant)) WHERE rn <= 16),
-         cb AS (
+         cb0 AS (
            SELECT q.pos // 8 AS s, d.j, q.pos % 8 AS i, q.vq AS cq
            FROM donors d JOIN quant q ON q.vec_id = d.vec_id),
+         ${pqRoundCtes("quant", "vq", "q", "cb0", 0, "cb1")},
+         ${pqRoundCtes("quant", "vq", "q", "cb1", 1, "cb")},
          pqdists AS (
            SELECT q.vec_id, c.s, c.j, sum((q.vq - c.cq) * (q.vq - c.cq)) AS d2
            FROM quant q JOIN cb c ON c.s = q.pos // 8 AND c.i = q.pos % 8
@@ -2111,9 +2145,10 @@ object SparkEntry {
            FROM scored)
          SELECT probe_id, rank, vec_id, dot FROM ranked WHERE rank <= 3""",
 
-    // exact SQL twin of PqIndex.adcTopK: md5-first donor sample -> per-
-    // subspace codebooks -> integer-L2 argmin encoding -> probe LUTs ->
-    // (s, code) equi-join -> per-probe top-3 by summed exact dots
+    // exact SQL twin of PqIndex.adcTopK: md5-first donor SEED -> 2
+    // unrolled per-subspace Lloyd's rounds -> integer-L2 argmin encoding
+    // under the trained codebooks -> probe LUTs -> (s, code) equi-join ->
+    // per-probe top-3 by summed exact dots
     "q_ann_pq" ->
       s"""WITH $annQuantCte,
          $pqCodeCtes,
@@ -2147,9 +2182,11 @@ object SparkEntry {
              SELECT vec_id,
                row_number() OVER (ORDER BY md5('pq|' || CAST(vec_id AS VARCHAR)), vec_id) AS rn
              FROM (SELECT DISTINCT vec_id FROM quant)) WHERE rn <= 16),
-         cbr AS (
+         cbr0 AS (
            SELECT r.pos // 8 AS s, d.j, r.pos % 8 AS i, r.rv AS cq
            FROM rdonors d JOIN resid r ON r.vec_id = d.vec_id),
+         ${pqRoundCtes("resid", "rv", "r", "cbr0", 0, "cbr1")},
+         ${pqRoundCtes("resid", "rv", "r", "cbr1", 1, "cbr")},
          rdists AS (
            SELECT r.vec_id, c.s, c.j, sum((r.rv - c.cq) * (r.rv - c.cq)) AS d2
            FROM resid r JOIN cbr c ON c.s = r.pos // 8 AND c.i = r.pos % 8

@@ -71,6 +71,63 @@ object PqIndex {
   def codebooks(corpus: DataFrame, p: PqParams = Default): Array[Array[Array[Long]]] =
     codebooksQ(corpus.select(col("vec_id"), AnnIndex.quant(AnnIndex.embD).as("vq")), p)
 
+  /** Per-subspace Lloyd's-TRAINED codebooks over a quantized relation —
+    * the canonical k-means PQ training, run as the same deterministic
+    * relational rounds as the IVF coarse quantizer, independently inside
+    * each subspace: subvector argmin assignment (broadcast codebook
+    * table, map-side min_by) then an integer floor-division mean per
+    * (subspace, codeword, dim); codewords whose cell goes empty keep
+    * their previous value. trainRounds = 0 returns the md5-sampled seed.
+    * The per-round means collect is bounded by m·k·subDim = dim·k rows —
+    * the broadcast model every PQ variant carries anyway. The DuckDB
+    * twins unroll the rounds (pqRoundCtes), so the trained path stays
+    * oracle-checked end to end. */
+  def codebooksTrainedQ(vecs: DataFrame, p: PqParams,
+                        trainRounds: Int): Array[Array[Array[Long]]] = {
+    require(trainRounds >= 0 && trainRounds <= 16,
+      s"trainRounds=$trainRounds out of [0,16]")
+    var cb = codebooksQ(vecs, p)
+    if (trainRounds == 0) return cb
+    import vecs.sparkSession.implicits._
+    val sub = vecs.select(col("vec_id"),
+      posexplode(expr(s"transform(sequence(0, ${p.m - 1})," +
+        s" s -> slice(vq, s * ${p.subDim} + 1, ${p.subDim}))")).as(Seq("s", "sv")))
+      .localCheckpoint(false) // feeds every round
+    for (_ <- 0 until trainRounds) {
+      val cbDf = cb.zipWithIndex.flatMap { case (subs, s) =>
+        subs.zipWithIndex.map { case (cw, j) => (s, j, cw.toSeq) }
+      }.toSeq.toDF("s", "code", "cw")
+      val assigned = sub.join(broadcast(cbDf), "s")
+        .select(col("vec_id"), col("s"), col("sv"), col("code"),
+          IvfIndex.intSqDist(col("sv"), col("cw")).as("d"))
+        .groupBy(col("vec_id"), col("s"))
+        .agg(min_by(col("code"), struct(col("d"), col("code"))).as("code"),
+          first(col("sv")).as("sv"))
+      val means = assigned
+        .select(col("s"), col("code"), posexplode(col("sv")).as(Seq("i", "v")))
+        .groupBy(col("s"), col("code"), col("i"))
+        .agg(sum(col("v")).as("sm"), count(lit(1)).as("n"))
+        .select(col("s"), col("code"), col("i"),
+          expr("(sm - pmod(sm, n)) div n").as("c"))
+        .collect()
+      val nu = cb.map(_.map(_.clone))
+      // positions absent from the SEED codeword stay absent (the twin's
+      // update is a LEFT JOIN from the previous codebook rows)
+      means.foreach { r =>
+        val cw = nu(r.getInt(0))(r.getInt(1))
+        if (r.getInt(2) < cw.length) cw(r.getInt(2)) = r.getLong(3)
+      }
+      cb = nu
+    }
+    cb
+  }
+
+  /** Trained codebooks over the raw embedding column. */
+  def codebooksTrained(corpus: DataFrame, p: PqParams = Default,
+                       trainRounds: Int = 2): Array[Array[Array[Long]]] =
+    codebooksTrainedQ(
+      corpus.select(col("vec_id"), AnnIndex.quant(AnnIndex.embD).as("vq")), p, trainRounds)
+
   /** Encode kernel over a QUANTIZED vector: the m nearest-codeword ids
     * (exact integer squared-L2, ties -> smaller j). Positions past the
     * vector's length contribute NO term — the same semantics as the SQL
@@ -155,11 +212,12 @@ object PqIndex {
     * guarantees stay with the exact scans; PQ buys the ~(4·dim/m)x memory
     * cut that makes a 10^12-row scoring pass feasible at all. */
   def adcTopK(probes: DataFrame, corpus: DataFrame, k: Int,
-              p: PqParams = Default, maxProbes: Int = 4096): DataFrame = {
+              p: PqParams = Default, maxProbes: Int = 4096,
+              pqTrainRounds: Int = 0): DataFrame = {
     require(probes.limit(maxProbes + 1).count() <= maxProbes,
       s"adcTopK scores the FULL corpus per probe (scan contract) — more than " +
         s"$maxProbes probes means you want ivfAdcTopK, the sub-linear composed path")
-    val cb = codebooks(corpus, p)
+    val cb = codebooksTrained(corpus, p, pqTrainRounds)
     val scored = corpusCodes(corpus, cb, p)
       .join(broadcast(probeLuts(probes, cb, p)), Seq("s", "code"))
       .where(col("vec_id") =!= col("probe_id"))
@@ -183,7 +241,7 @@ object PqIndex {
     * probe-side relation broadcasts. */
   def ivfAdcTopK(probes: DataFrame, corpus: DataFrame, k: Int,
                  nlist: Int, nprobe: Int, trainRounds: Int = 2,
-                 p: PqParams = Default): DataFrame = {
+                 p: PqParams = Default, pqTrainRounds: Int = 0): DataFrame = {
     require(nprobe >= 1 && nprobe <= nlist, s"nprobe=$nprobe out of [1, $nlist]")
     val cents = IvfIndex.centroidTable(corpus, nlist, trainRounds)
     val assigned = IvfIndex.assign(corpus, cents) // (vec_id, cid, vq)
@@ -194,7 +252,7 @@ object PqIndex {
       .select(col("vec_id"), col("cid"),
         expr("transform(vq, (x, i) -> x - coalesce(try_element_at(cvq, i + 1), 0L))").as("vq"))
       .localCheckpoint(false) // feeds codebook sampling + encoding
-    val cbR = codebooksQ(resid, p)
+    val cbR = codebooksTrainedQ(resid, p, pqTrainRounds)
     val codes = resid.select(col("vec_id"),
       posexplode(encodeQUdf(cbR, p)(col("vq"))).as(Seq("s", "code")))
     val pr = IvfIndex.route(probes, cents, nprobe) // (probe_id, cid, pq)

@@ -58,6 +58,45 @@ class PqResidualSpec extends AnyFunSuite {
         id -> vq.toArray.zip(centMap(cid)).map { case (x, c) => x - c } }.toMap
   }
 
+  test("codebooksTrained == sequential per-subspace k-means oracle") {
+    val p = PqIndex.Default
+    val vecsDf = rawVecs.toSeq.toDF("vec_id", "vq")
+    val got = PqIndex.codebooksTrainedQ(vecsDf, p, trainRounds = 2)
+    // driver oracle: seed from md5-ranked donors, then 2 Lloyd's rounds
+    // per subspace with floor-division means
+    val donors = rawVecs.keys.toSeq.sortBy(id => (md5hex(s"pq|$id"), id)).take(p.k)
+    var cb = Array.tabulate(p.m, p.k)((s, j) =>
+      rawVecs(donors(j)).slice(s * p.subDim, (s + 1) * p.subDim))
+    def sqd(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    for (_ <- 0 until 2) {
+      val assigned = for { (_, vq) <- rawVecs.toSeq; s <- 0 until p.m } yield {
+        val sv = vq.slice(s * p.subDim, (s + 1) * p.subDim)
+        val code = (0 until p.k).map(j => (sqd(sv, cb(s)(j)), j)).min._2
+        (s, code, sv)
+      }
+      val nu = cb.map(_.map(_.clone))
+      assigned.groupBy(t => (t._1, t._2)).foreach { case ((s, j), members) =>
+        val svs = members.map(_._3)
+        for (i <- 0 until p.subDim)
+          nu(s)(j)(i) = Math.floorDiv(svs.map(_(i)).sum, svs.size.toLong)
+      }
+      cb = nu
+    }
+    for (s <- 0 until p.m; j <- 0 until p.k)
+      assert(got(s)(j).toSeq == cb(s)(j).toSeq, s"codeword ($s, $j)")
+  }
+
+  test("trained codebooks never fit worse than the sampled seed") {
+    val p = PqIndex.Default
+    val vecsDf = residVecs.toSeq.toDF("vec_id", "vq")
+    val sampledErr = sqErr(residVecs, cbOf(residVecs, p), p)
+    val trainedErr = sqErr(residVecs, PqIndex.codebooksTrainedQ(vecsDf, p, 2), p)
+    info(f"sampled residual sq-err = $sampledErr%.3g, trained = $trainedErr%.3g")
+    assert(trainedErr <= sampledErr,
+      f"Lloyd's rounds must not worsen the fit: $trainedErr%.3g > $sampledErr%.3g")
+  }
+
   test("residual encoding strictly reduces reconstruction error vs raw vectors") {
     val p = PqIndex.Default
     val rawErr = sqErr(rawVecs, cbOf(rawVecs, p), p)
