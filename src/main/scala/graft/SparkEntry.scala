@@ -704,7 +704,8 @@ object SparkEntry {
     "q_ann_ivf2" -> ((s, dir) => {
       val corpus = annCorpus(t(s, dir, "embeddings"))
       pipeline.IvfIndex.knnJoinTwoLevel(corpus.where(col("vec_id") < 10), corpus,
-        k = 3, nsuper = 4, nsub = 8, nprobeSuper = 2, nprobe = 4, trainRounds = 1)
+        k = 3, nsuper = 4, nsub = 8, nprobeSuper = 2, nprobe = 4,
+        trainRounds = 1, subTrainRounds = 1)
     }),
 
     // PQ (product quantization) ADC scoring: the corpus compresses to 8
@@ -2078,8 +2079,9 @@ object SparkEntry {
 
     // exact SQL twin of IvfIndex.knnJoinTwoLevel: 4 md5-seeded super
     // centroids + 1 unrolled Lloyd's round, per-super md5 'ivf2' sub
-    // seeding (8/cell), own-cell sub-assignment, 2-super -> 4-sub-list
-    // probe routing, exact-dot scoring, per-probe top-3
+    // seeding (8/cell) + 1 unrolled PER-CELL sub training round,
+    // own-cell sub-assignment, 2-super -> 4-sub-list probe routing,
+    // exact-dot scoring, per-probe top-3
     "q_ann_ivf2" ->
       s"""WITH $annQuantCte,
          cids AS (
@@ -2106,8 +2108,30 @@ object SparkEntry {
                row_number() OVER (PARTITION BY a.cid
                  ORDER BY md5('ivf2|' || CAST(a.vec_id AS VARCHAR)), a.vec_id) AS rn
              FROM sassign a) WHERE rn <= 8),
-         subq AS (SELECT s.scid, s.cid, q.pos, q.vq AS cq
-                  FROM subs s JOIN quant q ON q.vec_id = s.cid),
+         subq0 AS (SELECT s.scid, s.cid, q.pos, q.vq AS cq
+                   FROM subs s JOIN quant q ON q.vec_id = s.cid),
+         -- one per-cell Lloyd's round for the sub level (twin of
+         -- subTrainRounds = 1): own-cell argmin assignment, integer
+         -- floor-division means per sub-list, empty lists keep
+         ssd0 AS (
+           SELECT q.vec_id, c.cid, sum((q.vq - c.cq) * (q.vq - c.cq)) AS d
+           FROM quant q
+           JOIN sassign a ON a.vec_id = q.vec_id
+           JOIN subq0 c ON c.scid = a.cid AND c.pos = q.pos
+           GROUP BY q.vec_id, c.cid),
+         ssa0 AS (
+           SELECT vec_id, cid FROM (
+             SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+             FROM ssd0) WHERE rn = 1),
+         ssm0 AS (
+           SELECT cid, pos, (sm - ((sm % n) + n) % n) // n AS c
+           FROM (SELECT a.cid, q.pos, CAST(sum(q.vq) AS BIGINT) AS sm, count(*) AS n
+                 FROM ssa0 a JOIN quant q ON q.vec_id = a.vec_id
+                 GROUP BY a.cid, q.pos)),
+         subq AS (
+           SELECT c.scid, c.cid, c.pos, COALESCE(m.c, c.cq) AS cq
+           FROM subq0 c LEFT JOIN ssm0 m ON m.cid = c.cid AND m.pos = c.pos),
          sd AS (
            SELECT q.vec_id, c.cid, sum((q.vq - c.cq) * (q.vq - c.cq)) AS d
            FROM quant q
