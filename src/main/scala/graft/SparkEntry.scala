@@ -46,7 +46,11 @@ object SparkEntry {
   private[graft] def krank(key: Column): Column =
     (key.bitwiseAND(lit(0x7FFFFFFFL)) * lit(2654435761L) % lit(4294967296L) +
       shiftrightunsigned(key, 31).bitwiseAND(lit(1L)) * lit(2147483648L)) % lit(4294967296L)
-  private def krankSql(key: String) = s"($key * 2654435761) % 4294967296"
+  // the twin promotes EXPLICITLY to HUGEINT: DuckDB raises an overflow
+  // error on BIGINT*BIGINT rather than auto-promoting, so keys >= ~3.47e9
+  // would abort the oracle query without the cast (ADVICE r4)
+  private def krankSql(key: String) =
+    s"(CAST($key AS HUGEINT) * 2654435761) % 4294967296"
 
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
@@ -1788,7 +1792,7 @@ object SparkEntry {
              c_custkey % 50 + 1 AS n_frames
            FROM customer WHERE c_custkey <= 200)
          SELECT video_id, CAST(f.g AS INTEGER) AS frame_idx,
-           CAST(floor((f.g * 1000) / fps) AS BIGINT) AS pts_ms
+           CAST((f.g * 1000) // fps AS BIGINT) AS pts_ms
          FROM v, unnest(generate_series(0, n_frames - 1, 5)) AS f(g)""",
 
     "q_dedup_exact" ->

@@ -87,20 +87,29 @@ object IvfIndex {
   /** One Lloyd's mean update: assigned (vec_id, cid, vq) -> new centroid
     * table with each list's integer-exact per-dim mean — floorDiv(s, n) =
     * (s - pmod(s, n)) div n, exactly divisible so truncating and flooring
-    * division agree; lists that went empty keep their previous centroid.
-    * Extra key columns on `cents` (e.g. the two-level scid) pass through. */
+    * division agree. The update is PER POSITION, mirroring the SQL twin's
+    * `LEFT JOIN ... COALESCE(m.c, c.cq)` exactly: the previous centroid
+    * explodes to (cid, pos, cq) rows, member means left-join on
+    * (cid, pos), and the array reassembles over the SEED's positions only
+    * — so a mixed-dimension corpus (supported per the join-on-pos intDot
+    * contract) can never truncate a centroid to its members' max length
+    * or grow it past the seed's (IvfTrainSpec pins a ragged corpus).
+    * Lists that went empty keep their previous centroid (no mean rows to
+    * join). Extra key columns on `cents` (e.g. the two-level scid) pass
+    * through. */
   private def meansUpdate(assigned: DataFrame, cents: DataFrame): DataFrame = {
     val means = assigned
       .select(col("cid"), posexplode(col("vq")).as(Seq("pos", "v")))
       .groupBy(col("cid"), col("pos"))
       .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
       .select(col("cid"), col("pos"), expr("(s - pmod(s, n)) div n").as("c"))
-      .groupBy(col("cid"))
-      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
-        x => x.getField("c")).as("nu"))
     val keep = cents.columns.filter(_ != "cvq").map(col)
-    cents.join(means, Seq("cid"), "left")
-      .select(keep :+ coalesce(col("nu"), col("cvq")).as("cvq"): _*)
+    cents.select(keep :+ posexplode(col("cvq")).as(Seq("pos", "cq")): _*)
+      .join(means, Seq("cid", "pos"), "left")
+      .groupBy(keep: _*)
+      .agg(transform(array_sort(collect_list(struct(col("pos"),
+        coalesce(col("c"), col("cq")).as("cq")))),
+        x => x.getField("cq")).as("cvq"))
   }
 
   /** Assignment: each corpus vector to its squared-L2-nearest centroid

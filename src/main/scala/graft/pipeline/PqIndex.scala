@@ -214,12 +214,19 @@ object PqIndex {
   def adcTopK(probes: DataFrame, corpus: DataFrame, k: Int,
               p: PqParams = Default, maxProbes: Int = 4096,
               pqTrainRounds: Int = 0): DataFrame = {
-    require(probes.limit(maxProbes + 1).count() <= maxProbes,
+    // DELIBERATE pre-flight action (not lazily deferred): the scan
+    // contract must fail at call time, before a caller schedules an
+    // m·|corpus|-per-probe pass. The probe side is localCheckpointed
+    // FIRST, so the counted relation is materialized once and the scoring
+    // below reuses those blocks — an uncached derived probe lineage is
+    // never recomputed by the guard (ADVICE r4).
+    val pb = probes.localCheckpoint(false)
+    require(pb.limit(maxProbes + 1).count() <= maxProbes,
       s"adcTopK scores the FULL corpus per probe (scan contract) — more than " +
         s"$maxProbes probes means you want ivfAdcTopK, the sub-linear composed path")
     val cb = codebooksTrained(corpus, p, pqTrainRounds)
     val scored = corpusCodes(corpus, cb, p)
-      .join(broadcast(probeLuts(probes, cb, p)), Seq("s", "code"))
+      .join(broadcast(probeLuts(pb, cb, p)), Seq("s", "code"))
       .where(col("vec_id") =!= col("probe_id"))
       .groupBy(col("probe_id"), col("vec_id")).agg(sum(col("pdot")).as("score"))
     AnnIndex.rankTopK(scored, k, "score")

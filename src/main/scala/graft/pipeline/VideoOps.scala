@@ -72,8 +72,10 @@ object VideoOps {
       .withColumn("frame_idx",
         explode(sequence(lit(0), col("n_frames") - 1, lit(everyNth))))
       .select(col("video_id"), col("frame_idx").cast("int").as("frame_idx"),
-        // exact pts: frame_idx * 1000 / fps, floored integer ms
-        floor(col("frame_idx") * lit(1000L) / col("fps")).cast("long").as("pts_ms"),
+        // exact pts: floor(frame_idx * 1000 / fps) in integer ms — `div`
+        // IS integer floor division here (both operands non-negative), so
+        // the claim holds for any idx, with no double-rounding detour
+        expr("(frame_idx * 1000L) div fps").cast("long").as("pts_ms"),
         frameUdf(col("bytes"), col("frame_idx").cast("int")).as("frame_png"))
   }
 
@@ -121,7 +123,11 @@ object VideoOps {
       .select(col("video_id"),
         col("meta._1").as("w"), col("meta._2").as("h"),
         col("frame_idx").cast("int").as("frame_idx"),
-        floor(col("frame_idx") * lit(1000L) * col("meta._4") / col("meta._3"))
+        // exact rational floor(idx*1000*den/num) via integer `div` — all
+        // operands non-negative, so truncating and flooring agree and the
+        // documented claim is literally true for any idx*den magnitude
+        // (double division could round the quotient across the floor)
+        expr("(frame_idx * 1000L * meta._4) div meta._3")
           .cast("long").as("pts_ms"),
         frameUdf(col("bytes"), col("frame_idx").cast("int")).as("frame_png"))
   }

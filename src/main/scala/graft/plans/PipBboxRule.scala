@@ -72,8 +72,13 @@ object PipBboxPushdown extends Rule[LogicalPlan] {
       val conjuncts = splitConjuncts(cond)
       val extra = scala.collection.mutable.ArrayBuffer.empty[Expression]
       conjuncts.foreach {
-        // only a pip that IS a conjunct implies its bbox (never under NOT/OR)
-        case p @ PointInPolyExpr(lat, lng, latsE, lngsE) =>
+        // only a pip that IS a conjunct implies its bbox (never under
+        // NOT/OR), and only for DETERMINISTIC coordinates — duplicating a
+        // nondeterministic lat/lng into the bbox conjunct would evaluate
+        // it independently of the ray-cast and could drop rows the pip
+        // alone accepts (the same guard Spark's own pushdown rules apply)
+        case p @ PointInPolyExpr(lat, lng, latsE, lngsE)
+            if lat.deterministic && lng.deterministic =>
           for ((latMin, latMax) <- bounds(latsE); (lngMin, lngMax) <- bounds(lngsE)) {
             val conj = Seq[Expression](
               GreaterThanOrEqual(lat, Literal(latMin)), LessThanOrEqual(lat, Literal(latMax)),

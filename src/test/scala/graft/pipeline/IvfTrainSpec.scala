@@ -90,4 +90,49 @@ class IvfTrainSpec extends AnyFunSuite {
     assert(r2 >= r0, f"training must not lose recall: $r2%.2f < $r0%.2f")
     assert(r2 >= 0.9, f"trained recall@5 $r2%.2f too low for well-separated clusters")
   }
+
+  // ADVICE r4 (medium): the mean update must be PER POSITION — the twin's
+  // per-(cid, pos) LEFT JOIN + COALESCE — never a whole-array replacement
+  // that truncates a trained centroid to its members' max length (or grows
+  // it past the seed's) on a mixed-dimension corpus. Pinned against an
+  // independent sequential model of the twin's round semantics.
+  test("ragged corpus: trained centroids keep exactly the seed's positions, twin values") {
+    // lengths deliberately mixed: 2, 3, 4 dims; values spread so both
+    // seeds pick up members of both lengths
+    val raggedRows: Seq[(Long, Seq[Double])] = Seq(
+      1L -> Seq(0.0, 0.0), 2L -> Seq(0.01, 0.02, 0.9), 3L -> Seq(0.02, 0.01),
+      4L -> Seq(1.0, 1.0, 1.0, 1.0), 5L -> Seq(0.98, 1.01), 6L -> Seq(1.01, 0.97, 0.5))
+    val ragged = raggedRows.toDF("vec_id", "embedding")
+    val nlist = 2
+    // sequential model, twin semantics throughout: quantize floor(v*1000);
+    // md5("ivf|" || id) seeding; assignment d = sum over SHARED positions
+    // of (v-c)^2 (join-on-pos); means per (cid, pos) over members having
+    // that pos; new centroid = seed positions only, coalesce(mean, old)
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val q: Map[Long, Array[Long]] = raggedRows.toMap.map { case (id, v) =>
+      id -> v.map(x => math.floor(x * 1000).toLong).toArray }
+    val seedIds = raggedRows.map(_._1).sortBy(id => (md5hex(s"ivf|$id"), id)).take(nlist)
+    var model: Map[Long, Array[Long]] = seedIds.map(id => id -> q(id).clone()).toMap
+    for (_ <- 0 until 2) {
+      def d2(v: Array[Long], c: Array[Long]): Long =
+        (0 until math.min(v.length, c.length)).map(i => (v(i) - c(i)) * (v(i) - c(i))).sum
+      val assigned: Map[Long, Long] = q.map { case (id, v) =>
+        id -> model.toSeq.map { case (cid, c) => (d2(v, c), cid) }.min._2 }
+      model = model.map { case (cid, c) =>
+        val members = assigned.collect { case (id, a) if a == cid => q(id) }.toSeq
+        cid -> Array.tabulate(c.length) { pos =>
+          val vals = members.filter(_.length > pos).map(_(pos))
+          if (vals.isEmpty) c(pos) else Math.floorDiv(vals.sum, vals.length) }
+      }
+    }
+    val trained = IvfIndex.centroidTable(ragged, nlist, trainRounds = 2)
+      .select($"cid", $"cvq").as[(Long, Seq[Long])].collect().toMap
+    assert(trained.keySet == model.keySet)
+    for ((cid, c) <- model) {
+      assert(trained(cid).length == c.length,
+        s"cid=$cid: trained length ${trained(cid).length} != seed length ${c.length}")
+      assert(trained(cid) == c.toSeq, s"cid=$cid: ${trained(cid)} != ${c.toSeq}")
+    }
+  }
 }
