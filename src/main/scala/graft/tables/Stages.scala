@@ -32,7 +32,15 @@ case class InputRef(stage: String, snapshot_id: Long)
 case class PartStat(pid: Int, rows: Long)
 case class StageManifest(stage: String, snapshot_id: Long, rows: Long,
                          inputs: Seq[InputRef], partitions: Seq[PartStat],
-                         wall_ms: Long, data_dir: String, committed_at: String)
+                         wall_ms: Long, data_dir: String, committed_at: String,
+                         // Spark schema JSON of the committed data: resolving
+                         // a committed stage reads with this EXPLICIT schema,
+                         // so serving a snapshot never runs a footer-inference
+                         // job (probe paths stay zero-job) and a corrupted/
+                         // swapped data file can never silently change the
+                         // stage's published schema. Null on pre-r5 manifests
+                         // (falls back to inference).
+                         schema_json: String = null)
 
 /**
  * Checkpoint-resumable stage runner with Iceberg-lite snapshot semantics
@@ -88,6 +96,18 @@ final class StageRunner(spark: SparkSession, baseDir: String,
 
   def isCommitted(name: String): Boolean = Files.exists(manifestPath(name))
 
+  /** Read a manifest's committed data with its RECORDED schema (no
+    * inference job); legacy manifests without one infer as before. */
+  private def readData(name: String, m: StageManifest): DataFrame = {
+    val path = s"$baseDir/$name/${dataDirOf(m)}"
+    Option(m.schema_json).filter(_.nonEmpty) match {
+      case Some(j) => spark.read.schema(
+        org.apache.spark.sql.types.DataType.fromJson(j)
+          .asInstanceOf[org.apache.spark.sql.types.StructType]).parquet(path)
+      case None => spark.read.parquet(path)
+    }
+  }
+
   /** None when absent OR unreadable (e.g. a manifest written by an older
     * release whose schema predates snapshot ids) — an unreadable manifest
     * means "not committed", so the stage recomputes instead of aborting
@@ -142,7 +162,8 @@ final class StageRunner(spark: SparkSession, baseDir: String,
         .collect().map(r => PartStat(r.getInt(0), r.getLong(1))).toSeq
       val total = parts.map(_.rows).sum
       val manifest = StageManifest(name, snapId, total, inputRefs, parts,
-        (System.nanoTime() - t0) / 1000000L, newDir, java.time.Instant.now().toString)
+        (System.nanoTime() - t0) / 1000000L, newDir, java.time.Instant.now().toString,
+        written.schema.json)
       // ledger is RE-READ at write time: a compute thunk may itself run
       // stages, and a stale early read would erase their entries
       val led = ledger()
@@ -153,8 +174,8 @@ final class StageRunner(spark: SparkSession, baseDir: String,
       ManifestJson.writeAtomic(versionManifestPath(name, snapId), manifest)
       ManifestJson.writeAtomic(manifestPath(name), manifest)
       expireSnapshots(name, manifest, prevServed = cur.map(_.snapshot_id))
-      spark.read.parquet(s"$baseDir/$name/$newDir")
-    } else spark.read.parquet(s"$baseDir/$name/${dataDirOf(cur.get)}")
+      readData(name, manifest)
+    } else readData(name, cur.get)
   }
 
   /** Committed version ids still on disk (from the immutable per-version
@@ -242,7 +263,7 @@ final class StageRunner(spark: SparkSession, baseDir: String,
     require(Files.exists(m) && Files.isDirectory(p),
       s"snapshot $snapshotId of stage '$name' is not a retained committed snapshot " +
         s"(committed: ${committedVersions(name).mkString(",")}, keepSnapshots=$keepSnapshots)")
-    spark.read.parquet(p.toString)
+    readData(name, ManifestJson.read(m, classOf[StageManifest]))
   }
 
   def manifest(name: String): Option[String] =

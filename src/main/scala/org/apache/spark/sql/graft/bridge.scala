@@ -17,4 +17,9 @@ object Bridge {
   def optimizerRules(ext: org.apache.spark.sql.SparkSessionExtensions,
                      session: org.apache.spark.sql.SparkSession) =
     ext.buildOptimizerRules(session)
+
+  /** `SparkContext.listenerBus` is `private[spark]`; specs that count
+    * Spark jobs around an action need a flushed bus for an exact count. */
+  def flushListenerBus(sc: org.apache.spark.SparkContext): Unit =
+    sc.listenerBus.waitUntilEmpty()
 }
