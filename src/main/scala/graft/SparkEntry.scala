@@ -967,6 +967,28 @@ object SparkEntry {
       pipeline.Dedup.simhashPairs(t(s, dir, "documents"), verifyHamming = 8)
         .select(col("ida"), col("idb"), col("hamming"))),
 
+    // INCREMENTAL dedup — the corpus-refresh shape (delta docs arrive;
+    // the committed keep-set must merge with delta-involved pairs ONLY,
+    // never a recomputed old×old pair space): committed = the old
+    // corpus' resolve; delta pairs come from the |delta|-proportional
+    // band join (simhashDeltaPairs); resolveDelta merges via the
+    // committed star edges. The ORACLE is the FULL RERUN over the grown
+    // corpus — the row-identical equivalence is the operator's whole
+    // guarantee, checked end-to-end by DuckDB (and again, graph-shaped,
+    // by DedupIncrementalSpec).
+    "q_dedup_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .where(col("doc_id") < 2500).select(col("doc_id"), col("text"))
+      val hs = pipeline.Dedup.simhash(docs).localCheckpoint(false) // feeds old + delta passes
+      val isDelta = pmod(col("doc_id"), lit(4L)) === 0L
+      val committed = pipeline.Dedup.resolveClusters(
+          pipeline.Dedup.simhashPairsFromHashes(hs.where(!isDelta), verifyHamming = 8)
+            .select(col("ida"), col("idb")))
+        .select(col("doc_id"), col("rep_id"))
+      val deltaPairs = pipeline.Dedup.simhashDeltaPairs(hs, isDelta, verifyHamming = 8)
+      pipeline.Dedup.resolveDelta(committed, deltaPairs.select(col("ida"), col("idb")))
+    }),
+
     // ---------- streaming ----------
 
     // Structured Streaming: tumbling hourly window with watermark over the
@@ -1482,6 +1504,38 @@ object SparkEntry {
     * (recursive-CTE transitive closure -> component min as representative):
     * `pairsSelect` must yield (ida, idb); compose as
     * `WITH RECURSIVE <ctes>, ${ccResolveCtes(...)} $ccResolveSelect`. */
+  /** SimHash pair CTE chain (twin of Dedup.simhash +
+    * simhashPairsFromHashes) over `documents` rows matching `docFilter`:
+    * whitespace tokens -> 60-bit md5 sign hash -> 4x15-bit chunk banding
+    * -> distinct canonical pairs with popcount hamming. Yields `spairs`
+    * (ida, idb, hamming) — the caller applies its verifyHamming gate. */
+  private def simhashPairCtes(docFilter: String): String =
+    s"""toks AS (
+           SELECT doc_id, t FROM (
+             SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS t
+             FROM documents WHERE $docFilter) u
+           WHERE t <> ''),
+         th AS (
+           SELECT doc_id, CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) AS h
+           FROM toks),
+         bits AS (
+           SELECT doc_id, j.range AS j,
+             sum(CASE WHEN ((h >> j.range) & 1) = 1 THEN 1 ELSE -1 END) AS cnt
+           FROM th, range(0, 60) j GROUP BY doc_id, j.range),
+         shv AS (
+           SELECT doc_id,
+             CAST(sum(CASE WHEN cnt > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INTEGER)) ELSE 0 END) AS BIGINT) AS sh
+           FROM bits GROUP BY doc_id),
+         banded AS (
+           SELECT doc_id, sh, c.range AS chunk,
+             (sh >> CAST(c.range * 15 AS INTEGER)) & 32767 AS ck
+           FROM shv, range(0, 4) c),
+         spairs AS (
+           SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb,
+             CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
+           FROM banded a JOIN banded b
+             ON a.chunk = b.chunk AND a.ck = b.ck AND a.doc_id < b.doc_id)"""
+
   private def ccResolveCtes(pairsSelect: String): String =
     s"""fpairs AS ($pairsSelect),
          edges AS (SELECT ida AS a, idb AS b FROM fpairs
@@ -2521,31 +2575,19 @@ object SparkEntry {
     // exact SQL twin of Dedup.simhashPairs: 60-bit sign-aggregated token
     // hash, 4x15-bit chunk banding, popcount verification
     "q_dedup_simhash" ->
-      """WITH toks AS (
-           SELECT doc_id, t FROM (
-             SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS t
-             FROM documents) u
-           WHERE t <> ''),
-         th AS (
-           SELECT doc_id, CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) AS h
-           FROM toks),
-         bits AS (
-           SELECT doc_id, j.range AS j,
-             sum(CASE WHEN ((h >> j.range) & 1) = 1 THEN 1 ELSE -1 END) AS cnt
-           FROM th, range(0, 60) j GROUP BY doc_id, j.range),
-         shv AS (
-           SELECT doc_id,
-             CAST(sum(CASE WHEN cnt > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INTEGER)) ELSE 0 END) AS BIGINT) AS sh
-           FROM bits GROUP BY doc_id),
-         banded AS (
-           SELECT doc_id, sh, c.range AS chunk,
-             (sh >> CAST(c.range * 15 AS INTEGER)) & 32767 AS ck
-           FROM shv, range(0, 4) c)
-         SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb,
-           CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
-         FROM banded a JOIN banded b
-           ON a.chunk = b.chunk AND a.ck = b.ck AND a.doc_id < b.doc_id
-         WHERE bit_count(xor(a.sh, b.sh)) <= 8""",
+      s"""WITH ${simhashPairCtes("TRUE")}
+         SELECT ida, idb, hamming FROM spairs WHERE hamming <= 8""",
+
+    // oracle of Dedup.resolveDelta = the FULL RERUN over the grown corpus
+    // (old pairs ∪ delta pairs == ALL simhash pairs): the incremental
+    // Spark result must be row-identical to recomputing connected
+    // components from scratch — the equivalence that IS the operator's
+    // contract (star edges of the committed resolve reproduce old
+    // components exactly)
+    "q_dedup_incremental" ->
+      s"""WITH RECURSIVE ${simhashPairCtes("doc_id < 2500")},
+         ${ccResolveCtes("SELECT ida, idb FROM spairs WHERE hamming <= 8")}
+         $ccResolveSelect""",
 
     "q_dedup_ngram" ->
       """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
