@@ -92,8 +92,8 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // production optimizer config (same as Verify): pip filters gain their
     // sargable bbox conjunct before the scan
-    spark.experimental.extraOptimizations =
-      spark.experimental.extraOptimizations :+ plans.PipBboxPushdown
+    spark.experimental.extraOptimizations = spark.experimental.extraOptimizations ++
+      Seq(plans.PipBboxPushdown, plans.CellCoverPushdown)
 
     def time[A](f: => A): (A, Double) = {
       val t0 = System.nanoTime()

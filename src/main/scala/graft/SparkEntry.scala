@@ -797,6 +797,28 @@ object SparkEntry {
         .select(col("c_custkey"), col("cell_id"), col("cover_cell"))
     }),
 
+    // point-in-cover FILTER (the predicate form of coverJoin, for covers
+    // small enough to be plan constants): the compacted orders cover
+    // folds to a hash set inside a codegen CellInCoverExpr — O(levels)
+    // probes per customer row — and the CellCoverPushdown optimizer rule
+    // (active in Verify/Bench) injects the sargable cell_id range
+    // conjunct that reaches PushedFilters, so a cell-sorted corpus skips
+    // row groups before the exact probe runs. The collect is
+    // driver-bounded BY PURPOSE: compaction exists to make covers tiny.
+    "q_cell_cover_filter" -> ((s, dir) => {
+      import s.implicits._
+      val ord = t(s, dir, "orders").select(
+        latOf(col("o_orderkey")).as("lat"), lngOf(col("o_orderkey")).as("lng"))
+      val cover = pipeline.CellOps.compact(
+          ord.select(GeoF.cellAtWgs(col("lat"), col("lng"), 14).as("cell_id")),
+          zMax = 14, zMin = 11)
+        .as[Long].collect().sorted.toSeq
+      val pts = t(s, dir, "customer").select(col("c_custkey"),
+        GeoF.cellAtWgs(latOf(col("c_custkey")), lngOf(col("c_custkey")), 14).as("cell_id"))
+      pts.where(GeoF.cellInCover(col("cell_id"), typedLit(cover), zMax = 14, zMin = 11))
+        .select(col("c_custkey"), col("cell_id"))
+    }),
+
     // zonal statistics — the named GIS rollup: per compacted-cover cell
     // (the "zone"), the count and money rollup of the points it contains.
     // coverJoin routes each point to its UNIQUE covering cell (disjoint
@@ -1839,6 +1861,23 @@ object SparkEntry {
             ON a.chunk = b.chunk AND a.ck = b.ck AND a.doc_id < b.doc_id
           WHERE bit_count(xor(a.sh, b.sh)) <= 6""",
 
+    // decode-metadata gate replayed over the aux export: Verify dumps the
+    // engine-DECODED (h, w, ph) beside the stored metadata, so the filter
+    // and drift arithmetic downstream of the decode are DuckDB-pinned
+    // (the decode kernel itself stays spec-pinned — MultimodalSpec/PSNR)
+    "q_i1_decode_meta" ->
+      s"""SELECT image_id, h, w,
+            CAST(bit_count(xor(ph, phash)) AS INTEGER) AS phash_drift
+          FROM read_parquet('${Verify.AuxImagesMeta}/*.parquet')
+          WHERE h = 256 AND w = 256 AND bit_count(xor(ph, phash)) <= 8""",
+
+    // resize self-check gate over the same aux export: dims + mean-color
+    // drift of the 64x64 box resize, thresholds replayed in SQL
+    "q_i_resize" ->
+      s"""SELECT cell_id
+          FROM read_parquet('${Verify.AuxImagesMeta}/*.parquet')
+          WHERE rh = 64 AND rw = 64 AND rdrift < 2.0::DOUBLE""",
+
     // exact SQL twin of the perceptual-dedup resolve: same chunk-banded
     // candidate pairs at hamming <= 2, recursive-CTE connected components
     "q_phash_resolve" ->
@@ -2449,6 +2488,32 @@ object SparkEntry {
               ((cell_id % ${1L << 29}) >> d.range) AS anc
             FROM ccell, range(0, 4) d)
           SELECT a.c_custkey, a.cell_id, r.cell_id AS cover_cell
+          FROM anc a JOIN r11 r ON a.anc = r.cell_id""",
+
+    // exact SQL twin of the cover FILTER: the same compacted-cover chain,
+    // customer points kept iff an ancestor-chain cell is in the cover
+    // (disjoint cover => the semi-join emits at most one row per point)
+    "q_cell_cover_filter" ->
+      s"""WITH $cellCoverCtes,
+          cpts AS (
+            SELECT c_custkey,
+              (256.0::DOUBLE * (0.5::DOUBLE + ($lngSqlC) / 360.0::DOUBLE)) AS wx,
+              (256.0::DOUBLE * (0.5::DOUBLE - ln((1.0::DOUBLE + least(greatest(sin(($latSqlC) * pi() / 180.0::DOUBLE), -0.9999::DOUBLE), 0.9999::DOUBLE))
+                 / (1.0::DOUBLE - least(greatest(sin(($latSqlC) * pi() / 180.0::DOUBLE), -0.9999::DOUBLE), 0.9999::DOUBLE))) / (4 * pi()))) AS wy
+            FROM customer),
+          ccell AS (
+            SELECT c_custkey,
+              14 * ${1L << 58} +
+              CAST(floor(wx * 16384 / 256) AS BIGINT) * ${1L << 29} +
+              CAST(floor(wy * 16384 / 256) AS BIGINT) AS cell_id
+            FROM cpts),
+          anc AS (
+            SELECT c_custkey, cell_id,
+              (14 - d.range) * ${1L << 58} +
+              (((cell_id % ${1L << 58}) // ${1L << 29}) >> d.range) * ${1L << 29} +
+              ((cell_id % ${1L << 29}) >> d.range) AS anc
+            FROM ccell, range(0, 4) d)
+          SELECT a.c_custkey, a.cell_id
           FROM anc a JOIN r11 r ON a.anc = r.cell_id""",
 
     // exact SQL twin of the zonal rollup: the cover-join twin's ancestor

@@ -32,17 +32,29 @@ object Verify {
     // production optimizer config: the bbox-injection rule runs under the
     // whole oracle battery, so its row-identical guarantee is validated
     // against DuckDB on every pip query at every sf
-    spark.experimental.extraOptimizations =
-      spark.experimental.extraOptimizations :+ plans.PipBboxPushdown
+    spark.experimental.extraOptimizations = spark.experimental.extraOptimizations ++
+      Seq(plans.PipBboxPushdown, plans.CellCoverPushdown)
     new java.io.File(outDir).mkdirs()
-    // aux export for the phash-banding oracle: the synthetic corpus'
-    // (cell_id, phash) metadata at a fixed path, so DuckDB can re-run the
-    // chunk banding in SQL over the same input (the sf dirs carry no
-    // images table; the generator itself is pinned by specs)
-    tables.SyntheticWorld.images(spark, tables.SyntheticWorld.testWorld)
-      .select(org.apache.spark.sql.functions.col("cell_id"),
-        org.apache.spark.sql.functions.col("phash"))
-      .coalesce(1).write.mode("overwrite").parquet(AuxImagesMeta)
+    // aux export for the image-metadata oracles: the synthetic corpus'
+    // stored (cell_id, image_id, phash) metadata PLUS the engine-decoded
+    // values (dims, phash, resize self-check) at a fixed path, so DuckDB
+    // can re-run the chunk banding (q_phash_neardup/_resolve) and the
+    // decode-meta/resize gate logic (q_i1_decode_meta, q_i_resize) in SQL
+    // over the same rows. The decode kernels themselves stay spec-pinned
+    // (MultimodalSpec, PSNR oracles); what the twins pin is every
+    // relational step DOWNSTREAM of the decode.
+    locally {
+      import org.apache.spark.sql.functions.col
+      tables.SyntheticWorld.images(spark, tables.SyntheticWorld.testWorld)
+        .select(col("cell_id"), col("image_id"), col("phash"),
+          functions.ImageUdfs.decodeDims(col("bytes")).as("dims"),
+          functions.ImageUdfs.phashUdf(col("bytes")).as("ph"),
+          functions.ImageUdfs.resizeSelfCheck(col("bytes")).as("rc"))
+        .select(col("cell_id"), col("image_id"), col("phash"),
+          col("dims._1").as("h"), col("dims._2").as("w"), col("ph"),
+          col("rc._1").as("rh"), col("rc._2").as("rw"), col("rc._3").as("rdrift"))
+        .coalesce(1).write.mode("overwrite").parquet(AuxImagesMeta)
+    }
     SparkEntry.queries.filter(kv => keep(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

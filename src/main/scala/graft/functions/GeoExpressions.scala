@@ -79,6 +79,58 @@ case class PointInPolyExpr(lat: Expression, lng: Expression,
     copy(lat = a, lng = b, lats = c, lngs = d)
 }
 
+/** Membership of a level-`zMax` cell in a mixed-zoom [zMin, zMax] cell
+  * cover — the FILTER form of CellOps.coverJoin for covers small enough to
+  * be a plan constant (a polyfilled exclusion region, a compacted
+  * city/country cover). A FOLDABLE cover folds to a hash set once at plan
+  * time (O(levels) probes per row, independent of cover size); a per-row
+  * cover array falls back to the scan kernel. Cells not at level zMax are
+  * rejected — the contract [[graft.plans.CellCoverPushdown]]'s injected
+  * sargable cell_id range conjunct relies on. */
+case class CellInCoverExpr(cell: Expression, cover: Expression, zMax: Int, zMin: Int)
+    extends BinaryExpression with Serializable {
+  require(zMax >= zMin && zMin >= 0 && zMax <= 29, s"bad z range [$zMin, $zMax]")
+  override def left: Expression = cell
+  override def right: Expression = cover
+  override def dataType: DataType = BooleanType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "cell_in_cover"
+
+  /** Plan-time-folded cover set (null when the cover is per-row). Built
+    * lazily on each JVM (driver for the optimizer rule, executors for
+    * eval) — literal eval is side-effect-free and cheap. */
+  @transient lazy val foldedSet: java.util.HashSet[java.lang.Long] =
+    if (!cover.foldable) null
+    else Option(cover.eval(null)).map { data =>
+      val arr = data.asInstanceOf[ArrayData]
+      val s = new java.util.HashSet[java.lang.Long]()
+      var i = 0
+      while (i < arr.numElements()) {
+        if (!arr.isNullAt(i)) s.add(arr.getLong(i))
+        i += 1
+      }
+      s
+    }.orNull
+
+  override protected def nullSafeEval(c: Any, arr: Any): Any =
+    if (foldedSet != null)
+      GeoKernel.cellInCoverSet(c.asInstanceOf[Long], foldedSet, zMax, zMin)
+    else
+      GeoKernel.cellInCover(c.asInstanceOf[Long], arr.asInstanceOf[ArrayData], zMax, zMin)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    if (foldedSet != null) {
+      val setRef = ctx.addReferenceObj("coverSet", foldedSet, "java.util.HashSet")
+      nullSafeCodeGen(ctx, ev, (c, _) =>
+        s"${ev.value} = graft.functions.GeoKernel.cellInCoverSet($c, $setRef, $zMax, $zMin);")
+    } else
+      nullSafeCodeGen(ctx, ev, (c, arr) =>
+        s"${ev.value} = graft.functions.GeoKernel.cellInCover($c, $arr, $zMax, $zMin);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(cell = l, cover = r)
+}
+
 /** Tile center of a packed cell id — struct<lat,lng> (reference
   * lib/layers.py:32-39; negative-example crops center here,
   * make_expand.py:80). */
@@ -119,6 +171,10 @@ object GeoF {
 
   /** struct<lat,lng> tile center of a cell (P2). */
   def cellCenter(cell: Column): Column = col(CellCenterExpr(expr(cell)))
+
+  /** Point-in-cover membership filter (the coverJoin predicate form). */
+  def cellInCover(cell: Column, cover: Column, zMax: Int, zMin: Int): Column =
+    col(CellInCoverExpr(expr(cell), expr(cover), zMax, zMin))
 
   /** Pack/unpack helpers as plain column math (no custom expr needed).
     * Masking uses bitwiseAND (not %, which preserves sign in Spark) so

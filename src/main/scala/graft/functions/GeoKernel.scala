@@ -51,6 +51,49 @@ object GeoKernel {
     inside
   }
 
+  /** Ancestor of a level-`zMax` packed cell, `d` levels up — the kernel
+    * twin of CellOps.coverJoin's ancestor-chain arithmetic. */
+  def cellAncestor(cell: Long, zMax: Int, d: Int): Long = {
+    val tx = (cell >>> 29) & 0x1FFFFFFFL
+    val ty = cell & 0x1FFFFFFFL
+    ((zMax - d).toLong << 58) + ((tx >> d) << 29) + (ty >> d)
+  }
+
+  /** Membership of a level-`zMax` cell in a mixed-zoom [zMin, zMax] cover
+    * (the FILTER form of CellOps.coverJoin): true iff some ancestor at
+    * levels zMax..zMin is a cover cell. Cells NOT at level zMax are
+    * rejected outright — the contract the sargable range gate
+    * (plans.CellCoverPushdown) relies on. Linear scan form for per-row
+    * cover arrays. */
+  def cellInCover(cell: Long, cover: ArrayData, zMax: Int, zMin: Int): Boolean = {
+    if ((cell >>> 58) != zMax.toLong) return false
+    val n = cover.numElements()
+    var d = 0
+    while (d <= zMax - zMin) {
+      val anc = cellAncestor(cell, zMax, d)
+      var i = 0
+      while (i < n) {
+        if (!cover.isNullAt(i) && cover.getLong(i) == anc) return true
+        i += 1
+      }
+      d += 1
+    }
+    false
+  }
+
+  /** Hash-set form of [[cellInCover]] for a plan-time-constant cover —
+    * O(levels) probes per row regardless of cover size. */
+  def cellInCoverSet(cell: Long, cover: java.util.HashSet[java.lang.Long],
+                     zMax: Int, zMin: Int): Boolean = {
+    if ((cell >>> 58) != zMax.toLong) return false
+    var d = 0
+    while (d <= zMax - zMin) {
+      if (cover.contains(cellAncestor(cell, zMax, d))) return true
+      d += 1
+    }
+    false
+  }
+
   /** Rasterize a polyline (cv2.polylines closed=True lineType=4 parity,
     * reference lib/helpers.py:84-88) onto the canvas of the given painter
     * extent; returns painted cells as packed ids. Per-geometry local canvas

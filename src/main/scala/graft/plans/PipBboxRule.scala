@@ -92,8 +92,11 @@ object PipBboxPushdown extends Rule[LogicalPlan] {
   }
 }
 
-/** `spark.sql.extensions` entry point registering [[PipBboxPushdown]]. */
+/** `spark.sql.extensions` entry point registering the graft optimizer
+  * tier ([[PipBboxPushdown]] + [[CellCoverPushdown]]). */
 class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => PipBboxPushdown)
+    ext.injectOptimizerRule(_ => CellCoverPushdown)
+  }
 }

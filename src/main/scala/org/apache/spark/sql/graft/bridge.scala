@@ -22,4 +22,12 @@ object Bridge {
     * Spark jobs around an action need a flushed bus for an exact count. */
   def flushListenerBus(sc: org.apache.spark.SparkContext): Unit =
     sc.listenerBus.waitUntilEmpty()
+
+  /** `SparkContext.conf` is `private[spark]`; the extensions-activation
+    * spec plants the static `spark.sql.extensions` conf where session
+    * creation reads it (the spark-submit --conf path). */
+  def setContextConf(sc: org.apache.spark.SparkContext, k: String, v: String): Unit =
+    sc.conf.set(k, v)
+  def removeContextConf(sc: org.apache.spark.SparkContext, k: String): Unit =
+    sc.conf.remove(k)
 }
