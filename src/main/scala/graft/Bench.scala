@@ -9,8 +9,11 @@ import org.apache.spark.sql.functions._
  *    "cpus":N,"pipeline_rows":R,"tiles_joined_rows_per_sec":X,
  *    "output_xxhash":H}
  *
- * Two sections:
+ * Sections:
+ *  0. ann_index_build: the one-time ANN snapshot build (train-once half of
+ *     the lifecycle; q_ann_* below are pure probes against it),
  *  1. every SparkEntry.queries entry timed on SPARK_GRAFT_SF_DIR (count()),
+ *     BEST-OF-2 so one descheduled reading can't contaminate the artifact,
  *  2. the flagship geo pipeline (SURVEY.md §7.2) on a bench-scale synthetic
  *     world — the north-rule throughput metric "tiles+joined-rows/sec" =
  *     (image tiles scanned + output example rows) / pipeline wall time.
@@ -111,18 +114,37 @@ object Bench {
       .groupBy(col("l_returnflag")).agg(count(lit(1))).count()
     spark.read.parquet(s"$sfDir/documents.parquet").agg(sum(length(col("text")))).count()
 
-    // section 1: contract queries (skippable for pipeline-scaling studies)
+    // index lifecycle: the q_ann_* contract queries PROBE committed
+    // snapshots; the one-time training/assignment cost is timed here as
+    // its own metric (train-once/probe-many — on a pre-built corpus dir
+    // this resolves the committed stages and costs only the fingerprint)
+    val (_, annBuildSec) =
+      if (sys.env.contains("SPARK_GRAFT_PIPELINE_ONLY")) ((), 0.0)
+      else time {
+        try SparkEntry.annEnsureBuilt(spark, sfDir)
+        catch { case e: Throwable => System.err.println(s"[bench] ann_index_build: ${e.getMessage}") }
+      }
+
+    // section 1: contract queries (skippable for pipeline-scaling
+    // studies). BEST-OF-2 per query: section-1 readings are single-query
+    // wall clocks on a shared host, and one descheduled reading used to
+    // contaminate the whole artifact (r4's q_text_keywords read 43 s for
+    // a 3 s plan); the min of two runs of a deterministic query is the
+    // honest cost estimate at one extra pass of wall time.
     val results =
       if (sys.env.contains("SPARK_GRAFT_PIPELINE_ONLY")) Seq.empty[(String, Double)]
       else SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-        val (_, sec) = time {
-          try fn(spark, sfDir).count()
-          catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}"); -1L }
+        def once(): Double = {
+          val (_, sec) = time {
+            try fn(spark, sfDir).count()
+            catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}"); -1L }
+          }
+          // release per-operator caches so queries don't pin storage for
+          // each other (and timings stay independent)
+          spark.sqlContext.clearCache()
+          sec
         }
-        // release per-operator caches so queries don't pin storage for
-        // each other (and timings stay independent)
-        spark.sqlContext.clearCache()
-        name -> sec
+        name -> math.min(once(), once())
       }
 
     // section 2: flagship pipeline on a bench-scale world (world build is
@@ -186,11 +208,12 @@ object Bench {
     val scanThroughput = tilesScanned / scanSec
 
     val entries = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" } ++
-      Seq("\"pipeline_original\":" + f"$pipeSec%.3f",
+      Seq("\"ann_index_build\":" + f"$annBuildSec%.3f",
+          "\"pipeline_original\":" + f"$pipeSec%.3f",
           "\"pipeline_expand\":" + f"$expSec%.3f",
           "\"corpus_scan\":" + f"$scanSec%.3f")
     val qs = entries.mkString("{", ",", "}")
-    val total = results.map(_._2).sum + pipeSec + expSec + scanSec
+    val total = results.map(_._2).sum + annBuildSec + pipeSec + expSec + scanSec
     println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,"pipeline_rows":$rows,"world_tiles":$tilesScanned,"tiles_joined_rows_per_sec":${f"$throughput%.1f"},"expand_rows":$expRows,"expand_examples_per_sec":${f"$expThroughput%.1f"},"scan_tiles_per_sec":${f"$scanThroughput%.1f"},"output_xxhash":$outHash,"expand_xxhash":$expHash,"scan_xxhash":$scanHash}""")
     spark.stop()
   }

@@ -155,6 +155,24 @@ object SparkEntry {
   // =====================================================================
   // queries — one per implemented operator (SURVEY.md §2 row in comment)
   // =====================================================================
+  /** Build (or resolve, when already committed) every ANN index snapshot
+    * the q_ann_* contract queries probe — the train-once half of the
+    * lifecycle, exposed so Bench can time BUILD and PROBE separately.
+    * Stage names/params MUST match the query bodies. */
+  def annEnsureBuilt(s: SparkSession, dir: String): Unit = {
+    val corpus = annCorpus(t(s, dir, "embeddings"))
+    val st = pipeline.AnnStages.runnerFor(corpus)
+    pipeline.IvfIndex.buildStaged(st, "ivf_n16_t2", corpus, nlist = 16, trainRounds = 2)
+    pipeline.IvfIndex.buildStagedTwoLevel(st, "ivf2_s4x8_t1s1", corpus,
+      nsuper = 4, nsub = 8, trainRounds = 1, subTrainRounds = 1)
+    pipeline.PqIndex.buildStagedPq(st, "pq_d64m8k16_t2", corpus, pqTrainRounds = 2)
+    pipeline.PqIndex.buildStagedIvfPq(st, "ivfpq_n16_t2_pq2", corpus,
+      nlist = 16, trainRounds = 2, pqTrainRounds = 2)
+    pipeline.PqIndex.buildStagedIvf2Pq(st, "ivf2pq_s4x8_t1s1_pq1", corpus,
+      nsuper = 4, nsub = 8, trainRounds = 1, subTrainRounds = 1, pqTrainRounds = 1)
+    ()
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // S1/F2/F3: pruned scan — bbox + tag-style predicate pushed to parquet

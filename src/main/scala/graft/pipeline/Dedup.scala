@@ -295,6 +295,38 @@ object Dedup {
   /** Guaranteed-recall hamming budget of the 4-chunk banding (pigeonhole). */
   val GuaranteedHamming = 3
 
+  /** Driver-local exact resolve (the small-graph path of
+    * [[resolveClusters]]): union-find with path compression and
+    * union-to-min — the root of every tree is by invariant its minimum
+    * element, so final roots ARE the component minima, the same keep-min
+    * decisions as the star rounds produce. */
+  private def resolveLocal(spark: org.apache.spark.sql.SparkSession,
+                           nodeIds: Array[Long],
+                           edges: Array[(Long, Long)]): DataFrame = {
+    val parent = new java.util.HashMap[java.lang.Long, java.lang.Long]()
+    def find(a: Long): Long = {
+      var r = a
+      while (parent.getOrDefault(r, r) != r) r = parent.get(r)
+      var c = a
+      while (parent.getOrDefault(c, c) != c) {
+        val n: Long = parent.get(c)
+        parent.put(c, r)
+        c = n
+      }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      val ra = find(a)
+      val rb = find(b)
+      if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
+    }
+    import spark.implicits._
+    nodeIds.toSeq.map { id =>
+      val r = find(id)
+      (id, r, if (r == id) 1L else 0L)
+    }.toDF("doc_id", "rep_id", "keep")
+  }
+
   /** Incremental cluster resolution against a COMMITTED keep-set (VERDICT
     * r4 Next #4 — the corpus-refresh operator every production dedup
     * pipeline needs): new docs arrive, pairs are generated only where a
@@ -352,7 +384,14 @@ object Dedup {
     * (count, xor-hash) signature aggregate; because a signature repeat is
     * what ends the loop, the final star forest is then VERIFIED exactly
     * (every pair must link a node to its own-star minimum) — a hash
-    * collision or round-budget overrun fails loudly, never mislabels. */
+    * collision or round-budget overrun fails loudly, never mislabels.
+    *
+    * Two physical paths, one contract: below `graft.ccLocalMaxEdges`
+    * (default 10^6) canonical edges, the graph collects to the driver and
+    * a union-find produces the identical decisions ~10x faster than the
+    * distributed rounds' fixed scheduling cost (dedup graphs are sparse —
+    * a million candidate PAIRS is a large corpus's worth); above it, the
+    * star rounds run. DedupResolveSpec pins path equality bit-for-bit. */
   def resolveClusters(pairs: DataFrame): DataFrame = {
     // every doc in any pair gets a decision row (self-pairs count as
     // trivial components even though they drop from the edge set)
@@ -363,6 +402,30 @@ object Dedup {
     var p = pairs.select(least(col("ida"), col("idb")).as("x"),
         greatest(col("ida"), col("idb")).as("y"))
       .where(col("x") =!= col("y")).distinct().localCheckpoint(false)
+
+    // SMALL-GRAPH FAST PATH: below the threshold the dedup GRAPH (not the
+    // corpus — candidate pairs of a deduped corpus are orders of magnitude
+    // sparser than rows) fits on the driver, and a local union-find beats
+    // O(log n) distributed rounds of fixed scheduling cost by ~10x wall.
+    // Same keep-min output bit-for-bit (DedupResolveSpec pins local ==
+    // star-rounds on random graphs); the star rounds below remain the
+    // at-scale path and are what a super-threshold graph runs. 10^6 edges
+    // ~= 16 MB driver memory — the same bounded-collect class as the PQ
+    // codebooks. -Dgraft.ccLocalMaxEdges=0 forces the distributed path.
+    val localMax = math.min(
+      sys.props.getOrElse("graft.ccLocalMaxEdges", "1000000").toLong,
+      (Int.MaxValue / 4).toLong)
+    if (localMax > 0 && pairs.schema.fields.forall(
+          _.dataType == org.apache.spark.sql.types.LongType)) {
+      val edgeCount = p.count()
+      if (edgeCount <= localMax) {
+        val nodeRows = nodes.limit(2 * localMax.toInt + 1).collect()
+        if (nodeRows.length <= 2 * localMax) // self-pair flood guard
+          return resolveLocal(pairs.sparkSession,
+            nodeRows.map(_.getLong(0)),
+            p.collect().map(r => (r.getLong(0), r.getLong(1))))
+      }
+    }
 
     def sym(pp: DataFrame): DataFrame =
       pp.select(col("x").as("a"), col("y").as("b"))

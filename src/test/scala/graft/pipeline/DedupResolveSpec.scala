@@ -10,6 +10,18 @@ class DedupResolveSpec extends AnyFunSuite {
   lazy val spark = SparkSuite.spark
   import spark.implicits._
 
+  /** Disable the small-graph driver path so the DISTRIBUTED star rounds
+    * are what the structural tests exercise. */
+  private def forceDistributed[A](f: => A): A = {
+    val k = "graft.ccLocalMaxEdges"
+    val prev = sys.props.get(k)
+    sys.props(k) = "0"
+    try f finally prev match {
+      case Some(v) => sys.props(k) = v
+      case None => sys.props -= k
+    }
+  }
+
   test("min-label propagation: chain, clique and pair components resolve to keep-min") {
     // chain 1-2-3-4 (diameter 3: forces multiple propagation rounds),
     // triangle 10-11-12, isolated pair 20-21
@@ -48,8 +60,8 @@ class DedupResolveSpec extends AnyFunSuite {
         val b = rnd.nextInt(n).toLong
         if (a == b) (a, b + 1) else (a, b)
       }
-      val got = Dedup.resolveClusters(edges.toDF("ida", "idb"))
-        .as[(Long, Long, Long)].collect()
+      val got = forceDistributed(Dedup.resolveClusters(edges.toDF("ida", "idb"))
+        .as[(Long, Long, Long)].collect())
         .map(r => r._1 -> (r._2, r._3)).toMap
       val reps = unionFind(edges)
       // this union-find attaches the larger root under the smaller, so the
@@ -72,8 +84,8 @@ class DedupResolveSpec extends AnyFunSuite {
     // interleave reversed + shuffled-id edges so the path is not presented
     // in id order (the adversarial presentation for min-propagation)
     val pairs = chain.map { case (a, b) => (1000 - b, 1000 - a) } // ids 801..1000, still a path
-    val got = Dedup.resolveClusters(pairs.toDF("ida", "idb"))
-      .as[(Long, Long, Long)].collect()
+    val got = forceDistributed(Dedup.resolveClusters(pairs.toDF("ida", "idb"))
+      .as[(Long, Long, Long)].collect())
     assert(got.length == 200)
     assert(got.forall(_._2 == 801L), s"all 200 nodes label to the chain minimum 801")
     assert(got.count(_._3 == 1L) == 1 && got.find(_._3 == 1L).get._1 == 801L)
@@ -100,8 +112,8 @@ class DedupResolveSpec extends AnyFunSuite {
       val edges = Seq.fill(1200) {
         (rnd.nextInt(2000).toLong, rnd.nextInt(2000).toLong)
       }.filter(e => e._1 != e._2)
-      val got = Dedup.resolveClusters(edges.toDF("ida", "idb"))
-        .as[(Long, Long, Long)].collect().map(r => r._1 -> r._2).toMap
+      val got = forceDistributed(Dedup.resolveClusters(edges.toDF("ida", "idb"))
+        .as[(Long, Long, Long)].collect()).map(r => r._1 -> r._2).toMap
       val reps = unionFind(edges)
       val minOfRoot = reps.groupBy(_._2).map { case (root, m) => root -> m.keys.min }
       val expect = reps.map { case (id, root) => id -> minOfRoot(root) }
@@ -112,6 +124,26 @@ class DedupResolveSpec extends AnyFunSuite {
   test("empty pair set resolves to an empty decision set") {
     val empty = Seq.empty[(Long, Long)].toDF("ida", "idb")
     assert(Dedup.resolveClusters(empty).count() == 0)
+    assert(forceDistributed(Dedup.resolveClusters(empty).count()) == 0)
+  }
+
+  test("small-graph driver path == distributed star rounds, bit for bit") {
+    // the fast path must be indistinguishable from the at-scale path:
+    // same rows, same reps, same keep bits — across random graphs with
+    // self-pairs mixed in (self-pairs exercise the nodes-vs-edges split)
+    for (seed <- 0 until 5) {
+      val rnd = new scala.util.Random(300 + seed)
+      val n = 10 + rnd.nextInt(80)
+      val edges = Seq.fill(5 + rnd.nextInt(120)) {
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong) // self-pairs allowed
+      }
+      val df = edges.toDF("ida", "idb")
+      val local = Dedup.resolveClusters(df)
+        .as[(Long, Long, Long)].collect().toSet
+      val dist = forceDistributed(Dedup.resolveClusters(df)
+        .as[(Long, Long, Long)].collect().toSet)
+      assert(local == dist, s"seed $seed: local and star-round paths diverge")
+    }
   }
 
   test("end-to-end: planted near-dup cliques keep exactly one doc each") {
