@@ -393,13 +393,19 @@ object Dedup {
     * a million candidate PAIRS is a large corpus's worth); above it, the
     * star rounds run. DedupResolveSpec pins path equality bit-for-bit. */
   def resolveClusters(pairs: DataFrame): DataFrame = {
+    // materialize the INPUT once: the candidate-pair lineage feeding this
+    // operator is typically the expensive half (banding + verification),
+    // and both the node set and the canonical edge set derive from it —
+    // without this barrier each derivation re-evaluates the whole pair
+    // pipeline (measured ~2x the pair cost per resolve at sf0.1)
+    val pr = pairs.localCheckpoint(false)
     // every doc in any pair gets a decision row (self-pairs count as
     // trivial components even though they drop from the edge set)
-    val nodes = pairs.select(col("ida").as("id"))
-      .unionByName(pairs.select(col("idb").as("id")))
+    val nodes = pr.select(col("ida").as("id"))
+      .unionByName(pr.select(col("idb").as("id")))
       .distinct().localCheckpoint(false)
     // canonical undirected pair set (x < y), self-loops dropped
-    var p = pairs.select(least(col("ida"), col("idb")).as("x"),
+    var p = pr.select(least(col("ida"), col("idb")).as("x"),
         greatest(col("ida"), col("idb")).as("y"))
       .where(col("x") =!= col("y")).distinct().localCheckpoint(false)
 
