@@ -162,14 +162,24 @@ object SparkEntry {
   def annEnsureBuilt(s: SparkSession, dir: String): Unit = {
     val corpus = annCorpus(t(s, dir, "embeddings"))
     val st = pipeline.AnnStages.runnerFor(corpus)
-    pipeline.IvfIndex.buildStaged(st, "ivf_n16_t2", corpus, nlist = 16, trainRounds = 2)
-    pipeline.IvfIndex.buildStagedTwoLevel(st, "ivf2_s4x8_t1s1", corpus,
+    pipeline.IvfIndex.buildStaged(st, corpus, nlist = 16, trainRounds = 2)
+    pipeline.IvfIndex.buildStagedTwoLevel(st, corpus,
       nsuper = 4, nsub = 8, trainRounds = 1, subTrainRounds = 1)
-    pipeline.PqIndex.buildStagedPq(st, "pq_d64m8k16_t2", corpus, pqTrainRounds = 2)
-    pipeline.PqIndex.buildStagedIvfPq(st, "ivfpq_n16_t2_pq2", corpus,
+    pipeline.PqIndex.buildStagedPq(st, corpus, pqTrainRounds = 2)
+    // shares the flat quantizer/lists stages with the buildStaged above
+    pipeline.PqIndex.buildStagedIvfPq(st, corpus,
       nlist = 16, trainRounds = 2, pqTrainRounds = 2)
-    pipeline.PqIndex.buildStagedIvf2Pq(st, "ivf2pq_s4x8_t1s1_pq1", corpus,
+    // shares the two-level routing stages with buildStagedTwoLevel above
+    pipeline.PqIndex.buildStagedIvf2Pq(st, corpus,
       nsuper = 4, nsub = 8, trainRounds = 1, subTrainRounds = 1, pqTrainRounds = 1)
+    // q_ann_append's index: quantizer trained+committed on the BASE
+    // corpus (its own fingerprint-keyed runner), delta batch committed
+    // as an assignment-only stage against the frozen snapshot
+    val base = corpus.where(col("vec_id") < 1000000L)
+    val stBase = pipeline.AnnStages.runnerFor(base)
+    val mBase = pipeline.IvfIndex.buildStaged(stBase, base, nlist = 16, trainRounds = 2)
+    pipeline.IvfIndex.appendStaged(stBase, "aug40x5", mBase,
+      corpus.where(col("vec_id") >= 1000000L), nlist = 16, trainRounds = 2)
     ()
   }
 
@@ -721,7 +731,7 @@ object SparkEntry {
     "q_ann_ivf" -> ((s, dir) => {
       val corpus = annCorpus(t(s, dir, "embeddings"))
       val m = pipeline.IvfIndex.buildStaged(pipeline.AnnStages.runnerFor(corpus),
-        "ivf_n16_t2", corpus, nlist = 16, trainRounds = 2)
+        corpus, nlist = 16, trainRounds = 2)
       pipeline.IvfIndex.probe(m, corpus.where(col("vec_id") < 20), k = 3, nprobe = 2)
     }),
 
@@ -734,7 +744,7 @@ object SparkEntry {
     "q_ann_ivf2" -> ((s, dir) => {
       val corpus = annCorpus(t(s, dir, "embeddings"))
       val m = pipeline.IvfIndex.buildStagedTwoLevel(pipeline.AnnStages.runnerFor(corpus),
-        "ivf2_s4x8_t1s1", corpus, nsuper = 4, nsub = 8,
+        corpus, nsuper = 4, nsub = 8,
         trainRounds = 1, subTrainRounds = 1)
       pipeline.IvfIndex.probeTwoLevel(m, corpus.where(col("vec_id") < 10),
         k = 3, nprobeSuper = 2, nprobe = 4)
@@ -750,7 +760,7 @@ object SparkEntry {
     "q_ann_pq" -> ((s, dir) => {
       val corpus = annCorpus(t(s, dir, "embeddings"))
       val m = pipeline.PqIndex.buildStagedPq(pipeline.AnnStages.runnerFor(corpus),
-        "pq_d64m8k16_t2", corpus, pqTrainRounds = 2)
+        corpus, pqTrainRounds = 2)
       pipeline.PqIndex.probePq(m, corpus.where(col("vec_id") < 10), k = 3)
     }),
 
@@ -763,7 +773,7 @@ object SparkEntry {
     "q_ann_ivfpq" -> ((s, dir) => {
       val corpus = annCorpus(t(s, dir, "embeddings"))
       val m = pipeline.PqIndex.buildStagedIvfPq(pipeline.AnnStages.runnerFor(corpus),
-        "ivfpq_n16_t2_pq2", corpus, nlist = 16, trainRounds = 2, pqTrainRounds = 2)
+        corpus, nlist = 16, trainRounds = 2, pqTrainRounds = 2)
       pipeline.PqIndex.probeIvfPq(m, corpus.where(col("vec_id") < 10),
         k = 3, nprobe = 2)
     }),
@@ -778,10 +788,29 @@ object SparkEntry {
     "q_ann_ivf2pq" -> ((s, dir) => {
       val corpus = annCorpus(t(s, dir, "embeddings"))
       val m = pipeline.PqIndex.buildStagedIvf2Pq(pipeline.AnnStages.runnerFor(corpus),
-        "ivf2pq_s4x8_t1s1_pq1", corpus, nsuper = 4, nsub = 8,
+        corpus, nsuper = 4, nsub = 8,
         trainRounds = 1, subTrainRounds = 1, pqTrainRounds = 1)
       pipeline.PqIndex.probeIvf2Pq(m, corpus.where(col("vec_id") < 10),
         k = 3, nprobeSuper = 2, nprobe = 4)
+    }),
+
+    // index MAINTENANCE as a first-class operator: the quantizer trained
+    // and committed on the BASE corpus stays frozen; the synthetic
+    // near-dup rows (vec_id >= 1000000) arrive as a DELTA batch that
+    // assigns against the snapshot — a per-row broadcast map over only
+    // the delta, committed as its own lineage-linked stage; probes see
+    // base ∪ delta. Never retrain-on-append (retraining = an explicit
+    // new snapshot + downstream recompute). Twin trains on the
+    // pre-append rows and assigns/routes the full corpus.
+    "q_ann_append" -> ((s, dir) => {
+      val full = annCorpus(t(s, dir, "embeddings"))
+      val base = full.where(col("vec_id") < 1000000L)
+      val delta = full.where(col("vec_id") >= 1000000L)
+      val st = pipeline.AnnStages.runnerFor(base)
+      val m = pipeline.IvfIndex.buildStaged(st, base, nlist = 16, trainRounds = 2)
+      val appended = pipeline.IvfIndex.appendStaged(st, "aug40x5", m, delta,
+        nlist = 16, trainRounds = 2)
+      pipeline.IvfIndex.probe(appended, full.where(col("vec_id") < 20), k = 3, nprobe = 2)
     }),
 
     // H3/S2-style compact: order points -> z14 cell cover -> collapse
@@ -1310,10 +1339,11 @@ object SparkEntry {
     * (floorDiv via the pmod identity — Spark `div` and DuckDB `//` agree
     * because the numerator is exactly divisible), empty lists keep their
     * previous centroid. */
-  private def ivfRoundCtes(cin: String, r: Int, cout: String): String =
+  private def ivfRoundCtes(cin: String, r: Int, cout: String,
+                           tq: String = "quant"): String =
     s"""d$r AS (
            SELECT q.vec_id, c.cid, sum((q.vq - c.cq) * (q.vq - c.cq)) AS d
-           FROM quant q JOIN $cin c ON c.pos = q.pos GROUP BY q.vec_id, c.cid),
+           FROM $tq q JOIN $cin c ON c.pos = q.pos GROUP BY q.vec_id, c.cid),
          a$r AS (
            SELECT vec_id, cid FROM (
              SELECT vec_id, cid,
@@ -1322,7 +1352,7 @@ object SparkEntry {
          m$r AS (
            SELECT cid, pos, (s - ((s % n) + n) % n) // n AS c
            FROM (SELECT a.cid, q.pos, CAST(sum(q.vq) AS BIGINT) AS s, count(*) AS n
-                 FROM a$r a JOIN quant q ON q.vec_id = a.vec_id
+                 FROM a$r a JOIN $tq q ON q.vec_id = a.vec_id
                  GROUP BY a.cid, q.pos)),
          $cout AS (
            SELECT c.cid, c.pos, COALESCE(m.c, c.cq) AS cq
@@ -1340,6 +1370,29 @@ object SparkEntry {
          c0 AS (SELECT c.cid, q.pos, q.vq AS cq FROM cids c JOIN quant q ON q.vec_id = c.cid),
          ${ivfRoundCtes("c0", 0, "c1")},
          ${ivfRoundCtes("c1", 1, "c2")},
+         cdist AS (
+           SELECT q.vec_id, c.cid, sum((q.vq - c.cq) * (q.vq - c.cq)) AS d
+           FROM quant q JOIN c2 c ON c.pos = q.pos GROUP BY q.vec_id, c.cid),
+         assign AS (
+           SELECT vec_id, cid FROM (
+             SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+             FROM cdist) WHERE rn = 1)"""
+
+  /** Twin of the append-maintenance index (q_ann_append): the quantizer
+    * trains ONLY on the pre-append rows (`baseq`, vec_id < 1000000) —
+    * seeding and both Lloyd's rounds draw from baseq — but assignment and
+    * probe routing run over the FULL corpus, exactly the frozen-snapshot
+    * append contract (per-row argmin makes delta-only assignment equal a
+    * full re-assignment against the same centroids). */
+  private lazy val ivfAppendCtes: String =
+    s"""baseq AS (SELECT * FROM quant WHERE vec_id < 1000000),
+         cids AS (
+           SELECT vec_id AS cid FROM (SELECT DISTINCT vec_id FROM baseq) v
+           ORDER BY md5('ivf|' || CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+         c0 AS (SELECT c.cid, q.pos, q.vq AS cq FROM cids c JOIN baseq q ON q.vec_id = c.cid),
+         ${ivfRoundCtes("c0", 0, "c1", "baseq")},
+         ${ivfRoundCtes("c1", 1, "c2", "baseq")},
          cdist AS (
            SELECT q.vec_id, c.cid, sum((q.vq - c.cq) * (q.vq - c.cq)) AS d
            FROM quant q JOIN c2 c ON c.pos = q.pos GROUP BY q.vec_id, c.cid),
@@ -2286,6 +2339,31 @@ object SparkEntry {
     "q_ann_ivf" ->
       s"""WITH $annQuantCte,
          $ivfRouteCtes,
+         proute AS (
+           SELECT vec_id AS probe_id, cid FROM (
+             SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+             FROM cdist WHERE vec_id < 20) WHERE rn <= 2),
+         cand AS (
+           SELECT p.probe_id, a.vec_id FROM proute p JOIN assign a ON a.cid = p.cid
+           WHERE a.vec_id <> p.probe_id),
+         scored AS (
+           SELECT c.probe_id, c.vec_id, CAST(sum(q.vq * pq.vq) AS BIGINT) AS dot
+           FROM cand c
+           JOIN quant q ON q.vec_id = c.vec_id
+           JOIN quant pq ON pq.vec_id = c.probe_id AND pq.pos = q.pos
+           GROUP BY c.probe_id, c.vec_id),
+         ranked AS (
+           SELECT probe_id, vec_id, dot,
+             row_number() OVER (PARTITION BY probe_id ORDER BY dot DESC, vec_id) AS rank
+           FROM scored)
+         SELECT probe_id, rank, vec_id, dot FROM ranked WHERE rank <= 3""",
+
+    // twin of the append-maintenance index: centroids train on the
+    // pre-append rows only; assignment + routing over the full corpus
+    "q_ann_append" ->
+      s"""WITH $annQuantCte,
+         $ivfAppendCtes,
          proute AS (
            SELECT vec_id AS probe_id, cid FROM (
              SELECT vec_id, cid,

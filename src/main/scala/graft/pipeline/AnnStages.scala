@@ -24,7 +24,7 @@ import graft.tables.StageRunner
 object AnnStages {
   /** Bump when any index algorithm changes — retires all committed
     * snapshots built by earlier code. */
-  val Version = "v5"
+  val Version = "v6" // v6: param-derived stage names (shared quantizers)
 
   /** Order-free corpus fingerprint: xor of per-row xxhash64(vec_id,
     * embedding). Partitioning-invariant, one aggregate job. */

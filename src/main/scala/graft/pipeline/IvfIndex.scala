@@ -201,14 +201,43 @@ object IvfIndex {
     * lib/loaders.py:13-16). A recommitted centroid stage invalidates
     * exactly the lists stage's recorded input ref; a committed index is
     * NEVER retrained by a probe — AnnStagedSpec asserts the second build
-    * call runs zero Spark jobs. Stage names carry the caller's `name`;
-    * encode the parameters in it so different configurations never share
-    * a snapshot. */
-  def buildStaged(st: graft.tables.StageRunner, name: String, corpus: DataFrame,
+    * call runs zero Spark jobs. Stage names derive from the PARAMETERS
+    * (the runner is already keyed by algorithm version + corpus
+    * fingerprint), so two builds of the same configuration share one
+    * committed snapshot — in particular the composed IVF+PQ index reuses
+    * the flat index's quantizer/lists stages instead of training a
+    * second identical copy. */
+  def stagedKey(nlist: Int, trainRounds: Int): String = s"ivf-n$nlist-t$trainRounds"
+
+  def buildStaged(st: graft.tables.StageRunner, corpus: DataFrame,
                   nlist: Int, trainRounds: Int = 2): IvfModel = {
-    val cents = st.stage(s"$name-centroids")(centroidTable(corpus, nlist, trainRounds))
-    val lists = st.stage(s"$name-lists", Seq(s"$name-centroids"))(assign(corpus, cents))
+    val key = stagedKey(nlist, trainRounds)
+    val cents = st.stage(s"$key-centroids")(centroidTable(corpus, nlist, trainRounds))
+    val lists = st.stage(s"$key-lists", Seq(s"$key-centroids"))(assign(corpus, cents))
     IvfModel(cents, lists)
+  }
+
+  /** Append-only index MAINTENANCE (the refresh every production corpus
+    * runs): new vectors assign against the FROZEN committed centroid
+    * snapshot — a per-row broadcast map over ONLY the delta; the committed
+    * base lists are untouched and the quantizer is never retrained on
+    * append (retraining is an explicit new snapshot + downstream-cone
+    * recompute). Equals a full rebuild against the same snapshot
+    * (per-row argmin is independent — CellOpsIvfSpec pins the equality). */
+  def append(model: IvfModel, delta: DataFrame): IvfModel =
+    IvfModel(model.cents, model.lists.unionByName(assign(delta, model.cents)))
+
+  /** [[append]] with the delta assignment COMMITTED: the delta batch
+    * becomes its own lineage-linked stage (named by the caller's batch
+    * id — deltas are corpus events, not derivable parameters), so later
+    * probes of the appended index touch only snapshots. */
+  def appendStaged(st: graft.tables.StageRunner, batchId: String,
+                   model: IvfModel, delta: DataFrame,
+                   nlist: Int, trainRounds: Int): IvfModel = {
+    val key = stagedKey(nlist, trainRounds)
+    val deltaLists = st.stage(s"$key-delta-$batchId", Seq(s"$key-centroids"))(
+      assign(delta, model.cents))
+    IvfModel(model.cents, model.lists.unionByName(deltaLists))
   }
 
   /** Per-super-cell sub-centroid seeding for the two-level index: within
@@ -326,14 +355,20 @@ object IvfIndex {
   }
 
   /** Two-level [[buildStaged]]: super centroids, sub-centroid table and
-    * sub-assigned lists commit as three lineage-linked stages. */
-  def buildStagedTwoLevel(st: graft.tables.StageRunner, name: String, corpus: DataFrame,
+    * sub-assigned lists commit as three lineage-linked stages
+    * (param-derived names — shared with the composed ivf2+PQ build). */
+  def stagedKeyTwoLevel(nsuper: Int, nsub: Int,
+                        trainRounds: Int, subTrainRounds: Int): String =
+    s"ivf2-s${nsuper}x$nsub-t${trainRounds}s$subTrainRounds"
+
+  def buildStagedTwoLevel(st: graft.tables.StageRunner, corpus: DataFrame,
                           nsuper: Int, nsub: Int,
                           trainRounds: Int = 1, subTrainRounds: Int = 0): Ivf2Model = {
-    val sCents = st.stage(s"$name-super")(centroidTable(corpus, nsuper, trainRounds))
-    val subs = st.stage(s"$name-subs", Seq(s"$name-super"))(
+    val key = stagedKeyTwoLevel(nsuper, nsub, trainRounds, subTrainRounds)
+    val sCents = st.stage(s"$key-super")(centroidTable(corpus, nsuper, trainRounds))
+    val subs = st.stage(s"$key-subs", Seq(s"$key-super"))(
       trainSubs(assign(corpus, sCents).localCheckpoint(false), nsub, subTrainRounds))
-    val lists = st.stage(s"$name-lists", Seq(s"$name-super", s"$name-subs"))(
+    val lists = st.stage(s"$key-lists", Seq(s"$key-super", s"$key-subs"))(
       subAssign(assign(corpus, sCents), subs))
     Ivf2Model(sCents, subs, lists)
   }

@@ -272,12 +272,17 @@ object PqIndex {
   }
 
   /** Staged [[buildPq]]: codebooks + codes commit as lineage-linked
-    * StageRunner snapshots (same contract as [[IvfIndex.buildStaged]]). */
-  def buildStagedPq(st: graft.tables.StageRunner, name: String, corpus: DataFrame,
+    * StageRunner snapshots (same contract as [[IvfIndex.buildStaged]];
+    * param-derived stage names, so identical configurations share). */
+  def stagedKeyPq(p: PqParams, pqTrainRounds: Int): String =
+    s"pq-d${p.dim}m${p.m}k${p.k}-t$pqTrainRounds"
+
+  def buildStagedPq(st: graft.tables.StageRunner, corpus: DataFrame,
                     p: PqParams = Default, pqTrainRounds: Int = 0): PqModel = {
-    val cbDf = st.stage(s"$name-codebooks")(
+    val key = stagedKeyPq(p, pqTrainRounds)
+    val cbDf = st.stage(s"$key-codebooks")(
       cbToDf(corpus.sparkSession, codebooksTrained(corpus, p, pqTrainRounds)))
-    val codes = st.stage(s"$name-codes", Seq(s"$name-codebooks")) {
+    val codes = st.stage(s"$key-codes", Seq(s"$key-codebooks")) {
       // encode under the COMMITTED codebooks (collected back — k·m rows)
       corpusCodes(corpus, cbFromDf(cbDf, p), p)
     }
@@ -367,25 +372,28 @@ object PqIndex {
     AnnIndex.rankTopK(scored, k, "score")
   }
 
-  /** Staged [[buildIvfPq]]: four lineage-linked stages (centroids ->
-    * lists -> codebooks -> codes). Residuals are recomputed inside the
-    * codebook/code stage thunks from the committed centroids + lists —
+  /** Staged [[buildIvfPq]]: the coarse quantizer + assigned lists are
+    * [[IvfIndex.buildStaged]]'s OWN stages (param-keyed — a flat IVF of
+    * the same configuration and this composed index share one committed
+    * quantizer, never train two identical copies), plus two PQ stages
+    * (codebooks -> codes) layered on top. Residuals are recomputed inside
+    * the codebook/code stage thunks from the committed centroids + lists —
     * transient by design (committing a corpus-sized residual table would
     * double index storage); each thunk runs only when its stage commits. */
-  def buildStagedIvfPq(st: graft.tables.StageRunner, name: String, corpus: DataFrame,
+  def buildStagedIvfPq(st: graft.tables.StageRunner, corpus: DataFrame,
                        nlist: Int, trainRounds: Int = 2,
                        p: PqParams = Default, pqTrainRounds: Int = 0): IvfPqModel = {
-    val cents = st.stage(s"$name-centroids")(IvfIndex.centroidTable(corpus, nlist, trainRounds))
-    val assignedFull = st.stage(s"$name-assigned", Seq(s"$name-centroids"))(
-      IvfIndex.assign(corpus, cents))
-    def resid = residuals(assignedFull, cents)
-    val cbDf = st.stage(s"$name-codebooks", Seq(s"$name-centroids", s"$name-assigned"))(
+    val ivfKey = IvfIndex.stagedKey(nlist, trainRounds)
+    val ivf = IvfIndex.buildStaged(st, corpus, nlist, trainRounds)
+    val key = s"ivfpq-n$nlist-t$trainRounds-${stagedKeyPq(p, pqTrainRounds)}"
+    def resid = residuals(ivf.lists, ivf.cents)
+    val cbDf = st.stage(s"$key-codebooks", Seq(s"$ivfKey-centroids", s"$ivfKey-lists"))(
       cbToDf(corpus.sparkSession, codebooksTrainedQ(resid.localCheckpoint(false), p, pqTrainRounds)))
-    val codes = st.stage(s"$name-codes", Seq(s"$name-codebooks", s"$name-assigned")) {
+    val codes = st.stage(s"$key-codes", Seq(s"$key-codebooks", s"$ivfKey-lists")) {
       val cbR = cbFromDf(cbDf, p)
       resid.select(col("vec_id"), posexplode(encodeQUdf(cbR, p)(col("vq"))).as(Seq("s", "code")))
     }
-    IvfPqModel(cents, assignedFull.select(col("vec_id"), col("cid")), cbDf, codes)
+    IvfPqModel(ivf.cents, ivf.lists.select(col("vec_id"), col("cid")), cbDf, codes)
   }
 
   /** Two-level-IVF + residual-PQ composed — VERDICT r4 Next #6: the full
@@ -448,17 +456,22 @@ object PqIndex {
     AnnIndex.rankTopK(scored, k, "score")
   }
 
-  /** Staged [[buildIvf2Pq]]: five lineage-linked stages. */
-  def buildStagedIvf2Pq(st: graft.tables.StageRunner, name: String, corpus: DataFrame,
+  /** Staged [[buildIvf2Pq]]: the three two-level routing stages are
+    * [[IvfIndex.buildStagedTwoLevel]]'s own (param-keyed, shared with a
+    * plain two-level index of the same configuration) plus two residual-PQ
+    * stages layered on top. */
+  def buildStagedIvf2Pq(st: graft.tables.StageRunner, corpus: DataFrame,
                         nsuper: Int, nsub: Int,
                         trainRounds: Int = 1, subTrainRounds: Int = 0,
                         p: PqParams = Default, pqTrainRounds: Int = 0): Ivf2PqModel = {
-    val ivf2 = IvfIndex.buildStagedTwoLevel(st, name, corpus, nsuper, nsub,
+    val ivf2Key = IvfIndex.stagedKeyTwoLevel(nsuper, nsub, trainRounds, subTrainRounds)
+    val ivf2 = IvfIndex.buildStagedTwoLevel(st, corpus, nsuper, nsub,
       trainRounds, subTrainRounds)
+    val key = s"ivf2pq-s${nsuper}x$nsub-t${trainRounds}s$subTrainRounds-${stagedKeyPq(p, pqTrainRounds)}"
     def resid = residuals(ivf2.lists, ivf2.subs)
-    val cbDf = st.stage(s"$name-codebooks", Seq(s"$name-subs", s"$name-lists"))(
+    val cbDf = st.stage(s"$key-codebooks", Seq(s"$ivf2Key-subs", s"$ivf2Key-lists"))(
       cbToDf(corpus.sparkSession, codebooksTrainedQ(resid.localCheckpoint(false), p, pqTrainRounds)))
-    val codes = st.stage(s"$name-codes", Seq(s"$name-codebooks", s"$name-lists")) {
+    val codes = st.stage(s"$key-codes", Seq(s"$key-codebooks", s"$ivf2Key-lists")) {
       val cbR = cbFromDf(cbDf, p)
       resid.select(col("vec_id"), posexplode(encodeQUdf(cbR, p)(col("vq"))).as(Seq("s", "code")))
     }

@@ -65,22 +65,22 @@ class AnnStagedSpec extends AnyFunSuite {
 
   test("staged IVF: probe == inline; rebuild runs zero jobs; snapshots stable") {
     val st = fresh("ivf")
-    val m1 = IvfIndex.buildStaged(st, "ivf_n8_t2", corpus, nlist = 8, trainRounds = 2)
+    val m1 = IvfIndex.buildStaged(st, corpus, nlist = 8, trainRounds = 2)
     val staged = rows(IvfIndex.probe(m1, probes, k = 3, nprobe = 2))
     val inline = rows(IvfIndex.knnJoin(probes, corpus, k = 3, nlist = 8, nprobe = 2))
     assert(staged == inline && staged.nonEmpty)
-    val snaps = Seq("ivf_n8_t2-centroids", "ivf_n8_t2-lists").map(st.snapshotId)
+    val snaps = Seq("ivf-n8-t2-centroids", "ivf-n8-t2-lists").map(st.snapshotId)
     val (m2, jobs) = jobsDuring {
-      IvfIndex.buildStaged(st, "ivf_n8_t2", corpus, nlist = 8, trainRounds = 2)
+      IvfIndex.buildStaged(st, corpus, nlist = 8, trainRounds = 2)
     }
     assert(jobs == 0, s"second build launched $jobs Spark jobs — a committed index retrained")
-    assert(Seq("ivf_n8_t2-centroids", "ivf_n8_t2-lists").map(st.snapshotId) == snaps)
+    assert(Seq("ivf-n8-t2-centroids", "ivf-n8-t2-lists").map(st.snapshotId) == snaps)
     assert(rows(IvfIndex.probe(m2, probes, k = 3, nprobe = 2)) == staged)
   }
 
   test("staged two-level IVF: probe == inline; rebuild runs zero jobs") {
     val st = fresh("ivf2")
-    val m1 = IvfIndex.buildStagedTwoLevel(st, "ivf2", corpus, nsuper = 3, nsub = 4,
+    val m1 = IvfIndex.buildStagedTwoLevel(st, corpus, nsuper = 3, nsub = 4,
       trainRounds = 1, subTrainRounds = 1)
     val staged = rows(IvfIndex.probeTwoLevel(m1, probes, k = 3, nprobeSuper = 2, nprobe = 3))
     val inline = rows(IvfIndex.knnJoinTwoLevel(probes, corpus, k = 3,
@@ -88,7 +88,7 @@ class AnnStagedSpec extends AnyFunSuite {
       trainRounds = 1, subTrainRounds = 1))
     assert(staged == inline && staged.nonEmpty)
     val (m2, jobs) = jobsDuring {
-      IvfIndex.buildStagedTwoLevel(st, "ivf2", corpus, nsuper = 3, nsub = 4,
+      IvfIndex.buildStagedTwoLevel(st, corpus, nsuper = 3, nsub = 4,
         trainRounds = 1, subTrainRounds = 1)
     }
     assert(jobs == 0, s"second build launched $jobs Spark jobs")
@@ -97,12 +97,12 @@ class AnnStagedSpec extends AnyFunSuite {
 
   test("staged PQ: probe == inline adcTopK; rebuild runs zero jobs") {
     val st = fresh("pq")
-    val m1 = PqIndex.buildStagedPq(st, "pq_t1", corpus, pqTrainRounds = 1)
+    val m1 = PqIndex.buildStagedPq(st, corpus, pqTrainRounds = 1)
     val staged = rows(PqIndex.probePq(m1, probes, k = 3))
     val inline = rows(PqIndex.adcTopK(probes, corpus, k = 3, pqTrainRounds = 1))
     assert(staged == inline && staged.nonEmpty)
     val (m2, jobs) = jobsDuring {
-      PqIndex.buildStagedPq(st, "pq_t1", corpus, pqTrainRounds = 1)
+      PqIndex.buildStagedPq(st, corpus, pqTrainRounds = 1)
     }
     assert(jobs == 0, s"second build launched $jobs Spark jobs")
     assert(rows(PqIndex.probePq(m2, probes, k = 3)) == staged)
@@ -110,14 +110,14 @@ class AnnStagedSpec extends AnyFunSuite {
 
   test("staged IVF+PQ residual: probe == inline; rebuild runs zero jobs") {
     val st = fresh("ivfpq")
-    val m1 = PqIndex.buildStagedIvfPq(st, "ivfpq", corpus, nlist = 8,
+    val m1 = PqIndex.buildStagedIvfPq(st, corpus, nlist = 8,
       trainRounds = 1, pqTrainRounds = 1)
     val staged = rows(PqIndex.probeIvfPq(m1, probes, k = 3, nprobe = 2))
     val inline = rows(PqIndex.ivfAdcTopK(probes, corpus, k = 3, nlist = 8, nprobe = 2,
       trainRounds = 1, pqTrainRounds = 1))
     assert(staged == inline && staged.nonEmpty)
     val (_, jobs) = jobsDuring {
-      PqIndex.buildStagedIvfPq(st, "ivfpq", corpus, nlist = 8,
+      PqIndex.buildStagedIvfPq(st, corpus, nlist = 8,
         trainRounds = 1, pqTrainRounds = 1)
     }
     assert(jobs == 0, s"second build launched $jobs Spark jobs")
@@ -125,7 +125,7 @@ class AnnStagedSpec extends AnyFunSuite {
 
   test("staged two-level IVF + residual PQ: probe == inline ivf2AdcTopK; rebuild zero jobs") {
     val st = fresh("ivf2pq")
-    val m1 = PqIndex.buildStagedIvf2Pq(st, "ivf2pq", corpus, nsuper = 3, nsub = 4,
+    val m1 = PqIndex.buildStagedIvf2Pq(st, corpus, nsuper = 3, nsub = 4,
       trainRounds = 1, subTrainRounds = 1, pqTrainRounds = 1)
     val staged = rows(PqIndex.probeIvf2Pq(m1, probes, k = 3, nprobeSuper = 2, nprobe = 3))
     val inline = rows(PqIndex.ivf2AdcTopK(probes, corpus, k = 3,
@@ -133,19 +133,41 @@ class AnnStagedSpec extends AnyFunSuite {
       trainRounds = 1, subTrainRounds = 1, pqTrainRounds = 1))
     assert(staged == inline && staged.nonEmpty)
     val (_, jobs) = jobsDuring {
-      PqIndex.buildStagedIvf2Pq(st, "ivf2pq", corpus, nsuper = 3, nsub = 4,
+      PqIndex.buildStagedIvf2Pq(st, corpus, nsuper = 3, nsub = 4,
         trainRounds = 1, subTrainRounds = 1, pqTrainRounds = 1)
     }
     assert(jobs == 0, s"second build launched $jobs Spark jobs")
   }
 
+  test("composed IVF+PQ shares the flat index's committed quantizer stages") {
+    val st = fresh("share")
+    IvfIndex.buildStaged(st, corpus, nlist = 8, trainRounds = 1)
+    val centsSnap = st.snapshotId("ivf-n8-t1-centroids")
+    val listsSnap = st.snapshotId("ivf-n8-t1-lists")
+    assert(centsSnap.isDefined && listsSnap.isDefined)
+    // the composed build must REUSE those commits, never train a second
+    // identical quantizer under a different stage name
+    val m = PqIndex.buildStagedIvfPq(st, corpus, nlist = 8,
+      trainRounds = 1, pqTrainRounds = 1)
+    assert(st.snapshotId("ivf-n8-t1-centroids") == centsSnap &&
+      st.snapshotId("ivf-n8-t1-lists") == listsSnap,
+      "composed build recommitted the shared quantizer stages")
+    assert(rows(PqIndex.probeIvfPq(m, probes, k = 3, nprobe = 2)).nonEmpty)
+    // and the reverse order also shares: a fresh flat build over the
+    // composed runner launches zero jobs
+    val (_, jobs) = jobsDuring {
+      IvfIndex.buildStaged(st, corpus, nlist = 8, trainRounds = 1)
+    }
+    assert(jobs == 0, s"flat build over shared stages launched $jobs jobs")
+  }
+
   test("a recommitted upstream stage invalidates exactly the downstream cone") {
     val st = fresh("inval")
-    IvfIndex.buildStaged(st, "ivf", corpus, nlist = 4, trainRounds = 1)
-    val lists0 = st.snapshotId("ivf-lists").get
-    st.invalidate("ivf-centroids")
-    IvfIndex.buildStaged(st, "ivf", corpus, nlist = 4, trainRounds = 1)
-    assert(st.snapshotId("ivf-lists").get > lists0,
+    IvfIndex.buildStaged(st, corpus, nlist = 4, trainRounds = 1)
+    val lists0 = st.snapshotId("ivf-n4-t1-lists").get
+    st.invalidate("ivf-n4-t1-centroids")
+    IvfIndex.buildStaged(st, corpus, nlist = 4, trainRounds = 1)
+    assert(st.snapshotId("ivf-n4-t1-lists").get > lists0,
       "lists stage must recompute when its centroid input recommits")
   }
 }
