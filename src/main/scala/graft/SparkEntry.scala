@@ -89,6 +89,37 @@ object SparkEntry {
     s.table(qname)
   }
 
+  /** Streaming harness over the DOCUMENTS table with a per-micro-batch
+    * BATCH transform (`foreachBatch`) — the documented Structured
+    * Streaming pattern for per-batch joins against committed tables.
+    * Each micro-batch's result appends to a parquet sink; the returned
+    * frame is the sink's final contents. */
+  private def runDocStream(s: SparkSession, dir: String, tag: String)(
+      batchFn: DataFrame => DataFrame): DataFrame = {
+    val schema = t(s, dir, "documents").schema
+    val streamDir = java.nio.file.Files.createTempDirectory(s"graft_$tag")
+    java.nio.file.Files.createSymbolicLink(
+      streamDir.resolve("documents.parquet"),
+      java.nio.file.Paths.get(s"$dir/documents.parquet").toAbsolutePath)
+    val outDir = java.nio.file.Files.createTempDirectory(s"graft_${tag}_out").toString
+    val ckDir = java.nio.file.Files.createTempDirectory(s"graft_${tag}_ck").toString
+    val stream = s.readStream.schema(schema).parquet(streamDir.toString)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batchFn(batch).write.mode("append").parquet(outDir); ()
+      }
+      .option("checkpointLocation", ckDir)
+      .start()
+    try q.processAllAvailable() finally {
+      q.stop()
+      try {
+        java.nio.file.Files.deleteIfExists(streamDir.resolve("documents.parquet"))
+        java.nio.file.Files.deleteIfExists(streamDir)
+      } catch { case _: java.io.IOException => () }
+    }
+    s.read.parquet(outDir)
+  }
+
   /** Integer-quantized embedding (floor(v*1000) per dim) and exact array
     * dot — one definition, shared with the LSH index. */
   private def quantArr(emb: Column): Column = pipeline.AnnIndex.quant(emb)
@@ -1060,6 +1091,36 @@ object SparkEntry {
 
     // ---------- streaming ----------
 
+    // streaming corpus-refresh ADMISSION GATE — incremental dedup meets
+    // the streaming family: delta documents (doc_id % 4 == 0) ARRIVE AS
+    // A STREAM; each micro-batch gates against the COMMITTED corpus'
+    // simhash band-bucket table (the index form of Dedup.simhashBuckets)
+    // with ONE |batch|-proportional equi-join on (chunk, ck) + the
+    // hamming<=8 verification, and only docs that near-dup NOTHING
+    // committed append to the sink. foreachBatch is the documented
+    // pattern for per-batch joins; no stream state — the committed
+    // index IS the state, and it lives in a table, not an executor.
+    // Intra-batch dups are the batch dedup operator's job (documented).
+    "q_stream_admit" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").where(col("doc_id") < 2500)
+        .select(col("doc_id"), col("text"))
+      val committed = pipeline.Dedup.simhashBuckets(
+          pipeline.Dedup.simhash(docs.where(pmod(col("doc_id"), lit(4L)) =!= 0L)))
+        .select(col("chunk"), col("ck"), col("doc_id").as("cid"), col("sh").as("csh"))
+        .localCheckpoint(false) // stands in for the committed bucket table
+      runDocStream(s, dir, "stream_admit") { batch =>
+        val arr = pipeline.Dedup.simhash(
+          batch.where(col("doc_id") < 2500 && pmod(col("doc_id"), lit(4L)) === 0L)
+            .select(col("doc_id"), col("text")))
+        val rejected = pipeline.Dedup.simhashBuckets(arr)
+          .join(committed, Seq("chunk", "ck"))
+          .where(col("doc_id") =!= col("cid") &&
+            bit_count(col("sh").bitwiseXOR(col("csh"))) <= 8)
+          .select(col("doc_id")).distinct()
+        arr.join(rejected, Seq("doc_id"), "left_anti")
+      }
+    }),
+
     // Structured Streaming: tumbling hourly window with watermark over the
     // events table driven to completion via an in-memory sink; value-equal
     // to the batch oracle (same rollup as q_events_window)
@@ -1602,7 +1663,7 @@ object SparkEntry {
     * whitespace tokens -> 60-bit md5 sign hash -> 4x15-bit chunk banding
     * -> distinct canonical pairs with popcount hamming. Yields `spairs`
     * (ida, idb, hamming) — the caller applies its verifyHamming gate. */
-  private def simhashPairCtes(docFilter: String): String =
+  private def simhashShvCtes(docFilter: String): String =
     s"""toks AS (
            SELECT doc_id, t FROM (
              SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS t
@@ -1622,7 +1683,10 @@ object SparkEntry {
          banded AS (
            SELECT doc_id, sh, c.range AS chunk,
              (sh >> CAST(c.range * 15 AS INTEGER)) & 32767 AS ck
-           FROM shv, range(0, 4) c),
+           FROM shv, range(0, 4) c)"""
+
+  private def simhashPairCtes(docFilter: String): String =
+    s"""${simhashShvCtes(docFilter)},
          spairs AS (
            SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb,
              CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
@@ -2015,6 +2079,18 @@ object SparkEntry {
            CAST(sum(CAST(floor(e.value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
          FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
          GROUP BY 1, 2""",
+
+    // twin of the admission gate: delta docs (doc_id % 4 = 0) that share
+    // a verified (hamming<=8) band bucket with NO old doc
+    "q_stream_admit" ->
+      s"""WITH ${simhashShvCtes("doc_id < 2500")},
+         rej AS (
+           SELECT DISTINCT a.doc_id FROM banded a
+           JOIN banded b ON a.chunk = b.chunk AND a.ck = b.ck
+             AND a.doc_id % 4 = 0 AND b.doc_id % 4 <> 0
+           WHERE bit_count(xor(a.sh, b.sh)) <= 8)
+         SELECT doc_id, sh FROM shv
+         WHERE doc_id % 4 = 0 AND doc_id NOT IN (SELECT doc_id FROM rej)""",
 
     "q_stream_dedup" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users

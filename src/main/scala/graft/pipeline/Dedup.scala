@@ -236,8 +236,11 @@ object Dedup {
     * are always found; pairs in (3, verifyHamming] are emitted only when a
     * chunk happens to collide. Callers relying on exhaustive recall must
     * stay within guaranteedHamming. */
-  def simhashPairsFromHashes(hashes: DataFrame, verifyHamming: Int,
-                             hashBits: Int = 60): DataFrame = {
+  /** Banded chunk relation of a hash relation (doc_id, sh) -> 4 rows per
+    * doc (doc_id, sh, chunk, ck). A pure per-row explode (streaming-safe,
+    * zero shuffle); the COMMITTED form of this relation is the near-dup
+    * index a corpus refresh gates new arrivals against (q_stream_admit). */
+  def simhashBuckets(hashes: DataFrame, hashBits: Int = 60): DataFrame = {
     val chunks = 4
     val width = hashBits / chunks
     val mask = (1L << width) - 1
@@ -245,8 +248,13 @@ object Dedup {
       struct(lit(c).as("chunk"),
         shiftrightunsigned(col("sh"), c * width).bitwiseAND(lit(mask)).as("ck"))
     }: _*)
-    val banded = hashes.select(col("doc_id"), col("sh"), explode(chunkStructs).as("cs"))
+    hashes.select(col("doc_id"), col("sh"), explode(chunkStructs).as("cs"))
       .select(col("doc_id"), col("sh"), col("cs.chunk").as("chunk"), col("cs.ck").as("ck"))
+  }
+
+  def simhashPairsFromHashes(hashes: DataFrame, verifyHamming: Int,
+                             hashBits: Int = 60): DataFrame = {
+    val banded = simhashBuckets(hashes, hashBits)
       .localCheckpoint(false) // tiny: 4 short rows per doc; feeds both join sides
     banded.as("a").join(banded.as("b"),
         col("a.chunk") === col("b.chunk") && col("a.ck") === col("b.ck") &&

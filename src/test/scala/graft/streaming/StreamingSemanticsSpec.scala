@@ -108,4 +108,74 @@ class StreamingSemanticsSpec extends AnyFunSuite {
         "each session finalizes per watermark; the open tail never emits")
     } finally q.stop()
   }
+
+  test("admission gate: each micro-batch gates against the COMMITTED index only") {
+    // The q_stream_admit contract across batches: a delta doc is rejected
+    // iff it shares a verified (hamming<=8) simhash band bucket with a
+    // COMMITTED doc. The committed bucket table is the only state — a
+    // batch-2 doc duplicating a batch-1 ADMITTED doc still passes (the
+    // scaladoc's "intra-batch dups are the batch dedup operator's job"
+    // holds across batches too: intra-STREAM dedup is a downstream batch
+    // pass over the sink, never stream state).
+    import graft.pipeline.Dedup
+    val docSchema = new StructType().add("doc_id", "long").add("text", "string")
+    val dir = Files.createTempDirectory("graft_stream_admit")
+    val outDir = Files.createTempDirectory("graft_stream_admit_out").toString
+    val ckDir = Files.createTempDirectory("graft_stream_admit_ck").toString
+
+    val committedDocs = Seq(
+      (10L, "alpha bravo charlie delta echo foxtrot golf hotel india juliett"),
+      (11L, "kilo lima mike november oscar papa quebec romeo sierra tango"))
+      .toDF("doc_id", "text")
+    val committed = Dedup.simhashBuckets(Dedup.simhash(committedDocs))
+      .select($"chunk", $"ck", $"doc_id".as("cid"), $"sh".as("csh"))
+      .localCheckpoint(false)
+
+    def feedDocs(name: String, rows: Seq[(Long, String)]): Unit = {
+      val tmp = Files.createTempDirectory("graft_admit_feed")
+      rows.toDF("doc_id", "text").coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).toArray.map(_.asInstanceOf[Path])
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      Files.move(part, dir.resolve(name))
+    }
+
+    val q = spark.readStream.schema(docSchema).option("maxFilesPerTrigger", 1)
+      .parquet(dir.toString)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val arr = Dedup.simhash(batch)
+        val rejected = Dedup.simhashBuckets(arr)
+          .join(committed, Seq("chunk", "ck"))
+          .where($"doc_id" =!= $"cid" &&
+            bit_count($"sh".bitwiseXOR($"csh")) <= 8)
+          .select($"doc_id").distinct()
+        arr.join(rejected, Seq("doc_id"), "left_anti")
+          .write.mode("append").parquet(outDir); ()
+      }
+      .option("checkpointLocation", ckDir)
+      .start()
+    try {
+      def admitted = spark.read.parquet(outDir)
+        .select($"doc_id").as[Long].collect().sorted.toSeq
+
+      // batch 1: 100 duplicates committed doc 10 -> rejected;
+      //          101 matches nothing committed -> admitted
+      feedDocs("d1.parquet", Seq(
+        (100L, "alpha bravo charlie delta echo foxtrot golf hotel india juliett"),
+        (101L, "uniform victor whiskey xray yankee zulu one two three four")))
+      q.processAllAvailable()
+      assert(admitted == Seq(101L),
+        "a committed near-dup must be rejected; a novel doc admitted")
+
+      // batch 2: 200 duplicates ADMITTED stream doc 101 (not committed)
+      //          -> still admitted; 201 duplicates committed doc 11 -> rejected
+      feedDocs("d2.parquet", Seq(
+        (200L, "uniform victor whiskey xray yankee zulu one two three four"),
+        (201L, "kilo lima mike november oscar papa quebec romeo sierra tango")))
+      q.processAllAvailable()
+      assert(admitted == Seq(101L, 200L),
+        "the gate consults the committed index only — stream-internal " +
+          "near-dups pass through to the downstream batch dedup")
+    } finally q.stop()
+  }
 }
