@@ -1245,6 +1245,23 @@ object SparkEntry {
           floor(col("bgr")(1)).cast("long").as("g"), floor(col("bgr")(2)).cast("long").as("r"))
     }),
 
+    // tile-pyramid rollup: every slippy-map overview level z18..z14 from
+    // ONE leaf decode pass — each coarser level is one groupBy of the
+    // PREVIOUS level on its parent id, carrying exact integer channel
+    // sums + tile counts (associative, so the hierarchical path equals
+    // the flat leaf-to-ancestor grouping the DuckDB twin replays). L
+    // shuffles over a 4x-shrinking relation: total shuffled rows <= 4/3
+    // of the leaf level, vs L full leaf re-scans for per-level grouping.
+    "q_tile_pyramid" -> ((s, _) => {
+      val images = tables.SyntheticWorld.images(s, tables.SyntheticWorld.testWorld)
+      val leafTiles = images
+        .select(col("cell_id"), functions.ImageUdfs.meanColorUdf(col("bytes")).as("bgr"))
+        .select(col("cell_id"), floor(col("bgr")(0)).cast("long").as("mb"),
+          floor(col("bgr")(1)).cast("long").as("mg"),
+          floor(col("bgr")(2)).cast("long").as("mr"))
+      pipeline.CellOps.pyramidRollup(leafTiles, zLeaf = 18, zMin = 14)
+    }),
+
     // phash near-dup buckets over the corpus (perceptual dedup; I-ops + LSH
     // banding reused from SimHash machinery)
     "q_phash_neardup" -> ((s, _) => {
@@ -2012,6 +2029,26 @@ object SparkEntry {
       s"""SELECT cell_id
           FROM read_parquet('${Verify.AuxImagesMeta}/*.parquet')
           WHERE rh = 64 AND rw = 64 AND rdrift < 2.0::DOUBLE""",
+
+    // flat twin of the hierarchical pyramid: every level grouped DIRECTLY
+    // from the leaf means via ancestor bit-math — equality with the
+    // engine's level-by-level rollup is exactly the associativity claim
+    "q_tile_pyramid" ->
+      s"""WITH leaf AS (
+            SELECT cell_id, mb, mg, mr
+            FROM read_parquet('${Verify.AuxImagesMeta}/*.parquet')),
+          anc AS (
+            SELECT ((cell_id >> 58) - k.range) * (1::BIGINT << 58)
+                 + (((cell_id >> 29) & 536870911) >> k.range) * (1::BIGINT << 29)
+                 + ((cell_id & 536870911) >> k.range) AS cell_id,
+              mb, mg, mr
+            FROM leaf, range(0, 5) k)
+          SELECT cell_id, cell_id >> 58 AS zl,
+            CAST(COUNT(*) AS BIGINT) AS n_tiles,
+            CAST(SUM(mb) AS BIGINT) // COUNT(*) AS mean_b,
+            CAST(SUM(mg) AS BIGINT) // COUNT(*) AS mean_g,
+            CAST(SUM(mr) AS BIGINT) // COUNT(*) AS mean_r
+          FROM anc GROUP BY cell_id""",
 
     // exact SQL twin of the perceptual-dedup resolve: same chunk-banded
     // candidate pairs at hamming <= 2, recursive-CTE connected components

@@ -49,10 +49,14 @@ object Verify {
         .select(col("cell_id"), col("image_id"), col("phash"),
           functions.ImageUdfs.decodeDims(col("bytes")).as("dims"),
           functions.ImageUdfs.phashUdf(col("bytes")).as("ph"),
-          functions.ImageUdfs.resizeSelfCheck(col("bytes")).as("rc"))
+          functions.ImageUdfs.resizeSelfCheck(col("bytes")).as("rc"),
+          functions.ImageUdfs.meanColorUdf(col("bytes")).as("bgr"))
         .select(col("cell_id"), col("image_id"), col("phash"),
           col("dims._1").as("h"), col("dims._2").as("w"), col("ph"),
-          col("rc._1").as("rh"), col("rc._2").as("rw"), col("rc._3").as("rdrift"))
+          col("rc._1").as("rh"), col("rc._2").as("rw"), col("rc._3").as("rdrift"),
+          org.apache.spark.sql.functions.floor(col("bgr")(0)).cast("long").as("mb"),
+          org.apache.spark.sql.functions.floor(col("bgr")(1)).cast("long").as("mg"),
+          org.apache.spark.sql.functions.floor(col("bgr")(2)).cast("long").as("mr"))
         .coalesce(1).write.mode("overwrite").parquet(AuxImagesMeta)
     }
     SparkEntry.queries.filter(kv => keep(kv._1)).foreach { case (name, fn) =>

@@ -166,4 +166,40 @@ object CellOps {
           (col("ty") * col("side") + expr("q div side")))
         .as("cell_id"))
   }
+
+  /** Tile-pyramid rollup (the map-tile reduction behind every slippy-map
+    * overview level, reference minimap's multi-zoom counterpart): leaf
+    * tiles at uniform level `zLeaf` carry integer per-tile measures
+    * (mb, mg, mr — e.g. floored mean BGR); each coarser level is ONE
+    * groupBy of the PREVIOUS level on its parent id, carrying exact
+    * integer channel SUMS + tile counts upward (associative, so
+    * hierarchical == direct leaf-to-ancestor grouping — the DuckDB twin
+    * replays the flat form and pins the equivalence).
+    *
+    * Scale shape: L shuffles over a geometrically 4x-shrinking relation —
+    * total shuffled rows <= 4/3 of the leaf level, vs L full leaf scans
+    * for per-level direct grouping. Emits every level zLeaf..zMin as
+    * (cell_id, zl, n_tiles, mean_b, mean_g, mean_r), means = floor(sum/n). */
+  def pyramidRollup(leafTiles: DataFrame, zLeaf: Int, zMin: Int): DataFrame = {
+    require(zMin >= 0 && zMin <= zLeaf, s"bad pyramid range [$zMin, $zLeaf]")
+    val leaf = leafTiles
+      .groupBy(col("cell_id"))
+      .agg(count(lit(1)).as("n"), sum(col("mb")).as("sb"),
+        sum(col("mg")).as("sg"), sum(col("mr")).as("sr"))
+      // every union branch's lineage starts at this aggregate; without the
+      // checkpoint a missed exchange-reuse would re-run the (expensive,
+      // often decode-UDF) leaf pass once per level (the compact() lesson)
+      .localCheckpoint(false)
+    val levels = Iterator.iterate(leaf) { cur =>
+      cur.select(parentOf(col("cell_id")).as("cell_id"),
+          col("n"), col("sb"), col("sg"), col("sr"))
+        .groupBy(col("cell_id"))
+        .agg(sum(col("n")).as("n"), sum(col("sb")).as("sb"),
+          sum(col("sg")).as("sg"), sum(col("sr")).as("sr"))
+    }.take(zLeaf - zMin + 1)
+    levels.reduce(_.unionAll(_))
+      .select(col("cell_id"), zOf(col("cell_id")).cast("long").as("zl"),
+        col("n").as("n_tiles"), expr("sb div n").as("mean_b"),
+        expr("sg div n").as("mean_g"), expr("sr div n").as("mean_r"))
+  }
 }

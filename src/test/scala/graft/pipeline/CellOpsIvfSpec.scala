@@ -474,4 +474,34 @@ class CellOpsIvfSpec extends AnyFunSuite {
     }.toSet
     assert(got == exp, "engine index must equal the sequential trained-IVF oracle")
   }
+
+  test("pyramidRollup: hierarchical level-by-level == flat leaf-to-ancestor grouping") {
+    // random leaf tiles at z10 with duplicate cells (multiple images per
+    // tile) and arbitrary channel values; the operator's level-by-level
+    // sum-carry must equal direct per-level grouping computed driver-side
+    val rnd = new scala.util.Random(42)
+    val leaves = Seq.fill(300) {
+      val tx = 512L + rnd.nextInt(24); val ty = 768L + rnd.nextInt(24)
+      (CellId.pack(10, tx, ty), rnd.nextInt(256).toLong,
+        rnd.nextInt(256).toLong, rnd.nextInt(256).toLong)
+    }
+    val got = CellOps.pyramidRollup(
+        leaves.toDF("cell_id", "mb", "mg", "mr"), zLeaf = 10, zMin = 7)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+
+    val exp = (0 to 3).flatMap { k =>
+      leaves.groupBy { case (c, _, _, _) =>
+        val z = (c >>> 58) - k
+        val tx = ((c >>> 29) & 0x1FFFFFFFL) >> k
+        val ty = (c & 0x1FFFFFFFL) >> k
+        (z << 58) + (tx << 29) + ty
+      }.map { case (anc, rows) =>
+        val n = rows.size.toLong
+        (anc, anc >>> 58, n, rows.map(_._2).sum / n,
+          rows.map(_._3).sum / n, rows.map(_._4).sum / n)
+      }
+    }.toSet
+    assert(got == exp,
+      "integer sum-carry must make the hierarchical rollup exactly associative")
+  }
 }
