@@ -809,6 +809,20 @@ object SparkEntry {
         k = 3, nprobe = 2)
     }),
 
+    // two-stage retrieval with exact re-rank — the refine pass every ADC
+    // deployment ends with: a 12-candidate compressed-index shortlist
+    // (same committed stages as q_ann_ivfpq — param-keyed names, zero
+    // extra build), then one equi-join fetches ONLY those 12 true
+    // embeddings per probe for an exact integer-dot top-3. The corpus
+    // pass stays embedding-free; exactness is confined to 12 rows/probe.
+    "q_ann_refine" -> ((s, dir) => {
+      val corpus = annCorpus(t(s, dir, "embeddings"))
+      val m = pipeline.PqIndex.buildStagedIvfPq(pipeline.AnnStages.runnerFor(corpus),
+        corpus, nlist = 16, trainRounds = 2, pqTrainRounds = 2)
+      pipeline.PqIndex.probeIvfPqRefined(m, corpus.where(col("vec_id") < 10), corpus,
+        k = 3, kShort = 12, nprobe = 2)
+    }),
+
     // two-level routing × residual ADC — the composed 10^12 recipe as ONE
     // operator (r4 Next #6): candidates come from the hierarchical router
     // (only 4 super centroids broadcast; sub-lists equi-join on scid),
@@ -1680,6 +1694,68 @@ object SparkEntry {
     * whitespace tokens -> 60-bit md5 sign hash -> 4x15-bit chunk banding
     * -> distinct canonical pairs with popcount hamming. Yields `spairs`
     * (ida, idb, hamming) — the caller applies its verifyHamming gate. */
+  /** Full IVF+PQ residual-chain twin CTEs through `ranked` (scored ADC
+    * candidates with a per-probe rank) — shared by q_ann_ivfpq (rank<=k
+    * cut) and q_ann_refine (shortlist cut + exact re-rank). */
+  private def ivfPqRankedCtes: String =
+    s"""$annQuantCte,
+         $ivfRouteCtes,
+         resid AS (
+           SELECT q.vec_id, a.cid, q.pos, q.vq - c.cq AS rv
+           FROM quant q
+           JOIN assign a ON a.vec_id = q.vec_id
+           JOIN c2 c ON c.cid = a.cid AND c.pos = q.pos),
+         rdonors AS (
+           SELECT vec_id, rn - 1 AS j FROM (
+             SELECT vec_id,
+               row_number() OVER (ORDER BY md5('pq|' || CAST(vec_id AS VARCHAR)), vec_id) AS rn
+             FROM (SELECT DISTINCT vec_id FROM quant)) WHERE rn <= 16),
+         cbr0 AS (
+           SELECT r.pos // 8 AS s, d.j, r.pos % 8 AS i, r.rv AS cq
+           FROM rdonors d JOIN resid r ON r.vec_id = d.vec_id),
+         ${pqRoundCtes("resid", "rv", "r", "cbr0", 0, "cbr1")},
+         ${pqRoundCtes("resid", "rv", "r", "cbr1", 1, "cbr")},
+         rdists AS (
+           SELECT r.vec_id, c.s, c.j, sum((r.rv - c.cq) * (r.rv - c.cq)) AS d2
+           FROM resid r JOIN cbr c ON c.s = r.pos // 8 AND c.i = r.pos % 8
+           GROUP BY r.vec_id, c.s, c.j),
+         rcodes AS (
+           SELECT vec_id, s, j AS code FROM (
+             SELECT vec_id, s, j,
+               row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, j) AS rn
+             FROM rdists) WHERE rn = 1),
+         proute AS (
+           SELECT vec_id AS probe_id, cid FROM (
+             SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+             FROM cdist WHERE vec_id < 10) WHERE rn <= 2),
+         rluts AS (
+           SELECT p.vec_id AS probe_id, c.s, c.j AS code, sum(p.vq * c.cq) AS pdot
+           FROM quant p JOIN cbr c ON c.s = p.pos // 8 AND c.i = p.pos % 8
+           WHERE p.vec_id < 10
+           GROUP BY p.vec_id, c.s, c.j),
+         ctr AS (
+           SELECT p.vec_id AS probe_id, c.cid, sum(p.vq * c.cq) AS cdot
+           FROM quant p JOIN c2 c ON c.pos = p.pos
+           WHERE p.vec_id < 10
+           GROUP BY p.vec_id, c.cid),
+         cand AS (
+           SELECT p.probe_id, a.vec_id, a.cid
+           FROM proute p JOIN assign a ON a.cid = p.cid
+           WHERE a.vec_id <> p.probe_id),
+         scored AS (
+           SELECT c.probe_id, c.vec_id,
+             CAST(sum(l.pdot) + min(t.cdot) AS BIGINT) AS score
+           FROM cand c
+           JOIN rcodes k ON k.vec_id = c.vec_id
+           JOIN rluts l ON l.probe_id = c.probe_id AND l.s = k.s AND l.code = k.code
+           JOIN ctr t ON t.probe_id = c.probe_id AND t.cid = c.cid
+           GROUP BY c.probe_id, c.vec_id),
+         ranked AS (
+           SELECT probe_id, vec_id, score,
+             row_number() OVER (PARTITION BY probe_id ORDER BY score DESC, vec_id) AS rank
+           FROM scored)"""
+
   private def simhashShvCtes(docFilter: String): String =
     s"""toks AS (
            SELECT doc_id, t FROM (
@@ -2607,64 +2683,26 @@ object SparkEntry {
     // donors, and the score decomposes exactly as
     // dot(probe, centroid) + sum_s LUT_s[code_s]
     "q_ann_ivfpq" ->
-      s"""WITH $annQuantCte,
-         $ivfRouteCtes,
-         resid AS (
-           SELECT q.vec_id, a.cid, q.pos, q.vq - c.cq AS rv
-           FROM quant q
-           JOIN assign a ON a.vec_id = q.vec_id
-           JOIN c2 c ON c.cid = a.cid AND c.pos = q.pos),
-         rdonors AS (
-           SELECT vec_id, rn - 1 AS j FROM (
-             SELECT vec_id,
-               row_number() OVER (ORDER BY md5('pq|' || CAST(vec_id AS VARCHAR)), vec_id) AS rn
-             FROM (SELECT DISTINCT vec_id FROM quant)) WHERE rn <= 16),
-         cbr0 AS (
-           SELECT r.pos // 8 AS s, d.j, r.pos % 8 AS i, r.rv AS cq
-           FROM rdonors d JOIN resid r ON r.vec_id = d.vec_id),
-         ${pqRoundCtes("resid", "rv", "r", "cbr0", 0, "cbr1")},
-         ${pqRoundCtes("resid", "rv", "r", "cbr1", 1, "cbr")},
-         rdists AS (
-           SELECT r.vec_id, c.s, c.j, sum((r.rv - c.cq) * (r.rv - c.cq)) AS d2
-           FROM resid r JOIN cbr c ON c.s = r.pos // 8 AND c.i = r.pos % 8
-           GROUP BY r.vec_id, c.s, c.j),
-         rcodes AS (
-           SELECT vec_id, s, j AS code FROM (
-             SELECT vec_id, s, j,
-               row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, j) AS rn
-             FROM rdists) WHERE rn = 1),
-         proute AS (
-           SELECT vec_id AS probe_id, cid FROM (
-             SELECT vec_id, cid,
-               row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
-             FROM cdist WHERE vec_id < 10) WHERE rn <= 2),
-         rluts AS (
-           SELECT p.vec_id AS probe_id, c.s, c.j AS code, sum(p.vq * c.cq) AS pdot
-           FROM quant p JOIN cbr c ON c.s = p.pos // 8 AND c.i = p.pos % 8
-           WHERE p.vec_id < 10
-           GROUP BY p.vec_id, c.s, c.j),
-         ctr AS (
-           SELECT p.vec_id AS probe_id, c.cid, sum(p.vq * c.cq) AS cdot
-           FROM quant p JOIN c2 c ON c.pos = p.pos
-           WHERE p.vec_id < 10
-           GROUP BY p.vec_id, c.cid),
-         cand AS (
-           SELECT p.probe_id, a.vec_id, a.cid
-           FROM proute p JOIN assign a ON a.cid = p.cid
-           WHERE a.vec_id <> p.probe_id),
-         scored AS (
-           SELECT c.probe_id, c.vec_id,
-             CAST(sum(l.pdot) + min(t.cdot) AS BIGINT) AS score
-           FROM cand c
-           JOIN rcodes k ON k.vec_id = c.vec_id
-           JOIN rluts l ON l.probe_id = c.probe_id AND l.s = k.s AND l.code = k.code
-           JOIN ctr t ON t.probe_id = c.probe_id AND t.cid = c.cid
-           GROUP BY c.probe_id, c.vec_id),
-         ranked AS (
-           SELECT probe_id, vec_id, score,
-             row_number() OVER (PARTITION BY probe_id ORDER BY score DESC, vec_id) AS rank
-           FROM scored)
+      s"""WITH $ivfPqRankedCtes
          SELECT probe_id, rank, vec_id, score FROM ranked WHERE rank <= 3""",
+
+    // refine twin: the SAME ADC chain cut at a 12-candidate shortlist,
+    // then the exact integer dot (join-on-pos, as every exact twin) over
+    // only those candidates, re-ranked
+    "q_ann_refine" ->
+      s"""WITH $ivfPqRankedCtes,
+         short AS (SELECT probe_id, vec_id FROM ranked WHERE rank <= 12),
+         exact AS (
+           SELECT s.probe_id, s.vec_id, CAST(sum(p.vq * q.vq) AS BIGINT) AS edot
+           FROM short s
+           JOIN quant q ON q.vec_id = s.vec_id
+           JOIN quant p ON p.vec_id = s.probe_id AND p.pos = q.pos
+           GROUP BY s.probe_id, s.vec_id),
+         reranked AS (
+           SELECT probe_id, vec_id, edot,
+             row_number() OVER (PARTITION BY probe_id ORDER BY edot DESC, vec_id) AS rank
+           FROM exact)
+         SELECT probe_id, rank, vec_id, edot FROM reranked WHERE rank <= 3""",
 
     // exact SQL twin of CellOps.compact over the z14 order-point cover:
     // cell packing is pure integer arithmetic (z*2^58 + tx*2^29 + ty), and

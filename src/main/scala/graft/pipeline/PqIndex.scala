@@ -372,6 +372,32 @@ object PqIndex {
     AnnIndex.rankTopK(scored, k, "score")
   }
 
+  /** Two-stage retrieval with exact re-rank — the production "refine"
+    * pass every ADC deployment ends with: [[probeIvfPq]] produces a
+    * kShort-candidate shortlist from the compressed index (the corpus-wide
+    * pass never touches an embedding), then ONE equi-join fetches only the
+    * shortlist's true embeddings for an exact integer-dot top-k.
+    * Quantization error is confined to which candidates make the
+    * shortlist cut; the final ordering among them is exact. Cost of the
+    * exact pass: kShort rows per probe (probe side broadcasts), vs the
+    * full-corpus scan the exact baseline (`q_ann_mips`) pays. */
+  def probeIvfPqRefined(model: IvfPqModel, probes: DataFrame, corpus: DataFrame,
+                        k: Int, kShort: Int, nprobe: Int,
+                        p: PqParams = Default): DataFrame = {
+    require(kShort >= k, s"shortlist kShort=$kShort must be >= k=$k")
+    val short = probeIvfPq(model, probes, kShort, nprobe, p)
+      .select(col("probe_id"), col("vec_id"))
+    val pq = probes.select(col("vec_id").as("probe_id"),
+      AnnIndex.quant(col("embedding")).as("pq"))
+    val exact = short
+      .join(corpus.select(col("vec_id"), AnnIndex.quant(col("embedding")).as("vq")),
+        "vec_id")
+      .join(broadcast(pq), "probe_id")
+      .select(col("probe_id"), col("vec_id"),
+        AnnIndex.intDot(col("pq"), col("vq")).as("edot"))
+    AnnIndex.rankTopK(exact, k, "edot")
+  }
+
   /** Staged [[buildIvfPq]]: the coarse quantizer + assigned lists are
     * [[IvfIndex.buildStaged]]'s OWN stages (param-keyed — a flat IVF of
     * the same configuration and this composed index share one committed

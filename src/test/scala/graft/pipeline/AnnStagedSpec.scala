@@ -161,6 +161,48 @@ class AnnStagedSpec extends AnyFunSuite {
     assert(jobs == 0, s"flat build over shared stages launched $jobs jobs")
   }
 
+  test("refined probe: exact re-rank over the compressed shortlist") {
+    val st = fresh("refine")
+    val m = PqIndex.buildStagedIvfPq(st, corpus, nlist = 8,
+      trainRounds = 1, pqTrainRounds = 1)
+    // (a) with full routing and a corpus-wide shortlist, the refine pass
+    // recovers the EXACT top-k: quantization error only affects which
+    // candidates reach the shortlist, and here all of them do
+    val n = corpus.count().toInt
+    val refinedFull = PqIndex.probeIvfPqRefined(m, probes, corpus,
+      k = 3, kShort = n, nprobe = 8)
+    val exact = AnnIndex.rankTopK(
+      probes.select(col("vec_id").as("probe_id"),
+          AnnIndex.quant(col("embedding")).as("pq"))
+        .crossJoin(corpus.select(col("vec_id"),
+          AnnIndex.quant(col("embedding")).as("vq")))
+        .where(col("probe_id") =!= col("vec_id"))
+        .select(col("probe_id"), col("vec_id"),
+          AnnIndex.intDot(col("pq"), col("vq")).as("edot")),
+      3, "edot")
+    assert(rows(refinedFull) == rows(exact) && rows(exact).nonEmpty,
+      "full-shortlist refine must equal the brute-force exact top-k")
+    // (b) every reported edot IS the true integer dot of the pair
+    val lies = PqIndex.probeIvfPqRefined(m, probes, corpus, k = 3, kShort = 12, nprobe = 2)
+      .join(corpus.select(col("vec_id").as("probe_id"),
+        AnnIndex.quant(col("embedding")).as("pq")), "probe_id")
+      .join(corpus.select(col("vec_id"),
+        AnnIndex.quant(col("embedding")).as("vq")), "vec_id")
+      .where(col("edot") =!= AnnIndex.intDot(col("pq"), col("vq")))
+      .count()
+    assert(lies == 0L, s"$lies refined rows report a non-exact score")
+    // (c) kShort == k degenerates to re-ranking ADC's own top-k set:
+    // same pairs, possibly different order
+    val adcPairs = rows(PqIndex.probeIvfPq(m, probes, k = 3, nprobe = 2)
+      .select("probe_id", "vec_id"))
+    val refPairs = rows(PqIndex.probeIvfPqRefined(m, probes, corpus,
+      k = 3, kShort = 3, nprobe = 2).select("probe_id", "vec_id"))
+    assert(refPairs == adcPairs)
+    intercept[IllegalArgumentException] {
+      PqIndex.probeIvfPqRefined(m, probes, corpus, k = 5, kShort = 3, nprobe = 2)
+    }
+  }
+
   test("a recommitted upstream stage invalidates exactly the downstream cone") {
     val st = fresh("inval")
     IvfIndex.buildStaged(st, corpus, nlist = 4, trainRounds = 1)
