@@ -647,6 +647,19 @@ object SparkEntry {
         length(col("text")).as("n_chars_q"))
     }),
 
+    // sequence packing (concat-and-chunk): docs concatenate in md5 order,
+    // the token stream cuts into 512-token bins, boundary docs split —
+    // the pass between dedup and the tokenizer shards. Distributed form:
+    // md5-PREFIX shards make the global cumsum two phases (per-shard
+    // windows + a bounded 256-row offset broadcast), never one
+    // single-partition window over the corpus.
+    "q_pack_chunks" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit("\\S+"), lit(0)))
+          .cast("long").as("n_tokens"))
+      pipeline.Pack.packChunks(d, budget = 512)
+    }),
+
     // quality scoring: fixed-point ratios (vowel/space/digit density)
     "q_text_quality" -> ((s, dir) => {
       val d = t(s, dir, "documents")
@@ -839,6 +852,20 @@ object SparkEntry {
         k = 3, nprobeSuper = 2, nprobe = 4)
     }),
 
+    // the COMPLETE 10^12 composition: hierarchical routing (only 4 super
+    // centroids broadcast; sub-lists equi-join) x residual ADC shortlist
+    // (12 candidates, corpus side carries codes only) x exact re-rank
+    // over just those 12 fetched embeddings per probe — same committed
+    // stages as q_ann_ivf2pq, zero extra build
+    "q_ann_refine2" -> ((s, dir) => {
+      val corpus = annCorpus(t(s, dir, "embeddings"))
+      val m = pipeline.PqIndex.buildStagedIvf2Pq(pipeline.AnnStages.runnerFor(corpus),
+        corpus, nsuper = 4, nsub = 8,
+        trainRounds = 1, subTrainRounds = 1, pqTrainRounds = 1)
+      pipeline.PqIndex.probeIvf2PqRefined(m, corpus.where(col("vec_id") < 10), corpus,
+        k = 3, kShort = 12, nprobeSuper = 2, nprobe = 4)
+    }),
+
     // index MAINTENANCE as a first-class operator: the quantizer trained
     // and committed on the BASE corpus stays frozen; the synthetic
     // near-dup rows (vec_id >= 1000000) arrive as a DELTA batch that
@@ -930,6 +957,24 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_pts"),
           sum(col("price_cents")).as("price_cents_sum"),
           min(col("o_orderkey")).as("min_key"))
+    }),
+
+    // cover x cover intersection join — polygon overlap at planet scale:
+    // per-status orders covers meet per-segment customer covers (both
+    // zone-compacted z14->z11 in ONE pass via keyed compact) through two
+    // bounded ancestor-chain equi-joins; output = every overlapping
+    // (status, segment) pair with its EXACT intersection area in z14
+    // cell units. Never a geometric pair test, never cover x cover rows.
+    "q_cell_cover_intersect" -> ((s, dir) => {
+      val ca = pipeline.CellOps.compact(
+        t(s, dir, "orders").select(col("o_orderstatus").as("zone_a"),
+          GeoF.cellAtWgs(latOf(col("o_orderkey")), lngOf(col("o_orderkey")), 14).as("cell_id")),
+        zMax = 14, zMin = 11, keys = Seq("zone_a"))
+      val cb = pipeline.CellOps.compact(
+        t(s, dir, "customer").select(col("c_mktsegment").as("zone_b"),
+          GeoF.cellAtWgs(latOf(col("c_custkey")), lngOf(col("c_custkey")), 14).as("cell_id")),
+        zMax = 14, zMin = 11, keys = Seq("zone_b"))
+      pipeline.CellOps.coverIntersect(ca, cb, zMax = 14, zMin = 11)
     }),
 
     // polyfill: polygon -> minimal compacted cover. Candidate z17 cells
@@ -1685,6 +1730,50 @@ object SparkEntry {
              SELECT cell_id FROM $cur WHERE cell_id // $zs <> $z))"""
   }
 
+  /** One ZONED compact round (twin of a keyed CellOps.compact iteration):
+    * quads complete per `zn` group — cells of `cur` at level `z` group by
+    * (zn, parent); n=4 promotes within the zone, partials and other
+    * levels pass through with their zone. */
+  private def compactZonedRoundCtes(pfx: String, cur: String, z: Int, out: String): String = {
+    val zs = 1L << 58
+    val xy = 1L << 29
+    s"""${pfx}lvl$z AS (
+           SELECT zn, cell_id,
+             ${z - 1} * $zs + ((cell_id % $zs) // $xy // 2) * $xy + ((cell_id % $xy) // 2) AS p
+           FROM $cur WHERE cell_id // $zs = $z),
+         ${pfx}cnt$z AS (SELECT zn, p, count(*) AS n FROM ${pfx}lvl$z GROUP BY zn, p),
+         $out AS (
+           SELECT DISTINCT zn, cell_id FROM (
+             SELECT l.zn, l.cell_id FROM ${pfx}lvl$z l
+               JOIN ${pfx}cnt$z c ON l.zn = c.zn AND l.p = c.p WHERE c.n < 4
+             UNION ALL
+             SELECT zn, p AS cell_id FROM ${pfx}cnt$z WHERE n = 4
+             UNION ALL
+             SELECT zn, cell_id FROM $cur WHERE cell_id // $zs <> $z))"""
+  }
+
+  /** Zoned z14 cell derivation + 3 compact rounds for `table`: zone
+    * expression `znSql`, point key `latSql`/`lngSql` — ends in `${pfx}r11`
+    * (zn, cell_id). The web-mercator chain is cellCoverCtes' with the zone
+    * carried through every round. */
+  private def zonedCoverCtes(pfx: String, table: String, znSql: String,
+                             latSql: String, lngSql: String): String =
+    s"""${pfx}pts AS (
+            SELECT $znSql AS zn,
+              (256.0::DOUBLE * (0.5::DOUBLE + ($lngSql) / 360.0::DOUBLE)) AS wx,
+              (256.0::DOUBLE * (0.5::DOUBLE - ln((1.0::DOUBLE + least(greatest(sin(($latSql) * pi() / 180.0::DOUBLE), -0.9999::DOUBLE), 0.9999::DOUBLE))
+                 / (1.0::DOUBLE - least(greatest(sin(($latSql) * pi() / 180.0::DOUBLE), -0.9999::DOUBLE), 0.9999::DOUBLE))) / (4 * pi()))) AS wy
+            FROM $table),
+          ${pfx}r14 AS (
+            SELECT DISTINCT zn,
+              14 * ${1L << 58} +
+              CAST(floor(wx * 16384 / 256) AS BIGINT) * ${1L << 29} +
+              CAST(floor(wy * 16384 / 256) AS BIGINT) AS cell_id
+            FROM ${pfx}pts),
+          ${compactZonedRoundCtes(pfx, s"${pfx}r14", 14, s"${pfx}r13")},
+          ${compactZonedRoundCtes(pfx, s"${pfx}r13", 13, s"${pfx}r12")},
+          ${compactZonedRoundCtes(pfx, s"${pfx}r12", 12, s"${pfx}r11")}"""
+
   /** Shared connected-components twin of [[pipeline.Dedup.resolveClusters]]
     * (recursive-CTE transitive closure -> component min as representative):
     * `pairsSelect` must yield (ida, idb); compose as
@@ -1742,6 +1831,64 @@ object SparkEntry {
          cand AS (
            SELECT p.probe_id, a.vec_id, a.cid
            FROM proute p JOIN assign a ON a.cid = p.cid
+           WHERE a.vec_id <> p.probe_id),
+         scored AS (
+           SELECT c.probe_id, c.vec_id,
+             CAST(sum(l.pdot) + min(t.cdot) AS BIGINT) AS score
+           FROM cand c
+           JOIN rcodes k ON k.vec_id = c.vec_id
+           JOIN rluts l ON l.probe_id = c.probe_id AND l.s = k.s AND l.code = k.code
+           JOIN ctr t ON t.probe_id = c.probe_id AND t.cid = c.cid
+           GROUP BY c.probe_id, c.vec_id),
+         ranked AS (
+           SELECT probe_id, vec_id, score,
+             row_number() OVER (PARTITION BY probe_id ORDER BY score DESC, vec_id) AS rank
+           FROM scored)"""
+
+  /** Full two-level-IVF + residual-PQ twin CTEs through `ranked` (scored
+    * hierarchical-ADC candidates with a per-probe rank) — shared by
+    * q_ann_ivf2pq (rank<=k cut) and q_ann_refine2 (shortlist + exact
+    * re-rank). */
+  private def ivf2PqRankedCtes: String =
+    s"""$annQuantCte,
+         $ivf2IndexCtes,
+         resid2 AS (
+           SELECT q.vec_id, a.cid, q.pos, q.vq - c.cq AS rv
+           FROM quant q
+           JOIN assign2 a ON a.vec_id = q.vec_id
+           JOIN subq c ON c.cid = a.cid AND c.pos = q.pos),
+         rdonors AS (
+           SELECT vec_id, rn - 1 AS j FROM (
+             SELECT vec_id,
+               row_number() OVER (ORDER BY md5('pq|' || CAST(vec_id AS VARCHAR)), vec_id) AS rn
+             FROM (SELECT DISTINCT vec_id FROM quant)) WHERE rn <= 16),
+         cbr0 AS (
+           SELECT r.pos // 8 AS s, d.j, r.pos % 8 AS i, r.rv AS cq
+           FROM rdonors d JOIN resid2 r ON r.vec_id = d.vec_id),
+         ${pqRoundCtes("resid2", "rv", "r2", "cbr0", 0, "cbr")},
+         rdists AS (
+           SELECT r.vec_id, c.s, c.j, sum((r.rv - c.cq) * (r.rv - c.cq)) AS d2
+           FROM resid2 r JOIN cbr c ON c.s = r.pos // 8 AND c.i = r.pos % 8
+           GROUP BY r.vec_id, c.s, c.j),
+         rcodes AS (
+           SELECT vec_id, s, j AS code FROM (
+             SELECT vec_id, s, j,
+               row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, j) AS rn
+             FROM rdists) WHERE rn = 1),
+         ${ivf2ProbeCtes("vec_id < 10")},
+         rluts AS (
+           SELECT p.vec_id AS probe_id, c.s, c.j AS code, sum(p.vq * c.cq) AS pdot
+           FROM quant p JOIN cbr c ON c.s = p.pos // 8 AND c.i = p.pos % 8
+           WHERE p.vec_id < 10
+           GROUP BY p.vec_id, c.s, c.j),
+         ctr AS (
+           SELECT p.vec_id AS probe_id, c.cid, sum(p.vq * c.cq) AS cdot
+           FROM quant p JOIN subq c ON c.pos = p.pos
+           WHERE p.vec_id < 10
+           GROUP BY p.vec_id, c.cid),
+         cand AS (
+           SELECT p.probe_id, a.vec_id, a.cid
+           FROM proute2 p JOIN assign2 a ON a.cid = p.cid
            WHERE a.vec_id <> p.probe_id),
          scored AS (
            SELECT c.probe_id, c.vec_id,
@@ -2277,6 +2424,34 @@ object SparkEntry {
            length(text) AS n_chars_q
          FROM documents""",
 
+    // exact twin of the two-phase packing cumsum: ONE global running sum
+    // ordered by (md5, doc_id) — identical to the engine's sharded form
+    // because the shard key is the md5's own prefix, so shard order
+    // refines into global key order
+    "q_pack_chunks" ->
+      """WITH toks AS (
+           SELECT doc_id, md5('pack|' || CAST(doc_id AS VARCHAR)) AS pk,
+                  len(regexp_extract_all(text, '\S+')) AS n
+           FROM documents),
+         cum AS (
+           SELECT doc_id, n,
+             sum(n) OVER (ORDER BY pk, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cend
+           FROM toks WHERE n > 0),
+         spans AS (
+           SELECT doc_id, CAST(cend AS BIGINT) AS cend,
+                  CAST(cend - n AS BIGINT) AS cstart
+           FROM cum),
+         b AS (
+           SELECT s.doc_id, s.cstart, s.cend, gs.g AS bin_id
+           FROM spans s,
+             unnest(generate_series(s.cstart // 512, (s.cend - 1) // 512)) AS gs(g))
+         SELECT doc_id, CAST(bin_id AS BIGINT) AS bin_id,
+           CAST(greatest(cstart, bin_id*512) - cstart AS BIGINT) AS doc_off,
+           CAST(greatest(cstart, bin_id*512) - bin_id*512 AS BIGINT) AS bin_off,
+           CAST(least(cend, (bin_id+1)*512) - greatest(cstart, bin_id*512) AS BIGINT) AS len
+         FROM b""",
+
     // exact SQL twin of the weighted hash-Bernoulli sample
     "q_sa_weighted" ->
       s"""SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_kept,
@@ -2604,59 +2779,26 @@ object SparkEntry {
     // after 1 unrolled per-subspace Lloyd's round, and the score
     // decomposes exactly as dot(probe, sub centroid) + sum_s LUT_s[code_s]
     "q_ann_ivf2pq" ->
-      s"""WITH $annQuantCte,
-         $ivf2IndexCtes,
-         resid2 AS (
-           SELECT q.vec_id, a.cid, q.pos, q.vq - c.cq AS rv
-           FROM quant q
-           JOIN assign2 a ON a.vec_id = q.vec_id
-           JOIN subq c ON c.cid = a.cid AND c.pos = q.pos),
-         rdonors AS (
-           SELECT vec_id, rn - 1 AS j FROM (
-             SELECT vec_id,
-               row_number() OVER (ORDER BY md5('pq|' || CAST(vec_id AS VARCHAR)), vec_id) AS rn
-             FROM (SELECT DISTINCT vec_id FROM quant)) WHERE rn <= 16),
-         cbr0 AS (
-           SELECT r.pos // 8 AS s, d.j, r.pos % 8 AS i, r.rv AS cq
-           FROM rdonors d JOIN resid2 r ON r.vec_id = d.vec_id),
-         ${pqRoundCtes("resid2", "rv", "r2", "cbr0", 0, "cbr")},
-         rdists AS (
-           SELECT r.vec_id, c.s, c.j, sum((r.rv - c.cq) * (r.rv - c.cq)) AS d2
-           FROM resid2 r JOIN cbr c ON c.s = r.pos // 8 AND c.i = r.pos % 8
-           GROUP BY r.vec_id, c.s, c.j),
-         rcodes AS (
-           SELECT vec_id, s, j AS code FROM (
-             SELECT vec_id, s, j,
-               row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, j) AS rn
-             FROM rdists) WHERE rn = 1),
-         ${ivf2ProbeCtes("vec_id < 10")},
-         rluts AS (
-           SELECT p.vec_id AS probe_id, c.s, c.j AS code, sum(p.vq * c.cq) AS pdot
-           FROM quant p JOIN cbr c ON c.s = p.pos // 8 AND c.i = p.pos % 8
-           WHERE p.vec_id < 10
-           GROUP BY p.vec_id, c.s, c.j),
-         ctr AS (
-           SELECT p.vec_id AS probe_id, c.cid, sum(p.vq * c.cq) AS cdot
-           FROM quant p JOIN subq c ON c.pos = p.pos
-           WHERE p.vec_id < 10
-           GROUP BY p.vec_id, c.cid),
-         cand AS (
-           SELECT p.probe_id, a.vec_id, a.cid
-           FROM proute2 p JOIN assign2 a ON a.cid = p.cid
-           WHERE a.vec_id <> p.probe_id),
-         scored AS (
-           SELECT c.probe_id, c.vec_id,
-             CAST(sum(l.pdot) + min(t.cdot) AS BIGINT) AS score
-           FROM cand c
-           JOIN rcodes k ON k.vec_id = c.vec_id
-           JOIN rluts l ON l.probe_id = c.probe_id AND l.s = k.s AND l.code = k.code
-           JOIN ctr t ON t.probe_id = c.probe_id AND t.cid = c.cid
-           GROUP BY c.probe_id, c.vec_id),
-         ranked AS (
-           SELECT probe_id, vec_id, score,
-             row_number() OVER (PARTITION BY probe_id ORDER BY score DESC, vec_id) AS rank
-           FROM scored)
+      s"""WITH $ivf2PqRankedCtes
          SELECT probe_id, rank, vec_id, score FROM ranked WHERE rank <= 3""",
+
+    // refine over the two-level composition: the SAME hierarchical-ADC
+    // chain cut at a 12-candidate shortlist, then the exact join-on-pos
+    // integer dot over only those candidates, re-ranked
+    "q_ann_refine2" ->
+      s"""WITH $ivf2PqRankedCtes,
+         short AS (SELECT probe_id, vec_id FROM ranked WHERE rank <= 12),
+         exact AS (
+           SELECT s.probe_id, s.vec_id, CAST(sum(p.vq * q.vq) AS BIGINT) AS edot
+           FROM short s
+           JOIN quant q ON q.vec_id = s.vec_id
+           JOIN quant p ON p.vec_id = s.probe_id AND p.pos = q.pos
+           GROUP BY s.probe_id, s.vec_id),
+         reranked AS (
+           SELECT probe_id, vec_id, edot,
+             row_number() OVER (PARTITION BY probe_id ORDER BY edot DESC, vec_id) AS rank
+           FROM exact)
+         SELECT probe_id, rank, vec_id, edot FROM reranked WHERE rank <= 3""",
 
     // exact SQL twin of PqIndex.adcTopK: md5-first donor SEED -> 2
     // unrolled per-subspace Lloyd's rounds -> integer-L2 argmin encoding
@@ -2799,6 +2941,43 @@ object SparkEntry {
     // args; 64 >= any test bbox side), tile-center inversion (the P2
     // formulas), convex half-plane containment (the q_f6_pip form of the
     // same diamond), then 3 compact rounds z17 -> z14
+    // cover x cover intersection twin: per-zone compact replayed for both
+    // sides (quads complete per zone), then the two ancestor-chain
+    // directions — b up to ancestor-or-self meets a; a STRICTLY up meets
+    // b — partition the z_a<=z_b / z_a>z_b cases, each overlap counted
+    // once at the finer cell's 4^(14-z) area
+    "q_cell_cover_intersect" ->
+      s"""WITH ${zonedCoverCtes("ia", "orders", "o_orderstatus", latSqlO, lngSqlO)},
+         ${zonedCoverCtes("ib", "customer", "c_mktsegment", latSqlC, lngSqlC)},
+         acov AS (SELECT zn AS zone_a, cell_id FROM iar11),
+         bcov AS (SELECT zn AS zone_b, cell_id FROM ibr11),
+         banc AS (
+           SELECT zone_b, cell_id,
+             ((cell_id // ${1L << 58}) - g.d) * ${1L << 58} +
+             (((cell_id % ${1L << 58}) // ${1L << 29}) >> g.d) * ${1L << 29} +
+             ((cell_id % ${1L << 29}) >> g.d) AS anc
+           FROM bcov,
+             unnest(generate_series(0, CAST(cell_id // ${1L << 58} AS INT) - 11)) AS g(d)),
+         d1 AS (
+           SELECT a.zone_a, b.zone_b,
+             (1::BIGINT << CAST(2 * (14 - b.cell_id // ${1L << 58}) AS INT)) AS ar
+           FROM banc b JOIN acov a ON a.cell_id = b.anc),
+         aanc AS (
+           SELECT zone_a, cell_id,
+             ((cell_id // ${1L << 58}) - g.d) * ${1L << 58} +
+             (((cell_id % ${1L << 58}) // ${1L << 29}) >> g.d) * ${1L << 29} +
+             ((cell_id % ${1L << 29}) >> g.d) AS anc
+           FROM acov,
+             unnest(generate_series(1, CAST(cell_id // ${1L << 58} AS INT) - 11)) AS g(d)),
+         d2 AS (
+           SELECT a.zone_a, b.zone_b,
+             (1::BIGINT << CAST(2 * (14 - a.cell_id // ${1L << 58}) AS INT)) AS ar
+           FROM aanc a JOIN bcov b ON b.cell_id = a.anc)
+         SELECT zone_a, zone_b, CAST(count(*) AS BIGINT) AS n_cell_pairs,
+           CAST(sum(ar) AS BIGINT) AS cells_zmax
+         FROM (SELECT * FROM d1 UNION ALL SELECT * FROM d2)
+         GROUP BY zone_a, zone_b""",
+
     "q_cell_polyfill" ->
       s"""WITH verts(vlat, vlng) AS (VALUES
             (53.8381234::DOUBLE, 27.4101234::DOUBLE),

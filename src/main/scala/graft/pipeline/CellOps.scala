@@ -42,9 +42,14 @@ object CellOps {
   /** Compact a cover set: input one `cell_id` column with cells at levels
     * in (zMin, zMax] (coarser cells pass through untouched); output the
     * equivalent minimal cover with levels in [zMin, zMax]. Input is
-    * distinct-ified — a cover is a set. */
-  def compact(cells: DataFrame, zMax: Int, zMin: Int): DataFrame = {
+    * distinct-ified — a cover is a set. With `keys` non-empty, every key
+    * combination holds its OWN cover and compacts independently in the
+    * same rounds (quads complete per key group) — one pass over all zones,
+    * never a per-zone driver loop. */
+  def compact(cells: DataFrame, zMax: Int, zMin: Int,
+              keys: Seq[String] = Nil): DataFrame = {
     require(zMax >= zMin && zMin >= 0 && zMax <= 29, s"bad z range [$zMin, $zMax]")
+    val kc = keys.map(col)
     // each round references `cur` three times (level split + anti-join) and
     // the next round builds on the union — without a per-round barrier the
     // lineage re-evaluates the base scan 3^rounds times. localCheckpoint
@@ -54,19 +59,21 @@ object CellOps {
     // untouched (level-mixed non-minimal output that coverJoin's bounded
     // ancestor chain never matches) — fail the job loudly instead, the
     // same contract as uncompact's finer-than-target check.
-    var cur = cells.select(col("cell_id")).distinct()
-      .select(when(zOf(col("cell_id")) > zMax,
+    var cur = cells.select(kc :+ col("cell_id"): _*).distinct()
+      .withColumn("cell_id",
+        when(zOf(col("cell_id")) > zMax,
           expr(s"CAST(raise_error('compact: input cell finer than zMax=$zMax') AS BIGINT)"))
-        .otherwise(col("cell_id")).as("cell_id"))
+        .otherwise(col("cell_id")))
       .localCheckpoint(false)
     for (z <- zMax until zMin by -1) {
       val atZ = zOf(col("cell_id")) === z
       val rest = cur.where(!atZ)
-      val withP = cur.where(atZ).select(col("cell_id"), parentOf(col("cell_id")).as("p"))
-      val full = withP.groupBy(col("p")).agg(count(lit(1)).as("n"))
-        .where(col("n") === 4).select(col("p"))
-      val promoted = full.select(col("p").as("cell_id"))
-      val kept = withP.join(full, Seq("p"), "left_anti").select(col("cell_id"))
+      val withP = cur.where(atZ).select(kc :+ col("cell_id") :+ parentOf(col("cell_id")).as("p"): _*)
+      val full = withP.groupBy(kc :+ col("p"): _*).agg(count(lit(1)).as("n"))
+        .where(col("n") === 4).select(kc :+ col("p"): _*)
+      val promoted = full.select(kc :+ col("p").as("cell_id"): _*)
+      val kept = withP.join(full, keys :+ "p", "left_anti")
+        .select(kc :+ col("cell_id"): _*)
       // distinct per round: a cover that redundantly contains a cell AND
       // its descendants would otherwise carry the promoted parent twice
       // into the next round, inflating a later quad count to 4 and
@@ -100,6 +107,51 @@ object CellOps {
       .join(cover.select(col("cell_id").as("cover_cell")),
         col("anc") === col("cover_cell"))
       .drop("anc")
+  }
+
+  /** Cover × cover intersection join — the polygon-overlap test at
+    * planet scale: zoned compacted covers `a` (zone_a, cell_id) and `b`
+    * (zone_b, cell_id), each zone's cells disjoint at levels in
+    * [zMin, zMax], yield every overlapping (zone_a, zone_b) pair with the
+    * EXACT intersection area in zMax-level cell units. Quadtree cells
+    * intersect iff one is an ancestor-or-equal of the other, so the join
+    * is two bounded ancestor-chain explodes meeting in plain equi-joins —
+    * never a geometric pair test:
+    *   - b-cells climb to their ancestors (self included) and match
+    *     a-cells at a coarser-or-equal level; the overlap is the b-cell,
+    *     area 4^(zMax - z_b);
+    *   - a-cells climb STRICTLY (self excluded) and match b-cells at a
+    *     strictly coarser level; overlap is the a-cell, 4^(zMax - z_a).
+    * The two directions partition the ancestor-descendant cases (z_a<=z_b
+    * vs z_a>z_b) and per-zone disjointness means each overlap region is
+    * counted exactly once — the sum per pair is the exact area.
+    *
+    * Scale shape: chains are ≤ zMax-zMin+1 rows per cover cell (covers
+    * are the COMPACTED sets — orders of magnitude below the fine fill);
+    * both directions are equi-joins (broadcastable when one cover is a
+    * city against a planet) plus ONE groupBy on the zone pair. */
+  def coverIntersect(a: DataFrame, b: DataFrame, zMax: Int, zMin: Int): DataFrame = {
+    require(zMax >= zMin && zMin >= 0 && zMax <= 29, s"bad z range [$zMin, $zMax]")
+    // full ancestor chain of a cell from its OWN level up to zMin
+    // (self first); cells coarser than zMin contribute just themselves
+    def chain(): Column = expr(
+      s"""transform(sequence(0, CAST(greatest((cell_id div ${ZShift}L) - $zMin, 0) AS INT)), d ->
+            ((cell_id div ${ZShift}L) - d) * ${ZShift}L +
+            shiftright((cell_id % ${ZShift}L) div ${XYShift}L, d) * ${XYShift}L +
+            shiftright(cell_id % ${XYShift}L, d))""")
+    // area of the finer cell in zMax units: 4^(zMax - z)
+    def area: Column =
+      expr(s"shiftleft(CAST(1 AS BIGINT), CAST(($zMax - cell_id div ${ZShift}L) * 2 AS INT))")
+    val d1 = b.withColumn("anc", explode(chain()))
+      .join(a.select(col("zone_a"), col("cell_id").as("ca")), col("anc") === col("ca"))
+      .select(col("zone_a"), col("zone_b"), area.as("ar"))
+    val strictA = a.withColumn("ancs", chain())
+      .withColumn("anc", explode(expr("slice(ancs, 2, greatest(size(ancs) - 1, 0))")))
+      .join(b.select(col("zone_b"), col("cell_id").as("cb")), col("anc") === col("cb"))
+      .select(col("zone_a"), col("zone_b"), area.as("ar"))
+    d1.unionByName(strictA)
+      .groupBy(col("zone_a"), col("zone_b"))
+      .agg(count(lit(1)).as("n_cell_pairs"), sum(col("ar")).as("cells_zmax"))
   }
 
   /** Polyfill: polygon -> minimal compacted cell cover (the H3/S2

@@ -482,6 +482,28 @@ object PqIndex {
     AnnIndex.rankTopK(scored, k, "score")
   }
 
+  /** [[probeIvfPqRefined]]'s two-level sibling — the full 10^12
+    * composition ends here: hierarchical routing (only nsuper centroids
+    * broadcast) × residual ADC shortlist × exact re-rank over only the
+    * kShort fetched embeddings. Same error contract: quantization decides
+    * the shortlist, the final ordering is exact. */
+  def probeIvf2PqRefined(model: Ivf2PqModel, probes: DataFrame, corpus: DataFrame,
+                         k: Int, kShort: Int, nprobeSuper: Int, nprobe: Int,
+                         p: PqParams = Default): DataFrame = {
+    require(kShort >= k, s"shortlist kShort=$kShort must be >= k=$k")
+    val short = probeIvf2Pq(model, probes, kShort, nprobeSuper, nprobe, p)
+      .select(col("probe_id"), col("vec_id"))
+    val pq = probes.select(col("vec_id").as("probe_id"),
+      AnnIndex.quant(col("embedding")).as("pq"))
+    val exact = short
+      .join(corpus.select(col("vec_id"), AnnIndex.quant(col("embedding")).as("vq")),
+        "vec_id")
+      .join(broadcast(pq), "probe_id")
+      .select(col("probe_id"), col("vec_id"),
+        AnnIndex.intDot(col("pq"), col("vq")).as("edot"))
+    AnnIndex.rankTopK(exact, k, "edot")
+  }
+
   /** Staged [[buildIvf2Pq]]: the three two-level routing stages are
     * [[IvfIndex.buildStagedTwoLevel]]'s own (param-keyed, shared with a
     * plain two-level index of the same configuration) plus two residual-PQ

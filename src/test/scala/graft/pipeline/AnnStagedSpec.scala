@@ -203,6 +203,33 @@ class AnnStagedSpec extends AnyFunSuite {
     }
   }
 
+  test("two-level refined probe: exact scores; full shortlist over full routing == exact top-k") {
+    val st = fresh("refine2")
+    val m = PqIndex.buildStagedIvf2Pq(st, corpus, nsuper = 3, nsub = 4,
+      trainRounds = 1, subTrainRounds = 1, pqTrainRounds = 1)
+    val n = corpus.count().toInt
+    // full routing (all supers, all subs) + corpus-wide shortlist ==
+    // brute-force exact top-k, as in the flat case
+    val refinedFull = PqIndex.probeIvf2PqRefined(m, probes, corpus,
+      k = 3, kShort = n, nprobeSuper = 3, nprobe = 12)
+    val exact = AnnIndex.rankTopK(
+      probes.select(col("vec_id").as("probe_id"),
+          AnnIndex.quant(col("embedding")).as("pq"))
+        .crossJoin(corpus.select(col("vec_id"),
+          AnnIndex.quant(col("embedding")).as("vq")))
+        .where(col("probe_id") =!= col("vec_id"))
+        .select(col("probe_id"), col("vec_id"),
+          AnnIndex.intDot(col("pq"), col("vq")).as("edot")),
+      3, "edot")
+    assert(rows(refinedFull) == rows(exact) && rows(exact).nonEmpty)
+    // narrow-shortlist pairs == the ADC top-k set re-ranked
+    val adcPairs = rows(PqIndex.probeIvf2Pq(m, probes, k = 3, nprobeSuper = 2, nprobe = 3)
+      .select("probe_id", "vec_id"))
+    val refPairs = rows(PqIndex.probeIvf2PqRefined(m, probes, corpus,
+      k = 3, kShort = 3, nprobeSuper = 2, nprobe = 3).select("probe_id", "vec_id"))
+    assert(refPairs == adcPairs)
+  }
+
   test("a recommitted upstream stage invalidates exactly the downstream cone") {
     val st = fresh("inval")
     IvfIndex.buildStaged(st, corpus, nlist = 4, trainRounds = 1)

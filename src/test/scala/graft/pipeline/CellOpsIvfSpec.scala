@@ -109,6 +109,66 @@ class CellOpsIvfSpec extends AnyFunSuite {
       s"inside point matches its z12 ancestor exactly once, outside drops: ${out.toSeq}")
   }
 
+  test("keyed compact: each zone's cover compacts independently in one pass") {
+    val z12 = CellId.pack(12, 100, 200)
+    val full16 = CellId.children(z12).flatMap(CellId.children)
+    // zone X holds the complete quad-of-quads, zone Y only 15 of the 16 —
+    // X must promote to z12, Y must not promote past the missing quad
+    val in = (full16.map(("X", _)) ++ full16.drop(1).map(("Y", _)))
+      .toSeq.toDF("zone", "cell_id")
+    val out = CellOps.compact(in, zMax = 14, zMin = 11, keys = Seq("zone"))
+      .as[(String, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(out("X") == Set(z12), s"zone X must compact to its z12 ancestor: ${out("X")}")
+    val kidsZ13 = CellId.children(z12)
+    // Y: the first z13 quad is missing one z14 child (3 singles), the
+    // other three z13 quads are complete but their z12 quad is not
+    assert(out("Y") == kidsZ13.drop(1).toSet ++ CellId.children(kidsZ13(0)).drop(1).toSet,
+      s"zone Y must keep the partial structure: ${out("Y")}")
+  }
+
+  test("coverIntersect: ancestor-chain join == brute-force fine intersection, mixed levels") {
+    val z12 = CellId.pack(12, 100, 200)
+    val kidsZ13 = CellId.children(z12)
+    val kidsZ14 = CellId.children(kidsZ13(0))
+    val a = Seq(
+      ("A1", z12),                        // coarse cell covering everything below
+      ("A1", CellId.pack(14, 5000, 6000)), // isolated, matches nothing
+      ("A2", kidsZ13(2)),                 // equal-level overlap with B2
+      ("A3", kidsZ14(2))                  // finer than B4's z12 (direction 2)
+    ).toDF("zone_a", "cell_id")
+    val b = Seq(
+      ("B1", kidsZ14(0)), ("B1", kidsZ14(1)), // z14 under A1's z12
+      ("B2", kidsZ13(2)),                     // z13 under A1; equal to A2's cell
+      ("B2", CellId.pack(13, 999, 999)),      // overlaps nothing
+      ("B3", CellId.pack(14, 7000, 8000)),    // overlaps nothing
+      ("B4", z12)                             // coarse; A3's z14 is inside
+    ).toDF("zone_b", "cell_id")
+    val got = CellOps.coverIntersect(a, b, zMax = 14, zMin = 11)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3)))).toMap
+    // brute force: expand every cover cell to its z14 descendants
+    // driver-side and intersect the fine sets per zone pair
+    def desc14(c: Long): Set[Long] =
+      if (CellId.z(c) == 14) Set(c) else CellId.children(c).flatMap(desc14).toSet
+    def fine(rows: Seq[(String, Long)]): Map[String, Set[Long]] =
+      rows.groupBy(_._1).view.mapValues(_.flatMap(x => desc14(x._2)).toSet).toMap
+    val af = fine(Seq("A1" -> z12, "A1" -> CellId.pack(14, 5000, 6000),
+      "A2" -> kidsZ13(2), "A3" -> kidsZ14(2)))
+    val bf = fine(Seq("B1" -> kidsZ14(0), "B1" -> kidsZ14(1),
+      "B2" -> kidsZ13(2), "B2" -> CellId.pack(13, 999, 999),
+      "B3" -> CellId.pack(14, 7000, 8000), "B4" -> z12))
+    val expectedAreas = (for {
+      (za, fa) <- af; (zb, fb) <- bf
+      n = fa.intersect(fb).size if n > 0
+    } yield (za, zb) -> n.toLong).toMap
+    assert(got.view.mapValues(_._2).toMap == expectedAreas,
+      s"areas diverge: got=$got expected=$expectedAreas")
+    // spot pair counts: A1xB1 = two cell pairs, A2xB2 = the equal-cell
+    // pair, A3xB4 = the finer-a direction
+    assert(got(("A1", "B1")) == (2L, 2L) && got(("A2", "B2")) == (1L, 4L)
+      && got(("A3", "B4")) == (1L, 1L))
+  }
+
   test("parentOf column math == CellId.parent kernel") {
     val cells = Seq(CellId.pack(14, 0, 0), CellId.pack(14, 9731, 5442),
       CellId.pack(19, 302123, 171456), CellId.pack(1, 1, 1)).toDF("cell_id")
