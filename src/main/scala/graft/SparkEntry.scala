@@ -1321,6 +1321,48 @@ object SparkEntry {
       pipeline.CellOps.pyramidRollup(leafTiles, zLeaf = 18, zMin = 14)
     }),
 
+    // PIXEL-content pyramid (servable overview tiles): parents = 2x2
+    // child mosaics halved by exact box average, two levels up from the
+    // z18 leaves. Engine-only (image bytes) — self-checked against the
+    // INTEGER mean rollup of the same leaves: on full quads the decoded
+    // parent mean must sit within the floor-rounding band (<=3/channel)
+    // of the rollup mean scaled by presence n/4; emitted rows are the
+    // parents that PASS (all of them, or the count shifts and the
+    // rows-only gate trips).
+    "q_image_pyramid" -> ((s, _) => {
+      val images = tables.SyntheticWorld.images(s, tables.SyntheticWorld.testWorld)
+      val pyr = pipeline.ImagePyramid.build(
+        images.select(col("cell_id"), col("bytes")), zLeaf = 18, zMin = 16)
+      val leafMeans = images
+        .select(col("cell_id"), functions.ImageUdfs.meanColorUdf(col("bytes")).as("bgr"))
+        .select(col("cell_id"), floor(col("bgr")(0)).cast("long").as("mb"),
+          floor(col("bgr")(1)).cast("long").as("mg"),
+          floor(col("bgr")(2)).cast("long").as("mr"))
+      val roll = pipeline.CellOps.pyramidRollup(leafMeans, zLeaf = 18, zMin = 16)
+        .where(col("zl") < 18)
+      val dims = functions.ImageUdfs.decodeDims(col("bytes"))
+      pyr.join(roll.drop("zl"), Seq("cell_id"))
+        .select(col("cell_id"), col("zl"), col("n_tiles"),
+          functions.ImageUdfs.meanColorUdf(col("bytes")).as("pm"),
+          col("mean_b"), col("mean_g"), col("mean_r"), dims.as("dims"))
+        // presence scaling: the rollup's n_tiles counts LEAVES under the
+        // cell; full coverage at level zl is 4^(18-zl) leaves, and black
+        // fill dilutes the pixel mean by exactly the missing fraction
+        .withColumn("fullq", pow(lit(4.0), lit(18) - col("zl")))
+        .select(col("cell_id"), col("zl"), col("n_tiles"),
+          greatest(
+            abs(col("pm")(0) * col("fullq") / col("n_tiles") - col("mean_b")),
+            abs(col("pm")(1) * col("fullq") / col("n_tiles") - col("mean_g")),
+            abs(col("pm")(2) * col("fullq") / col("n_tiles") - col("mean_r")))
+            .as("drift"),
+          (col("n_tiles") === col("fullq")).as("full"),
+          col("dims._1").as("h"), col("dims._2").as("w"))
+        .where(col("h") === 256 && col("w") === 256 &&
+          (!col("full") || col("drift") <= 3.0))
+        .select(col("cell_id"), col("zl"), col("n_tiles"),
+          floor(col("drift") * 100).cast("long").as("drift_c"))
+    }),
+
     // phash near-dup buckets over the corpus (perceptual dedup; I-ops + LSH
     // banding reused from SimHash machinery)
     "q_phash_neardup" -> ((s, _) => {

@@ -146,4 +146,12 @@ object Stitch {
       val cropped = ImageCodec.crop(ImageCodec.Raw(h, w, bgr), ymin, ymax, xmin, xmax)
       ImageCodec.encode(cropped, "jpeg")
   }
+
+  /** Halve a raw mosaic (exact 2×2 box average, floor) and encode — the
+    * overview-tile downsample of [[graft.pipeline.ImagePyramid]]. */
+  val halveEncode = org.apache.spark.sql.functions.udf {
+    (h: Int, w: Int, bgr: Array[Byte], fmt: String) =>
+      ImageCodec.encode(
+        ImageCodec.resizeBox(ImageCodec.Raw(h, w, bgr), h / 2, w / 2), fmt)
+  }
 }
