@@ -959,6 +959,21 @@ object SparkEntry {
           min(col("o_orderkey")).as("min_key"))
     }),
 
+    // Morton (z-order) layout key: tx/ty bit-interleaved under the level
+    // prefix — the write-layout key that makes any axis-aligned 2^k
+    // block ONE contiguous key range (vs a row-band per y line under a
+    // plain cell_id sort). Emits the key and the inverse-roundtrip cell
+    // over the distinct z17 order cells; the twin replays the identical
+    // shift/mask cascade, so the codec is pinned engine-portably exact.
+    "q_morton_layout" -> ((s, dir) => {
+      val cells = t(s, dir, "orders").select(
+        GeoF.cellAtWgs(latOf(col("o_orderkey")), lngOf(col("o_orderkey")), 17).as("cell_id"))
+        .distinct()
+      cells.select(col("cell_id"),
+          pipeline.CellOps.mortonOf(col("cell_id")).as("morton"))
+        .withColumn("cell_rt", pipeline.CellOps.cellOfMorton(col("morton")))
+    }),
+
     // cover x cover intersection join — polygon overlap at planet scale:
     // per-status orders covers meet per-segment customer covers (both
     // zone-compacted z14->z11 in ONE pass via keyed compact) through two
@@ -2983,6 +2998,37 @@ object SparkEntry {
     // args; 64 >= any test bbox side), tile-center inversion (the P2
     // formulas), convex half-plane containment (the q_f6_pip form of the
     // same diamond), then 3 compact rounds z17 -> z14
+    // morton twin: the identical spread/compact shift-mask cascade as CTE
+    // steps (a textual expansion would copy the input 2^5 times per step)
+    "q_morton_layout" ->
+      s"""WITH pts AS (
+            SELECT
+              (256.0::DOUBLE * (0.5::DOUBLE + ($lngSqlO) / 360.0::DOUBLE)) AS wx,
+              (256.0::DOUBLE * (0.5::DOUBLE - ln((1.0::DOUBLE + least(greatest(sin(($latSqlO) * pi() / 180.0::DOUBLE), -0.9999::DOUBLE), 0.9999::DOUBLE))
+                 / (1.0::DOUBLE - least(greatest(sin(($latSqlO) * pi() / 180.0::DOUBLE), -0.9999::DOUBLE), 0.9999::DOUBLE))) / (4 * pi()))) AS wy
+            FROM orders),
+          cells AS (
+            SELECT DISTINCT
+              17 * ${1L << 58} + CAST(floor(wx * 131072 / 256) AS BIGINT) * ${1L << 29} +
+              CAST(floor(wy * 131072 / 256) AS BIGINT) AS cell_id
+            FROM pts),
+          m0 AS (SELECT cell_id, (cell_id >> 29) & 536870911 AS x, cell_id & 536870911 AS y FROM cells),
+          m1 AS (SELECT cell_id, (x | (x << 16)) & 281470681808895 AS x, (y | (y << 16)) & 281470681808895 AS y FROM m0),
+          m2 AS (SELECT cell_id, (x | (x << 8)) & 71777214294589695 AS x, (y | (y << 8)) & 71777214294589695 AS y FROM m1),
+          m3 AS (SELECT cell_id, (x | (x << 4)) & 1085102592571150095 AS x, (y | (y << 4)) & 1085102592571150095 AS y FROM m2),
+          m4 AS (SELECT cell_id, (x | (x << 2)) & 3689348814741910323 AS x, (y | (y << 2)) & 3689348814741910323 AS y FROM m3),
+          m5 AS (SELECT cell_id, (x | (x << 1)) & 6148914691236517205 AS x, (y | (y << 1)) & 6148914691236517205 AS y FROM m4),
+          mk AS (SELECT cell_id, (cell_id // ${1L << 58}) * ${1L << 58} + (x | (y << 1)) AS morton FROM m5),
+          c0 AS (SELECT cell_id, morton, (morton % ${1L << 58}) & 6148914691236517205 AS x, ((morton % ${1L << 58}) >> 1) & 6148914691236517205 AS y FROM mk),
+          c1 AS (SELECT cell_id, morton, (x | (x >> 1)) & 3689348814741910323 AS x, (y | (y >> 1)) & 3689348814741910323 AS y FROM c0),
+          c2 AS (SELECT cell_id, morton, (x | (x >> 2)) & 1085102592571150095 AS x, (y | (y >> 2)) & 1085102592571150095 AS y FROM c1),
+          c3 AS (SELECT cell_id, morton, (x | (x >> 4)) & 71777214294589695 AS x, (y | (y >> 4)) & 71777214294589695 AS y FROM c2),
+          c4 AS (SELECT cell_id, morton, (x | (x >> 8)) & 281470681808895 AS x, (y | (y >> 8)) & 281470681808895 AS y FROM c3),
+          c5 AS (SELECT cell_id, morton, (x | (x >> 16)) & 4294967295 AS x, (y | (y >> 16)) & 4294967295 AS y FROM c4)
+          SELECT cell_id, morton,
+            (morton >> 58) * ${1L << 58} + x * ${1L << 29} + y AS cell_rt
+          FROM c5""",
+
     // cover x cover intersection twin: per-zone compact replayed for both
     // sides (quads complete per zone), then the two ancestor-chain
     // directions — b up to ancestor-or-self meets a; a STRICTLY up meets

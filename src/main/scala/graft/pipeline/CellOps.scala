@@ -109,6 +109,45 @@ object CellOps {
       .drop("anc")
   }
 
+  /** Morton (z-order) key of a packed cell: the level in the top 6 bits
+    * and tx/ty bit-INTERLEAVED below — the space-filling write-layout key.
+    * Rows sorted/range-partitioned by this key give every axis-aligned
+    * 2^k×2^k block ONE contiguous key range (the z-order block property),
+    * so a bbox scan over a morton-laid-out table touches a handful of
+    * ranges instead of one row-band per y line (what a plain (tx, ty) or
+    * cell_id sort yields). Pure shift/mask column math (codegen, exact in
+    * any engine) via the standard 5-step bit spread. */
+  def mortonOf(cell: Column): Column = {
+    def spread(v: Column): Column = {
+      // 29-bit value -> even bit positions of 58 bits
+      val m1 = v.bitwiseAND(lit(0x1FFFFFFFL))
+      val m2 = (m1.bitwiseOR(shiftleft(m1, 16))).bitwiseAND(lit(0x0000FFFF0000FFFFL))
+      val m3 = (m2.bitwiseOR(shiftleft(m2, 8))).bitwiseAND(lit(0x00FF00FF00FF00FFL))
+      val m4 = (m3.bitwiseOR(shiftleft(m3, 4))).bitwiseAND(lit(0x0F0F0F0F0F0F0F0FL))
+      val m5 = (m4.bitwiseOR(shiftleft(m4, 2))).bitwiseAND(lit(0x3333333333333333L))
+      (m5.bitwiseOR(shiftleft(m5, 1))).bitwiseAND(lit(0x5555555555555555L))
+    }
+    val tx = shiftrightunsigned(cell, 29).bitwiseAND(lit(0x1FFFFFFFL))
+    val ty = cell.bitwiseAND(lit(0x1FFFFFFFL))
+    zOf(cell) * lit(ZShift) + (spread(tx).bitwiseOR(shiftleft(spread(ty), 1)))
+  }
+
+  /** Inverse of [[mortonOf]]: recover the packed cell from a morton key
+    * (bit compaction, the spread steps reversed). */
+  def cellOfMorton(morton: Column): Column = {
+    def compact(v: Column): Column = {
+      val m1 = v.bitwiseAND(lit(0x5555555555555555L))
+      val m2 = (m1.bitwiseOR(shiftrightunsigned(m1, 1))).bitwiseAND(lit(0x3333333333333333L))
+      val m3 = (m2.bitwiseOR(shiftrightunsigned(m2, 2))).bitwiseAND(lit(0x0F0F0F0F0F0F0F0FL))
+      val m4 = (m3.bitwiseOR(shiftrightunsigned(m3, 4))).bitwiseAND(lit(0x00FF00FF00FF00FFL))
+      val m5 = (m4.bitwiseOR(shiftrightunsigned(m4, 8))).bitwiseAND(lit(0x0000FFFF0000FFFFL))
+      (m5.bitwiseOR(shiftrightunsigned(m5, 16))).bitwiseAND(lit(0xFFFFFFFFL))
+    }
+    val bits = morton.bitwiseAND(lit(ZShift - 1))
+    shiftrightunsigned(morton, 58) * lit(ZShift) +
+      compact(bits) * lit(XYShift) + compact(shiftrightunsigned(bits, 1))
+  }
+
   /** Cover × cover intersection join — the polygon-overlap test at
     * planet scale: zoned compacted covers `a` (zone_a, cell_id) and `b`
     * (zone_b, cell_id), each zone's cells disjoint at levels in

@@ -169,6 +169,45 @@ class CellOpsIvfSpec extends AnyFunSuite {
       && got(("A3", "B4")) == (1L, 1L))
   }
 
+  test("morton key == per-bit interleave reference; inverse roundtrips; blocks are contiguous ranges") {
+    // driver-side reference: interleave one bit at a time
+    def refMorton(cell: Long): Long = {
+      val z = CellId.z(cell); val tx = CellId.tx(cell); val ty = CellId.ty(cell)
+      var m = 0L
+      for (b <- 0 until 29)
+        m |= ((tx >> b) & 1L) << (2 * b) | ((ty >> b) & 1L) << (2 * b + 1)
+      z.toLong * (1L << 58) + m
+    }
+    val rnd = new scala.util.Random(7)
+    val cells = (1 to 200).map { _ =>
+      val z = 1 + rnd.nextInt(29)
+      val max = (1L << z) - 1
+      CellId.pack(z, rnd.nextLong() & max, rnd.nextLong() & max)
+    }
+    val got = cells.toDF("cell_id")
+      .select(col("cell_id"), CellOps.mortonOf(col("cell_id")).as("m"),
+        CellOps.cellOfMorton(CellOps.mortonOf(col("cell_id"))).as("rt"))
+      .collect()
+    got.foreach { r =>
+      val (c, m, rt) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(m == refMorton(c), s"morton mismatch for $c")
+      assert(rt == c, s"roundtrip mismatch for $c")
+    }
+    // z-order block property: an aligned 2^k x 2^k block at one level is
+    // EXACTLY one contiguous morton range of length 4^k
+    for (_ <- 1 to 20) {
+      val k = 1 + rnd.nextInt(4)
+      val z = 10 + rnd.nextInt(10)
+      val bx = (rnd.nextLong() & ((1L << (z - k)) - 1)) << k
+      val by = (rnd.nextLong() & ((1L << (z - k)) - 1)) << k
+      val ms = (for (dx <- 0L until (1L << k); dy <- 0L until (1L << k))
+        yield refMorton(CellId.pack(z, bx + dx, by + dy))).sorted
+      assert(ms.last - ms.head == (1L << (2 * k)) - 1 &&
+        ms == (ms.head to ms.last),
+        s"block z=$z k=$k at ($bx,$by) is not one contiguous range")
+    }
+  }
+
   test("parentOf column math == CellId.parent kernel") {
     val cells = Seq(CellId.pack(14, 0, 0), CellId.pack(14, 9731, 5442),
       CellId.pack(19, 302123, 171456), CellId.pack(1, 1, 1)).toDF("cell_id")
