@@ -148,6 +148,32 @@ object CellOps {
       compact(bits) * lit(XYShift) + compact(shiftrightunsigned(bits, 1))
   }
 
+  /** The pruning composition of [[mortonOf]] and [[compact]]: each cell
+    * of a compacted cover is an axis-aligned block at the layout level
+    * `zLeaf`, hence ONE contiguous morton range — (cover_cell, mlo, mhi)
+    * with mhi - mlo + 1 = 4^(zLeaf - z). A morton-laid-out table scans a
+    * cover with |cover| sargable BETWEEN predicates (file/row-group
+    * min-max stats do the skipping), instead of the per-cell equi-join a
+    * hash layout needs. Cells finer than zLeaf fail loudly (uncompact's
+    * contract). */
+  def mortonRangesOfCover(cover: DataFrame, zLeaf: Int): DataFrame = {
+    require(zLeaf >= 0 && zLeaf <= 29, s"bad zLeaf $zLeaf")
+    val tx = shiftrightunsigned(col("cell_id"), 29).bitwiseAND(lit(0x1FFFFFFFL))
+    val ty = col("cell_id").bitwiseAND(lit(0x1FFFFFFFL))
+    val side = expr(
+      s"""CASE WHEN (cell_id >> 58) > ${zLeaf}L
+            THEN CAST(raise_error('mortonRangesOfCover: cover cell finer than zLeaf=$zLeaf') AS BIGINT)
+            ELSE shiftleft(CAST(1 AS BIGINT), CAST(${zLeaf}L - (cell_id >> 58) AS INT)) END""")
+    cover
+      .select(col("cell_id").as("cover_cell"), (tx * side).as("ltx"),
+        (ty * side).as("lty"), (side * side).as("area"))
+      .select(col("cover_cell"),
+        mortonOf(lit(zLeaf.toLong) * lit(ZShift) +
+          col("ltx") * lit(XYShift) + col("lty")).as("mlo"),
+        col("area"))
+      .select(col("cover_cell"), col("mlo"), (col("mlo") + col("area") - 1).as("mhi"))
+  }
+
   /** Cover × cover intersection join — the polygon-overlap test at
     * planet scale: zoned compacted covers `a` (zone_a, cell_id) and `b`
     * (zone_b, cell_id), each zone's cells disjoint at levels in

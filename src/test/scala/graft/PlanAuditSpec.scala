@@ -313,6 +313,48 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("morton layout: cover ranges reach PushedFilters and skip files via dir pruning") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import graft.core.CellId
+    // a 32x32 z14 world laid out by morton: directory partition = coarse
+    // morton block (z11 granularity: 4^3 = 64 keys per dir), rows sorted
+    // by morton within files
+    val cells = (for (dx <- 0 until 32; dy <- 0 until 32)
+      yield CellId.pack(14, 1024 + dx, 2048 + dy)).toDF("cell_id")
+    val laid = cells
+      .withColumn("morton", pipeline.CellOps.mortonOf(col("cell_id")))
+      .withColumn("mdir", expr("morton div 64"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_morton").toString + "/t"
+    laid.repartitionByRange(8, col("morton")).sortWithinPartitions(col("morton"))
+      .write.partitionBy("mdir").parquet(dir)
+
+    val table = spark.read.parquet(dir)
+    val allFiles = {
+      val df = table.select(col("cell_id"))
+      df.collect()
+      df.queryExecution.executedPlan
+        .collect { case f: FileSourceScanExec => f }.head.metrics("numFiles").value
+    }
+    // cover = one aligned z12 cell (an 4x4 z14 block) -> ONE morton range
+    val cover = Seq(CellId.pack(12, 257, 512)).toDF("cell_id")
+    val Array(r) = pipeline.CellOps.mortonRangesOfCover(cover, zLeaf = 14).collect()
+    val (lo, hi) = (r.getLong(1), r.getLong(2))
+    val pruned = table.where(col("mdir").between(lo / 64, hi / 64) &&
+      col("morton").between(lo, hi))
+    val rows = pruned.collect()
+    assert(rows.length == 16, s"expected the 4x4 block, got ${rows.length}")
+    val scan = pruned.queryExecution.executedPlan
+      .collect { case f: FileSourceScanExec => f }.head
+    val ps = scan.toString
+    assert(ps.contains("PushedFilters:") && ps.contains("GreaterThanOrEqual(morton"),
+      s"morton range must reach the parquet reader:\n$ps")
+    assert(ps.contains("PartitionFilters:") && ps.contains("mdir"),
+      s"directory predicate must prune partitions:\n$ps")
+    val prunedFiles = scan.metrics("numFiles").value
+    assert(prunedFiles < allFiles,
+      s"morton-range read should touch fewer files: $prunedFiles vs $allFiles")
+  }
+
   test("kNN ring join plans equi-joins on grid keys, not a cross join") {
     val probes = Seq((1L, 53.85, 27.45), (2L, 53.86, 27.46)).toDF("probe_id", "plat", "plng")
     val cands = spark.range(500).select($"id".as("o_orderkey"),

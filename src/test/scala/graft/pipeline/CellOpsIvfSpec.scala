@@ -208,6 +208,32 @@ class CellOpsIvfSpec extends AnyFunSuite {
     }
   }
 
+  test("mortonRangesOfCover: ranges tile exactly the cover's fine-cell morton keys") {
+    def refMorton(cell: Long): Long = {
+      val z = CellId.z(cell); val tx = CellId.tx(cell); val ty = CellId.ty(cell)
+      var m = 0L
+      for (b <- 0 until 29)
+        m |= ((tx >> b) & 1L) << (2 * b) | ((ty >> b) & 1L) << (2 * b + 1)
+      z.toLong * (1L << 58) + m
+    }
+    // mixed-level cover: one z12 cell, one z13, two z14 singles
+    val z12 = CellId.pack(12, 100, 200)
+    val cover = Seq(z12, CellId.pack(13, 300, 400),
+      CellId.pack(14, 5000, 6000), CellId.pack(14, 7000, 8000)).toDF("cell_id")
+    val ranges = CellOps.mortonRangesOfCover(cover, zLeaf = 14)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    // expected: the morton keys of the UNCOMPACTED z14 fill
+    val fine = CellOps.uncompact(cover, 14).as[Long].collect().map(refMorton).toSet
+    val fromRanges = ranges.flatMap { case (lo, hi) => lo to hi }.toSet
+    assert(fromRanges == fine,
+      s"range union must equal the fine morton set (${fromRanges.size} vs ${fine.size})")
+    assert(ranges.forall { case (lo, hi) => (hi - lo + 1) % 4 == 0 || hi == lo },
+      "range lengths are powers of 4")
+    intercept[Exception] {
+      CellOps.mortonRangesOfCover(cover, zLeaf = 13).collect()
+    }
+  }
+
   test("parentOf column math == CellId.parent kernel") {
     val cells = Seq(CellId.pack(14, 0, 0), CellId.pack(14, 9731, 5442),
       CellId.pack(19, 302123, 171456), CellId.pack(1, 1, 1)).toDF("cell_id")
