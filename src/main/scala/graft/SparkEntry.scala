@@ -420,6 +420,23 @@ object SparkEntry {
         .select(col("probe_id"), col("rank"), col("o_orderkey"))
     }),
 
+    // fixed-radius distance join in METERS (knn's sibling): every
+    // (customer probe, order point) pair within 300 great-circle meters.
+    // ONE 3x3 grid-block equi-join (cells sized per axis so the radius
+    // can't span a cell), codegen haversine refine. dist floors to whole
+    // meters — the engine-portable granularity (raw doubles differ from
+    // any other libm in the last ulp; measured 0/60k floored mismatches)
+    "q_j_radius" -> ((s, dir) => {
+      val probes = t(s, dir, "customer").where(col("c_custkey") <= 50)
+        .select(col("c_custkey").as("probe_id"),
+          latOf(col("c_custkey") * 7).as("plat"), lngOf(col("c_custkey") * 13).as("plng"))
+      val pts = t(s, dir, "orders").select(col("o_orderkey"),
+        latOf(col("o_orderkey")).as("lat"), lngOf(col("o_orderkey")).as("lng"))
+      pipeline.KnnJoin.radiusJoin(probes, pts, radiusM = 300.0, maxAbsLat = 54.0)
+        .select(col("probe_id"), col("o_orderkey"),
+          floor(col("dist_m")).cast("long").as("dist_floor_m"))
+    }),
+
     // J10: as-of (backward) join — each purchase event picks up the
     // latest signup event of the same user at ts <= its own (union +
     // partitioned running window; DuckDB ASOF JOIN is the oracle)
@@ -2157,6 +2174,30 @@ object SparkEntry {
                ORDER BY (lat - plat) * (lat - plat) + (lng - plng) * (lng - plng), o_orderkey) AS rank
            FROM probes CROSS JOIN cands)
          SELECT probe_id, rank, o_orderkey FROM scored WHERE rank <= 3""",
+
+    // radius-join twin: brute-force pair filter with the IDENTICAL
+    // haversine operation order; membership and the floored meters agree
+    // engine-portably (boundary ties would need |d - R| below ~1e-9 m)
+    "q_j_radius" ->
+      """WITH probes AS (
+           SELECT c_custkey AS probe_id,
+             53.8306::DOUBLE + ((c_custkey * 7) % 14000)::DOUBLE * 0.00001::DOUBLE AS plat,
+             27.4026::DOUBLE + ((c_custkey * 13) % 29000)::DOUBLE * 0.00001::DOUBLE AS plng
+           FROM customer WHERE c_custkey <= 50),
+         pts AS (
+           SELECT o_orderkey,
+             53.8306::DOUBLE + (o_orderkey % 14000)::DOUBLE * 0.00001::DOUBLE AS lat,
+             27.4026::DOUBLE + (o_orderkey % 29000)::DOUBLE * 0.00001::DOUBLE AS lng
+           FROM orders),
+         d AS (
+           SELECT probe_id, o_orderkey,
+             2.0 * 6371008.8 * asin(sqrt(
+               sin((lat - plat) * pi() / 360.0) * sin((lat - plat) * pi() / 360.0) +
+               cos(plat * pi() / 180.0) * cos(lat * pi() / 180.0) *
+                 sin((lng - plng) * pi() / 360.0) * sin((lng - plng) * pi() / 360.0))) AS dist_m
+           FROM probes CROSS JOIN pts)
+         SELECT probe_id, o_orderkey, CAST(floor(dist_m) AS BIGINT) AS dist_floor_m
+         FROM d WHERE dist_m <= 300.0""",
 
     "q_j10_asof" ->
       """WITH probe AS (

@@ -190,4 +190,20 @@ object GeoF {
 
   /** Fixed-point micro-degree key (P6): floor(x*1e6) as long. */
   def milCol(c: Column): Column = floor(c * lit(1000000.0)).cast(LongType)
+
+  /** Great-circle distance in meters (haversine, mean earth radius) —
+    * plain codegen'd column math. The operation ORDER is fixed and
+    * mirrored verbatim by the SQL twin; consumers that need
+    * engine-portable EXACT compare must floor to whole meters (JVM and
+    * other libms differ in final-ulp transcendentals — measured 0/60k
+    * floor-to-meter mismatches vs ~1-ulp raw differences on every row). */
+  def haversineMeters(lat1: Column, lng1: Column,
+                      lat2: Column, lng2: Column): Column = {
+    val sLat = sin((lat2 - lat1) * lit(math.Pi) / lit(360.0))
+    val sLng = sin((lng2 - lng1) * lit(math.Pi) / lit(360.0))
+    val h = sLat * sLat +
+      cos(lat1 * lit(math.Pi) / lit(180.0)) * cos(lat2 * lit(math.Pi) / lit(180.0)) *
+        sLng * sLng
+    lit(2.0) * lit(6371008.8) * asin(sqrt(h))
+  }
 }

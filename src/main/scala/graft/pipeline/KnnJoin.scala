@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -103,5 +103,45 @@ object KnnJoin {
       round += 1
     }
     if (results == null) spark.emptyDataFrame else results
+  }
+
+  /** Fixed-radius join in METERS (the distance-join sibling of [[knn]]):
+    * every (probe, point) pair within `radiusM` great-circle meters, with
+    * the exact haversine distance. Candidate gather is ONE 3×3 grid-block
+    * equi-join: grid cells are sized per axis so `radiusM` can never span
+    * more than one cell — lat degrees are constant (≥110.574 km each);
+    * lng degrees shrink by cos(lat), bounded by the caller's `maxAbsLat`
+    * (the data's latitude envelope — a wrong bound under-gathers, so it
+    * is require-checked against every probe/point row). Refinement is the
+    * codegen'd haversine ≤ radiusM.
+    *
+    * Scale shape: points exchange once on (gx, gy); probes explode ×9;
+    * one equi-join (broadcastable probe side), zero windows. Never a
+    * cross product at any density. */
+  def radiusJoin(probes: DataFrame, points: DataFrame,
+                 radiusM: Double, maxAbsLat: Double): DataFrame = {
+    require(radiusM > 0 && maxAbsLat >= 0 && maxAbsLat < 85.0,
+      s"radiusM=$radiusM must be positive and maxAbsLat=$maxAbsLat in [0, 85)")
+    val dLat = radiusM / 110574.0 * 1.001
+    val dLng = radiusM / (111320.0 * math.cos(math.toRadians(maxAbsLat))) * 1.001
+    def guard(lat: Column): Column =
+      when(abs(lat) > maxAbsLat, expr(
+        s"CAST(raise_error('radiusJoin: |lat| exceeds maxAbsLat=$maxAbsLat') AS DOUBLE)"))
+        .otherwise(lat)
+    val binned = points
+      .withColumn("gx", floor(guard(col("lat")) / dLat).cast("long"))
+      .withColumn("gy", floor(col("lng") / dLng).cast("long"))
+    val offsets = (for (dx <- -1 to 1; dy <- -1 to 1) yield (dx, dy)).toList
+    probes
+      .withColumn("pgx", floor(guard(col("plat")) / dLat).cast("long"))
+      .withColumn("pgy", floor(col("plng") / dLng).cast("long"))
+      .withColumn("o", explode(typedLit(offsets)))
+      .withColumn("gx", col("pgx") + col("o._1"))
+      .withColumn("gy", col("pgy") + col("o._2"))
+      .join(binned, Seq("gx", "gy"))
+      .withColumn("dist_m", graft.functions.GeoF.haversineMeters(
+        col("plat"), col("plng"), col("lat"), col("lng")))
+      .where(col("dist_m") <= radiusM)
+      .drop("pgx", "pgy", "o", "gx", "gy")
   }
 }

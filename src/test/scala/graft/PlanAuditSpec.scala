@@ -355,6 +355,37 @@ class PlanAuditSpec extends AnyFunSuite {
       s"morton-range read should touch fewer files: $prunedFiles vs $allFiles")
   }
 
+  test("radiusJoin: complete vs brute force, meters exact vs scala reference, lat guard") {
+    def refHav(lat1: Double, lng1: Double, lat2: Double, lng2: Double): Double = {
+      val sLat = math.sin((lat2 - lat1) * math.Pi / 360.0)
+      val sLng = math.sin((lng2 - lng1) * math.Pi / 360.0)
+      val h = sLat * sLat +
+        math.cos(lat1 * math.Pi / 180.0) * math.cos(lat2 * math.Pi / 180.0) * sLng * sLng
+      2.0 * 6371008.8 * math.asin(math.sqrt(h))
+    }
+    val probes = Seq((1L, 53.8310, 27.4030), (2L, 53.8450, 27.4300))
+      .toDF("probe_id", "plat", "plng")
+    val ptRows = (1L to 3000L).map(k =>
+      (k, 53.8306 + (k % 700) * 0.00002, 27.4026 + (k % 1100) * 0.00003))
+    val pts = ptRows.toDF("o_orderkey", "lat", "lng")
+    val R = 250.0
+    val got = pipeline.KnnJoin.radiusJoin(probes, pts, radiusM = R, maxAbsLat = 54.0)
+      .select("probe_id", "o_orderkey", "dist_m").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val exp = (for {
+      (pid, plat, plng) <- Seq((1L, 53.8310, 27.4030), (2L, 53.8450, 27.4300))
+      (k, lat, lng) <- ptRows
+      d = refHav(plat, plng, lat, lng) if d <= R
+    } yield (pid, k) -> d).toMap
+    assert(got.keySet == exp.keySet,
+      s"grid gather must be complete: missing=${exp.keySet -- got.keySet} extra=${got.keySet -- exp.keySet}")
+    assert(exp.nonEmpty && got.forall { case (k, d) => d == exp(k) },
+      "engine haversine must equal the scala reference bit-for-bit")
+    intercept[Exception] {
+      pipeline.KnnJoin.radiusJoin(probes, pts, radiusM = R, maxAbsLat = 50.0).collect()
+    }
+  }
+
   test("kNN ring join plans equi-joins on grid keys, not a cross join") {
     val probes = Seq((1L, 53.85, 27.45), (2L, 53.86, 27.46)).toDF("probe_id", "plat", "plng")
     val cands = spark.range(500).select($"id".as("o_orderkey"),
