@@ -1243,6 +1243,30 @@ object SparkEntry {
       }
     }),
 
+    // streaming geofence (geospatial x streaming composition): events
+    // stream in, each row maps to its user's z14 cell and gates by
+    // membership in the COMMITTED orders cover (compacted z14->z11,
+    // computed from the batch table) through the same ancestor-chain
+    // broadcast equi-join coverJoin uses — stateless per row, so the
+    // watermarked per-zone rollup is the ONLY state; the cover table is
+    // the scalable geofence state, exactly like q_stream_admit's bucket
+    // table
+    "q_stream_geofence" -> ((s, dir) => {
+      val cover = pipeline.CellOps.compact(
+        t(s, dir, "orders").select(
+          GeoF.cellAtWgs(latOf(col("o_orderkey")), lngOf(col("o_orderkey")), 14).as("cell_id")),
+        zMax = 14, zMin = 11)
+      runStream(s, dir, "stream_geofence") { stream =>
+        val pts = stream.withColumn("cell_id",
+          GeoF.cellAtWgs(latOf(col("user_id") * 3), lngOf(col("user_id") * 5), 14))
+        pipeline.CellOps.coverJoin(pts, cover, zMax = 14, zMin = 11)
+          .withWatermark("ts", "1 hour")
+          .groupBy(col("cover_cell"), col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(floor(col("value") * 100 + 0.5).cast("long")).as("value_cents"))
+      }
+    }),
+
     // streaming stateful dedup: dropDuplicatesWithinWatermark on
     // (user_id, event_type) — the BOUNDED-STATE pattern (state for a key is
     // evicted once the watermark passes its event time + delay; plain
@@ -2437,6 +2461,35 @@ object SparkEntry {
            CAST(sum(CAST(floor(e.value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
          FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
          GROUP BY 1, 2""",
+
+    // geofence twin: the SAME orders-cover chain as q_cell_cover_join
+    // (ends in r11), event points -> z14 cells -> 4-level ancestor chain
+    // meets the cover, per-(zone, type) rollup
+    "q_stream_geofence" ->
+      s"""WITH $cellCoverCtes,
+          epts AS (
+            SELECT event_type, value,
+              (256.0::DOUBLE * (0.5::DOUBLE + (27.4026::DOUBLE + ((user_id * 5) % 29000)::DOUBLE * 0.00001::DOUBLE) / 360.0::DOUBLE)) AS wx,
+              (256.0::DOUBLE * (0.5::DOUBLE - ln((1.0::DOUBLE + least(greatest(sin((53.8306::DOUBLE + ((user_id * 3) % 14000)::DOUBLE * 0.00001::DOUBLE) * pi() / 180.0::DOUBLE), -0.9999::DOUBLE), 0.9999::DOUBLE))
+                 / (1.0::DOUBLE - least(greatest(sin((53.8306::DOUBLE + ((user_id * 3) % 14000)::DOUBLE * 0.00001::DOUBLE) * pi() / 180.0::DOUBLE), -0.9999::DOUBLE), 0.9999::DOUBLE))) / (4 * pi()))) AS wy
+            FROM events),
+          ecell AS (
+            SELECT event_type, value,
+              14 * ${1L << 58} +
+              CAST(floor(wx * 16384 / 256) AS BIGINT) * ${1L << 29} +
+              CAST(floor(wy * 16384 / 256) AS BIGINT) AS cell_id
+            FROM epts),
+          eanc AS (
+            SELECT event_type, value,
+              ((cell_id >> 58) - k.range) * ${1L << 58}
+                + (((cell_id >> 29) & 536870911) >> k.range) * ${1L << 29}
+                + ((cell_id & 536870911) >> k.range) AS anc
+            FROM ecell, range(0, 4) k)
+          SELECT r.cell_id AS cover_cell, e.event_type,
+            count(*) AS n,
+            CAST(sum(CAST(floor(e.value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
+          FROM eanc e JOIN r11 r ON e.anc = r.cell_id
+          GROUP BY 1, 2""",
 
     // twin of the admission gate: delta docs (doc_id % 4 = 0) that share
     // a verified (hamming<=8) band bucket with NO old doc
