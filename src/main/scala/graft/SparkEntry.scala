@@ -1377,6 +1377,26 @@ object SparkEntry {
       pipeline.CellOps.pyramidRollup(leafTiles, zLeaf = 18, zMin = 14)
     }),
 
+    // cross-modal consistency audit over the image+caption corpus: pairs
+    // whose CAPTIONS near-dup (text simhash band join, hamming<=8) get
+    // their decoded phash distance attached — `audit` flags the
+    // caption-dup-but-pixels-differ rows (stale/copy-pasted captions, the
+    // multimodal quality check a 10^12 image+caption table needs). Both
+    // banding chains are the committed-shape candidate generators; never
+    // an image×image pair space.
+    "q_crossmodal_audit" -> ((s, _) => {
+      val images = tables.SyntheticWorld.images(s, tables.SyntheticWorld.testWorld)
+      val caps = images.select(col("cell_id").as("doc_id"), col("caption").as("text"))
+      val ph = images.select(col("cell_id").as("id"),
+        functions.ImageUdfs.phashUdf(col("bytes")).as("ph"))
+      pipeline.Dedup.simhashPairs(caps, verifyHamming = 8)
+        .join(ph.select(col("id").as("ida"), col("ph").as("pha")), "ida")
+        .join(ph.select(col("id").as("idb"), col("ph").as("phb")), "idb")
+        .select(col("ida"), col("idb"), col("hamming").as("caption_hamming"),
+          bit_count(col("pha").bitwiseXOR(col("phb"))).as("pixel_hamming"))
+        .withColumn("audit", col("pixel_hamming") > 10)
+    }),
+
     // PIXEL-content pyramid (servable overview tiles): parents = 2x2
     // child mosaics halved by exact box average, two levels up from the
     // z18 leaves. Engine-only (image bytes) — self-checked against the
@@ -2461,6 +2481,46 @@ object SparkEntry {
            CAST(sum(CAST(floor(e.value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
          FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
          GROUP BY 1, 2""",
+
+    // cross-modal audit twin: the caption-simhash chain (identical to the
+    // documents chain, over the aux captions) banded into pairs, decoded
+    // phash distance attached from the same aux rows
+    "q_crossmodal_audit" ->
+      s"""WITH aux AS (
+            SELECT cell_id AS doc_id, caption, ph
+            FROM read_parquet('${Verify.AuxImagesMeta}/*.parquet')),
+          toks AS (
+            SELECT doc_id, t FROM (
+              SELECT doc_id, unnest(string_split_regex(caption, '\\s+')) AS t
+              FROM aux) u
+            WHERE t <> ''),
+          th AS (
+            SELECT doc_id, CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) AS h
+            FROM toks),
+          bits AS (
+            SELECT doc_id, j.range AS j,
+              sum(CASE WHEN ((h >> j.range) & 1) = 1 THEN 1 ELSE -1 END) AS cnt
+            FROM th, range(0, 60) j GROUP BY doc_id, j.range),
+          shv AS (
+            SELECT doc_id,
+              CAST(sum(CASE WHEN cnt > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INTEGER)) ELSE 0 END) AS BIGINT) AS sh
+            FROM bits GROUP BY doc_id),
+          banded AS (
+            SELECT doc_id, sh, c.range AS chunk,
+              (sh >> CAST(c.range * 15 AS INTEGER)) & 32767 AS ck
+            FROM shv, range(0, 4) c),
+          spairs AS (
+            SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb,
+              CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
+            FROM banded a JOIN banded b
+              ON a.chunk = b.chunk AND a.ck = b.ck AND a.doc_id < b.doc_id)
+          SELECT s.ida, s.idb, s.hamming AS caption_hamming,
+            CAST(bit_count(xor(pa.ph, pb.ph)) AS INTEGER) AS pixel_hamming,
+            bit_count(xor(pa.ph, pb.ph)) > 10 AS audit
+          FROM spairs s
+          JOIN aux pa ON pa.doc_id = s.ida
+          JOIN aux pb ON pb.doc_id = s.idb
+          WHERE s.hamming <= 8""",
 
     // geofence twin: the SAME orders-cover chain as q_cell_cover_join
     // (ends in r11), event points -> z14 cells -> 4-level ancestor chain

@@ -46,12 +46,12 @@ object Verify {
     locally {
       import org.apache.spark.sql.functions.col
       tables.SyntheticWorld.images(spark, tables.SyntheticWorld.testWorld)
-        .select(col("cell_id"), col("image_id"), col("phash"),
+        .select(col("cell_id"), col("image_id"), col("phash"), col("caption"),
           functions.ImageUdfs.decodeDims(col("bytes")).as("dims"),
           functions.ImageUdfs.phashUdf(col("bytes")).as("ph"),
           functions.ImageUdfs.resizeSelfCheck(col("bytes")).as("rc"),
           functions.ImageUdfs.meanColorUdf(col("bytes")).as("bgr"))
-        .select(col("cell_id"), col("image_id"), col("phash"),
+        .select(col("cell_id"), col("image_id"), col("phash"), col("caption"),
           col("dims._1").as("h"), col("dims._2").as("w"), col("ph"),
           col("rc._1").as("rh"), col("rc._2").as("rw"), col("rc._3").as("rdrift"),
           org.apache.spark.sql.functions.floor(col("bgr")(0)).cast("long").as("mb"),
