@@ -211,8 +211,18 @@ object SparkEntry {
     val mBase = pipeline.IvfIndex.buildStaged(stBase, base, nlist = 16, trainRounds = 2)
     pipeline.IvfIndex.appendStaged(stBase, "aug40x5", mBase,
       corpus.where(col("vec_id") >= 1000000L), nlist = 16, trainRounds = 2)
+    // the TEXT index snapshots (q_text_bm25's inverted index) commit under
+    // the same build section — the index lifecycle is modality-agnostic
+    val docs = t(s, dir, "documents")
+    pipeline.Bm25.buildStaged(pipeline.TextStages.runnerFor(docs), docs)
     ()
   }
+
+  /** The q_text_bm25 literal query batch (vocabulary drawn from the
+    * synthetic documents' word pool; fixed across scale factors). */
+  private val bm25Queries: Seq[String] = Seq(
+    "table scan fast", "window agg join stream", "customer order big query",
+    "vector hash merge batch", "slow filter sort column")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -1486,6 +1496,58 @@ object SparkEntry {
           functions.ImageUdfs.resizeSelfCheck(col("bytes")).as("c"))
         .where(col("c._1") === 64 && col("c._2") === 64 && col("c._3") < 2.0)
         .select(col("cell_id"))
+    }),
+
+    // BM25 ranked retrieval against the COMMITTED inverted index — the
+    // text-index lifecycle (build-once/commit/probe-many, the ANN stack's
+    // contract applied to full-text retrieval): 5 literal queries, top-5
+    // docs each. Every per-term score is ONE shared double expression
+    // floored to integer micro-units BEFORE the per-doc sum (cross-engine
+    // double accumulation order never matters); ranking orders by the
+    // integer score. Twin replays index build + the identical expression.
+    "q_text_bm25" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val m = pipeline.Bm25.buildStaged(pipeline.TextStages.runnerFor(docs), docs)
+      val queries = s.range(1, bm25Queries.length + 1L)
+        .select(col("id").as("query_id"),
+          element_at(array(bm25Queries.map(lit): _*), col("id").cast("int")).as("qtext"))
+      pipeline.Bm25.topK(m, queries, k = 5)
+    }),
+
+    // count-min frequency sketch over the 5-char shingle stream (the
+    // boilerplate/hot-key monitor): 4x256 counters built in ONE map-side-
+    // combined groupBy; every distinct shingle probed back through the
+    // broadcast sketch (min over its 4 cells) next to its exact count —
+    // est >= exact always (the one-sided CMS guarantee; SketchSpec pins
+    // it per key, the twin pins every counter and estimate).
+    "q_sketch_cms" -> ((s, dir) => {
+      val sh = t(s, dir, "documents").where(length(col("text")) >= 5)
+        .select(explode(expr(
+          "transform(sequence(1, length(text) - 4), i -> substring(text, i, 5))")).as("g"))
+      val sketch = pipeline.Sketches.cmsBuild(sh, col("g"), d = 4, w = 256)
+      val exact = sh.groupBy(col("g")).agg(count(lit(1)).as("exact"))
+      pipeline.Sketches.cmsEstimate(sketch, sh.distinct(), col("g"), d = 4, w = 256)
+        .join(exact, col("k") === col("g"))
+        .select(col("k"), col("est"), col("exact"))
+    }),
+
+    // per-source distinct-shingle cardinality via 64-register HLL — the
+    // bounded-memory distinct counter whose register TABLE merges by MAX
+    // (exact distinct per group at 10^12 rows needs a full (grp, key)
+    // exchange; the sketch needs 64 rows per group). rho is the exact
+    // trailing-zero observable (binary-string suffix — no float log);
+    // the harmonic-mean denominator sums as a SCALED INTEGER so no
+    // cross-engine double accumulation exists. exact attached as
+    // evidence (SketchSpec bounds the relative error).
+    "q_sketch_hll" -> ((s, dir) => {
+      val sh = t(s, dir, "documents").where(length(col("text")) >= 5)
+        .select(col("source"), explode(expr(
+          "transform(sequence(1, length(text) - 4), i -> substring(text, i, 5))")).as("g"))
+      val regs = pipeline.Sketches.hllRegisters(sh, col("source"), col("g"))
+      pipeline.Sketches.hllEstimate(regs)
+        .join(sh.groupBy(col("source")).agg(countDistinct(col("g")).as("exact")),
+          col("grp") === col("source"))
+        .select(col("grp"), col("est_fp"), col("exact"))
     }),
 
     // ---------- the four reference pipelines end-to-end (rows checks;
@@ -3336,5 +3398,98 @@ object SparkEntry {
            CAST(floor(i.inter * 1000000.0 / (x.na + y.na - i.inter)) AS BIGINT) AS jac_fp
          FROM inter i JOIN na x ON i.ida = x.ida JOIN na y ON i.idb = y.ida
          WHERE floor(i.inter * 1000000.0 / (x.na + y.na - i.inter)) >= 500000""",
+
+    // BM25: the whole index build (postings/doclens/dfs/stats) + the
+    // IDENTICAL per-term score expression (shared string — both engines
+    // evaluate the same IEEE double tree), integer sum across terms,
+    // rank by the integer score
+    "q_text_bm25" -> {
+      val values = bm25Queries.zipWithIndex
+        .map { case (q, i) => s"(CAST(${i + 1} AS BIGINT), '$q')" }.mkString(", ")
+      s"""WITH queries(query_id, qtext) AS (VALUES $values),
+         tm AS (
+           SELECT doc_id, u.term FROM documents,
+             unnest(regexp_extract_all(lower(text), '[a-z]{3,}')) AS u(term)),
+         postings AS (SELECT term, doc_id, count(*) AS tf FROM tm GROUP BY 1, 2),
+         doclens AS (SELECT doc_id, count(*) AS dl FROM tm GROUP BY 1),
+         dfs AS (SELECT term, count(*) AS df FROM postings GROUP BY 1),
+         stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM doclens),
+         qterms AS (
+           SELECT DISTINCT query_id, u.term FROM queries,
+             unnest(regexp_extract_all(lower(qtext), '[a-z]{3,}')) AS u(term)),
+         scored AS (
+           SELECT q.query_id, p.doc_id,
+             CAST(sum(${pipeline.Bm25.termScoreFpSql}) AS BIGINT) AS score_fp
+           FROM qterms q
+           JOIN postings p ON p.term = q.term
+           JOIN dfs f ON f.term = q.term
+           JOIN doclens d ON d.doc_id = p.doc_id
+           CROSS JOIN stats
+           GROUP BY 1, 2),
+         ranked AS (
+           SELECT query_id, doc_id, score_fp,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY score_fp DESC, doc_id) AS rank
+           FROM scored)
+         SELECT query_id, rank, doc_id, score_fp FROM ranked WHERE rank <= 5"""
+    },
+
+    // CMS: every counter of the 4x256 sketch and every probe's min-cell
+    // estimate replayed (md5 cell hashes, integer counts throughout)
+    "q_sketch_cms" ->
+      """WITH sh AS (
+           SELECT substring(text, i::INT, 5) AS g
+           FROM documents, unnest(range(1, greatest(length(text) - 4, 0) + 1)) AS t(i)
+           WHERE length(text) >= 5),
+         cells AS (
+           SELECT r.range AS r,
+             CAST('0x' || substr(md5('cms' || CAST(r.range AS VARCHAR) || '|' || g), 1, 15) AS BIGINT) % 256 AS cl
+           FROM sh, range(0, 4) r),
+         sketch AS (SELECT r, cl, count(*) AS c FROM cells GROUP BY 1, 2),
+         probes AS (SELECT DISTINCT g FROM sh),
+         pcells AS (
+           SELECT g, r.range AS r,
+             CAST('0x' || substr(md5('cms' || CAST(r.range AS VARCHAR) || '|' || g), 1, 15) AS BIGINT) % 256 AS cl
+           FROM probes, range(0, 4) r),
+         est AS (
+           SELECT p.g, min(coalesce(s.c, 0)) AS est
+           FROM pcells p LEFT JOIN sketch s ON s.r = p.r AND s.cl = p.cl
+           GROUP BY 1),
+         exact AS (SELECT g, count(*) AS exact FROM sh GROUP BY 1)
+         SELECT e.g AS k, e.est, x.exact
+         FROM est e JOIN exact x ON x.g = e.g""",
+
+    // HLL: registers (md5 hash, exact trailing-zero rho via the
+    // binary-string suffix), scaled-INTEGER harmonic denominator, and
+    // the shared estimate expression — plus the exact distinct evidence
+    "q_sketch_hll" ->
+      s"""WITH sh AS (
+           SELECT source, substring(text, i::INT, 5) AS g
+           FROM documents, unnest(range(1, greatest(length(text) - 4, 0) + 1)) AS t(i)
+           WHERE length(text) >= 5),
+         hs AS (
+           SELECT source, CAST('0x' || substr(md5('hll|' || g), 1, 15) AS BIGINT) AS h
+           FROM sh),
+         rr AS (SELECT source, h % 64 AS reg, h // 64 AS rest FROM hs),
+         rho AS (
+           SELECT source, reg,
+             CASE WHEN rest = 0 THEN 55
+               ELSE length(regexp_extract(bin(rest), '0*$$', 0)) + 1 END AS rho
+           FROM rr),
+         regs AS (SELECT source, reg, max(rho) AS m FROM rho GROUP BY 1, 2),
+         agg AS (
+           SELECT source,
+             CAST(sum(CAST(1 AS BIGINT) << CAST(55 - m AS INTEGER)) AS BIGINT) AS s_present,
+             CAST(count(*) AS BIGINT) AS n_present
+           FROM regs GROUP BY 1),
+         est AS (
+           SELECT source AS grp,
+             s_present + (64 - n_present) * CAST(36028797018963968 AS BIGINT) AS s_int,
+             64 - n_present AS v
+           FROM agg),
+         outp AS (SELECT grp, ${pipeline.Sketches.hllEstFpSql} AS est_fp FROM est),
+         exact AS (SELECT source, count(DISTINCT g) AS exact FROM sh GROUP BY 1)
+         SELECT o.grp, o.est_fp, x.exact
+         FROM outp o JOIN exact x ON x.source = o.grp""",
   )
 }

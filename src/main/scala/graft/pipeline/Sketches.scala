@@ -1,0 +1,115 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Mergeable sketch summaries as TABLES — the bounded-memory aggregation
+ * tier for corpus monitoring at 10^12 rows, where exact per-key state is
+ * either too large (distinct counting per group) or the point is a
+ * fixed-size summary that merges across partitions/days (hot-key
+ * detection feeding the salted-join path).
+ *
+ * Both sketches are deterministic and engine-portable: hashes are the
+ * md5-derived h60 family every oracle-checked operator shares
+ * ([[Dedup.h60]]), float estimate formulas are single shared expression
+ * strings evaluated identically by Spark and the DuckDB twins, and every
+ * cross-row reduction is an integer SUM/MAX/MIN (order-free) — never a
+ * cross-engine double accumulation.
+ *
+ * Scale shape: a sketch IS a small relation (d·w counters, or m
+ * registers per group) produced by one map-side-combined groupBy over
+ * the corpus. Merging two corpora's sketches is a groupBy SUM (CMS) or
+ * MAX (HLL) over the concatenated sketch tables — the property that
+ * makes them streaming/shard-friendly where exact groupBys are not.
+ */
+object Sketches {
+
+  /** The d per-row cell indexes of a key: pmod(h60("cms<r>|" || key), w)
+    * for r in 0 until d. */
+  private def cmsCells(key: Column, d: Int, w: Int): Seq[(Int, Column)] =
+    (0 until d).map(r =>
+      r -> pmod(Dedup.h60(concat(lit(s"cms$r|"), key.cast("string"))), lit(w.toLong)))
+
+  /** Count-min sketch BUILD: one pass over `rows`, one groupBy — the
+    * sketch table (r, cl, c) with d·w counters (absent cells are zero).
+    * Counts every occurrence of `key` (a frequency sketch, not distinct).
+    * Mergeable: union two sketch tables and groupBy (r, cl) SUM. */
+  def cmsBuild(rows: DataFrame, key: Column, d: Int, w: Int): DataFrame = {
+    require(d >= 1 && d <= 8, s"d=$d out of [1,8]")
+    require(w >= 2 && w <= (1 << 20), s"w=$w out of range")
+    rows.select(posexplode(array(cmsCells(key, d, w).map { case (r, cl) =>
+        struct(lit(r).as("r"), cl.as("cl")) }: _*)).as(Seq("i", "rc")))
+      .groupBy(col("rc.r").as("r"), col("rc.cl").as("cl"))
+      .agg(count(lit(1)).as("c"))
+  }
+
+  /** Count-min ESTIMATE: each probe key reads its d cells (the sketch —
+    * d·w rows — broadcasts) and takes the MIN. Guarantees est >= true
+    * count (every cell holds the key's count plus nonnegative collision
+    * mass); the standard error bound is est <= true + 2n/w w.p. 1-2^-d.
+    * Probes with a missing cell estimate through coalesce-0 (only
+    * possible for keys absent from the sketched corpus). */
+  def cmsEstimate(sketch: DataFrame, probes: DataFrame, key: Column,
+                  d: Int, w: Int): DataFrame = {
+    val keyed = probes.select(key.as("k"))
+    val cells = keyed.select(col("k"),
+      posexplode(array(cmsCells(col("k"), d, w).map { case (r, cl) =>
+        struct(lit(r).as("r"), cl.as("cl")) }: _*)).as(Seq("i", "rc")))
+    cells.select(col("k"), col("rc.r").as("r"), col("rc.cl").as("cl"))
+      .join(broadcast(sketch), Seq("r", "cl"), "left")
+      .groupBy(col("k"))
+      .agg(min(coalesce(col("c"), lit(0L))).as("est"))
+  }
+
+  /** Register count (m = 64, 6 index bits) and the small-range threshold
+    * (2.5·m) of the HLL sketch below. */
+  val HllM = 64
+
+  /** The shared HLL estimate expression over columns (s_int, v):
+    *  - s_int = Σ_j 2^(55 - M_j) — the harmonic-mean denominator scaled
+    *    by 2^55 so it is an exact INTEGER sum (order-free; a raw double
+    *    Σ 2^-M_j would be accumulation-order-dependent across engines),
+    *  - v = number of zero registers.
+    * raw = α_64 · m² · 2^55 / s_int with α_64 = 0.709 (Flajolet et al.'s
+    * published constant for m = 64); the small-range branch is linear
+    * counting m·ln(m/V). Floored to milli-units. Evaluated verbatim by
+    * Spark and the DuckDB twin. */
+  val hllEstFpSql: String = {
+    // literals are explicitly CAST ... AS DOUBLE: a bare `4096.0` parses
+    // as DECIMAL in both engines and decimal-arithmetic promotion rules
+    // differ (DuckDB overflows DECIMAL(18) on the 2^55-scaled product)
+    val raw = "(CAST(0.709 AS DOUBLE) * CAST(4096 AS DOUBLE) * " +
+      "CAST(36028797018963968 AS DOUBLE) / s_int)"
+    s"CAST(floor(CAST(1000 AS DOUBLE) * (CASE WHEN $raw <= CAST(160 AS DOUBLE) " +
+      s"AND v > 0 THEN CAST(64 AS DOUBLE) * ln(CAST(64 AS DOUBLE) / v) " +
+      s"ELSE $raw END)) AS BIGINT)"
+  }
+
+  /** Per-group HLL REGISTERS: (grp, reg, m) with reg = h60 % 64 and
+    * m = max over the group's keys of rho(h60 >> 6), where rho = index of
+    * the lowest set bit + 1 (Flajolet's bit-pattern observable; trailing
+    * zeros counted exactly via the binary-string suffix — no float log).
+    * rho = 55 for the all-zero 54-bit remainder. Registers a group never
+    * hits are absent (M = 0). Mergeable: union + groupBy MAX. */
+  def hllRegisters(rows: DataFrame, grp: Column, key: Column): DataFrame = {
+    val h = Dedup.h60(concat(lit("hll|"), key.cast("string")))
+    val rest = shiftrightunsigned(h, 6)
+    val rho = when(rest === 0L, lit(55L))
+      .otherwise(length(regexp_extract(bin(rest), "0*$", 0)) + lit(1L))
+    rows.select(grp.as("grp"), pmod(h, lit(HllM.toLong)).as("reg"), rho.as("rho"))
+      .groupBy(col("grp"), col("reg")).agg(max(col("rho")).as("m"))
+  }
+
+  /** Per-group HLL distinct-count ESTIMATE from the register table:
+    * (grp, est_fp). One groupBy over m rows per group. */
+  def hllEstimate(regs: DataFrame): DataFrame =
+    regs.groupBy(col("grp"))
+      .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(55 - m AS INT))")).as("s_present"),
+        count(lit(1)).as("n_present"))
+      .select(col("grp"),
+        (col("s_present") +
+          (lit(HllM.toLong) - col("n_present")) * lit(1L << 55)).as("s_int"),
+        (lit(HllM.toLong) - col("n_present")).as("v"))
+      .select(col("grp"), expr(hllEstFpSql).as("est_fp"))
+}

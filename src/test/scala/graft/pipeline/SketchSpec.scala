@@ -1,0 +1,124 @@
+package graft.pipeline
+
+import graft.SparkSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Sketch contracts: CMS one-sided overestimate + mergeability + hot-key
+ * detection; HLL register exactness vs the sequential hash model,
+ * mergeability by register MAX, and bounded estimate error on planted
+ * cardinalities (both estimate branches).
+ */
+class SketchSpec extends AnyFunSuite {
+  lazy val spark = SparkSuite.spark
+  import spark.implicits._
+
+  // skewed key stream: key j contributes j occurrences (j = 1..60) —
+  // 1830 rows, known exact counts, a clear heavy-hitter tail
+  lazy val skewed: DataFrame =
+    (1 to 60).flatMap(j => Seq.fill(j)(s"key$j")).toDF("k").cache()
+
+  test("CMS: est >= exact for every key (one-sided guarantee), tight w") {
+    val sk = Sketches.cmsBuild(skewed, col("k"), d = 4, w = 16) // heavy collisions
+    val est = Sketches.cmsEstimate(sk, skewed.distinct(), col("k"), d = 4, w = 16)
+    val exact = skewed.groupBy(col("k")).agg(count(lit(1)).as("exact"))
+      .withColumnRenamed("k", "k2")
+    val under = est.join(exact, col("k") === col("k2"))
+      .where(col("est") < col("exact")).count()
+    assert(under == 0L, s"$under keys underestimated — CMS guarantee broken")
+  }
+
+  test("CMS: sketch table is bounded by d*w cells and counts conserve") {
+    val sk = Sketches.cmsBuild(skewed, col("k"), d = 4, w = 16).cache()
+    assert(sk.count() <= 4L * 16)
+    // every row of the sketch holds each occurrence exactly once per hash row
+    val perRow = sk.groupBy(col("r")).agg(sum(col("c")).as("s")).collect()
+    assert(perRow.length == 4 && perRow.forall(_.getLong(1) == 1830L))
+  }
+
+  test("CMS: merge of two halves' sketches == whole-corpus sketch") {
+    val a = skewed.where(xxhash64(col("k")) % 2 === 0)
+    val b = skewed.where(xxhash64(col("k")) % 2 =!= 0)
+    val merged = Sketches.cmsBuild(a, col("k"), 4, 32)
+      .unionByName(Sketches.cmsBuild(b, col("k"), 4, 32))
+      .groupBy(col("r"), col("cl")).agg(sum(col("c")).as("c"))
+    val whole = Sketches.cmsBuild(skewed, col("k"), 4, 32)
+    assert(merged.collect().map(_.toString).toSet ==
+      whole.collect().map(_.toString).toSet)
+  }
+
+  test("CMS: the true heaviest key survives into the estimate top set") {
+    // overestimates can PROMOTE light keys (collision mass is one-sided),
+    // but the heaviest key's own count rides every one of its cells — it
+    // can never fall behind a key it shares all comparisons with by more
+    // than the collision mass; at w=64 it is in the top set
+    val sk = Sketches.cmsBuild(skewed, col("k"), d = 4, w = 64)
+    val top = Sketches.cmsEstimate(sk, skewed.distinct(), col("k"), 4, 64)
+      .orderBy(col("est").desc, col("k")).limit(5)
+      .collect().map(_.getString(0)).toSet
+    assert(top.contains("key60"), s"hot-key detection top-5 $top misses key60")
+  }
+
+  test("CMS: absent probe key estimates through (possibly zero) collision mass only") {
+    val sk = Sketches.cmsBuild(skewed, col("k"), d = 4, w = 4096)
+    val ghost = Seq("never-seen-key").toDF("k")
+    val est = Sketches.cmsEstimate(sk, ghost, col("k"), 4, 4096)
+      .collect()(0).getLong(1)
+    assert(est >= 0L && est <= 60L, s"ghost estimate $est outside plausible collision mass")
+  }
+
+  test("HLL: registers match the sequential md5 hash model exactly") {
+    val rows = (1 to 500).map(i => ("g", s"item$i")).toDF("grp", "key")
+    val got = Sketches.hllRegisters(rows, col("grp"), col("key"))
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    // sequential model: same h60, reg = low 6 bits, rho = trailing zeros
+    // of the high 54 bits + 1 (55 when zero)
+    val model = (1 to 500).map { i =>
+      val h = Dedup.md5h60(s"hll|item$i")
+      val (reg, rest) = (h % 64, h >>> 6)
+      reg -> (if (rest == 0L) 55L else java.lang.Long.numberOfTrailingZeros(rest) + 1L)
+    }.groupBy(_._1).map { case (reg, o) => reg -> o.map(_._2).max }
+    assert(got == model)
+  }
+
+  test("HLL: register tables merge by MAX (shard-and-merge == whole)") {
+    val rows = (1 to 800).map(i => (s"g${i % 3}", s"item$i")).toDF("grp", "key")
+    val a = rows.where(xxhash64(col("key")) % 2 === 0)
+    val b = rows.where(xxhash64(col("key")) % 2 =!= 0)
+    val merged = Sketches.hllRegisters(a, col("grp"), col("key"))
+      .unionByName(Sketches.hllRegisters(b, col("grp"), col("key")))
+      .groupBy(col("grp"), col("reg")).agg(max(col("m")).as("m"))
+    val whole = Sketches.hllRegisters(rows, col("grp"), col("key"))
+    assert(merged.collect().map(_.toString).toSet ==
+      whole.collect().map(_.toString).toSet)
+    // and the merged registers estimate identically
+    assert(Sketches.hllEstimate(merged).collect().map(_.toString).toSet ==
+      Sketches.hllEstimate(whole).collect().map(_.toString).toSet)
+  }
+
+  test("HLL: bounded relative error across planted cardinalities (both branches)") {
+    // n = 12 exercises linear counting (raw <= 2.5m with zero registers);
+    // n = 5000 exercises the raw harmonic branch; m = 64 => sigma ~ 13%
+    val rows = ((1 to 12).map(i => ("small", s"s$i")) ++
+      (1 to 5000).map(i => ("large", s"l$i"))).toDF("grp", "key")
+    val est = Sketches.hllEstimate(
+        Sketches.hllRegisters(rows, col("grp"), col("key")))
+      .collect().map(r => r.getString(0) -> r.getLong(1) / 1000.0).toMap
+    assert(math.abs(est("small") / 12.0 - 1.0) < 0.35,
+      s"small-range estimate ${est("small")} vs 12")
+    assert(math.abs(est("large") / 5000.0 - 1.0) < 0.35,
+      s"large-range estimate ${est("large")} vs 5000")
+  }
+
+  test("HLL: duplicates never move the estimate (distinct-count semantics)") {
+    val once = (1 to 300).map(i => ("g", s"item$i")).toDF("grp", "key")
+    val tripled = ((1 to 300) ++ (1 to 300) ++ (1 to 300))
+      .map(i => ("g", s"item$i")).toDF("grp", "key")
+    assert(Sketches.hllEstimate(Sketches.hllRegisters(once, col("grp"), col("key")))
+        .collect().map(_.toString).toSet ==
+      Sketches.hllEstimate(Sketches.hllRegisters(tripled, col("grp"), col("key")))
+        .collect().map(_.toString).toSet)
+  }
+}
