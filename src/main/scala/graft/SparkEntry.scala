@@ -1550,6 +1550,51 @@ object SparkEntry {
         .select(col("grp"), col("est_fp"), col("exact"))
     }),
 
+    // per-source distinct estimate via k-minimum-values (bottom-k) —
+    // the SET-OPERATION-capable distinct sketch (theta intersection
+    // below); exact in milli-units whenever the sketch holds the whole
+    // set (n < k), the unbiased (k-1)*2^60/h_k beyond
+    "q_sketch_kmv" -> ((s, dir) => {
+      val sh = t(s, dir, "documents").where(length(col("text")) >= 5)
+        .select(col("source"), explode(expr(
+          "transform(sequence(1, length(text) - 4), i -> substring(text, i, 5))")).as("g"))
+      pipeline.Sketches.kmvEstimate(
+        pipeline.Sketches.kmvSketch(sh, col("source"), col("g"), k = 32), k = 32)
+    }),
+
+    // theta-sketch distinct INTERSECTION between source pairs from their
+    // bottom-k sketches alone (k-row joins — never the exact pairwise
+    // set intersection a 10^12-doc overlap audit can't afford); exact
+    // intersection attached as evidence
+    "q_sketch_theta" -> ((s, dir) => {
+      val sh = t(s, dir, "documents").where(length(col("text")) >= 5)
+        .select(col("source"), explode(expr(
+          "transform(sequence(1, length(text) - 4), i -> substring(text, i, 5))")).as("g"))
+      val sk = pipeline.Sketches.kmvSketch(sh, col("source"), col("g"), k = 32)
+      val pairs = Seq(("src0", "src1"), ("src0", "src2"), ("src1", "src2"))
+      val pdf = s.range(0, 3).select(
+        element_at(array(pairs.map(p => lit(p._1)): _*), col("id").cast("int") + 1).as("ga"),
+        element_at(array(pairs.map(p => lit(p._2)): _*), col("id").cast("int") + 1).as("gb"))
+      val exact = sh.select(col("source").as("ga"), col("g")).distinct()
+        .join(sh.select(col("source").as("gb"), col("g")).distinct(), "g")
+        .groupBy(col("ga"), col("gb")).agg(count(lit(1)).as("exact"))
+      pipeline.Sketches.thetaIntersect(sk, pdf, k = 32)
+        .join(exact, Seq("ga", "gb"))
+        .select(col("ga"), col("gb"), col("est_fp"), col("exact"))
+    }),
+
+    // geodesic (spherical) cell area in whole m² over the distinct z14
+    // order cells — cover algebra to real-world area accounting: tanh-
+    // only spherical-zone math (no trig), the shared expression string
+    // evaluated identically by the twin
+    "q_cell_area" -> ((s, dir) => {
+      val ord = t(s, dir, "orders").select(
+        latOf(col("o_orderkey")).as("lat"), lngOf(col("o_orderkey")).as("lng"))
+      val cells = ord.select(
+        GeoF.cellAtWgs(col("lat"), col("lng"), 14).as("cell_id")).distinct()
+      pipeline.CellOps.cellArea(cells)
+    }),
+
     // ---------- the four reference pipelines end-to-end (rows checks;
     // full semantics pinned by PipelineSpec goldens) ----------
     "q_pipeline_original" -> ((s, _) => pipelineCounts(s)(pipeline.Pipelines.originalTiles(s, _, _, _, _))),
@@ -3458,6 +3503,79 @@ object SparkEntry {
          exact AS (SELECT g, count(*) AS exact FROM sh GROUP BY 1)
          SELECT e.g AS k, e.est, x.exact
          FROM est e JOIN exact x ON x.g = e.g""",
+
+    // KMV: distinct md5 hashes -> per-group bottom-32 window -> the
+    // shared estimate expression (exact below k, (k-1)*2^60/h_k beyond)
+    "q_sketch_kmv" ->
+      ("""WITH sh AS (
+           SELECT source, substring(text, i::INT, 5) AS g
+           FROM documents, unnest(range(1, greatest(length(text) - 4, 0) + 1)) AS t(i)
+           WHERE length(text) >= 5),
+         hs AS (
+           SELECT DISTINCT source AS grp,
+             CAST('0x' || substr(md5('kmv|' || g), 1, 15) AS BIGINT) AS h
+           FROM sh),
+         rk AS (
+           SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) AS rk
+           FROM hs),
+         sk AS (SELECT grp, h FROM rk WHERE rk <= 32),
+         agg AS (
+           SELECT grp, CAST(count(*) AS BIGINT) AS n, max(h) AS hk
+           FROM sk GROUP BY 1)
+         SELECT grp, """ + pipeline.Sketches.kmvEstFpSql(32) +
+      """ AS est_fp FROM agg"""),
+
+    // theta intersection: per-pair min threshold, common sketch hashes
+    // below it, the shared scale-up — next to the exact overlap
+    "q_sketch_theta" ->
+      """WITH sh AS (
+           SELECT source, substring(text, i::INT, 5) AS g
+           FROM documents, unnest(range(1, greatest(length(text) - 4, 0) + 1)) AS t(i)
+           WHERE length(text) >= 5),
+         hs AS (
+           SELECT DISTINCT source AS grp,
+             CAST('0x' || substr(md5('kmv|' || g), 1, 15) AS BIGINT) AS h
+           FROM sh),
+         rk AS (
+           SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) AS rk
+           FROM hs),
+         sk AS (SELECT grp, h FROM rk WHERE rk <= 32),
+         th AS (
+           SELECT grp, CASE WHEN count(*) < 32 THEN 1152921504606846976
+             ELSE max(h) END AS theta
+           FROM sk GROUP BY grp),
+         pairs(ga, gb) AS (VALUES ('src0', 'src1'), ('src0', 'src2'), ('src1', 'src2')),
+         pt AS (
+           SELECT p.ga, p.gb, least(a.theta, b.theta) AS theta
+           FROM pairs p JOIN th a ON a.grp = p.ga JOIN th b ON b.grp = p.gb),
+         common AS (
+           SELECT pt.ga, pt.gb, count(*) AS common
+           FROM pt JOIN sk x ON x.grp = pt.ga
+                   JOIN sk y ON y.grp = pt.gb AND y.h = x.h
+           WHERE x.h < pt.theta GROUP BY 1, 2),
+         outp AS (
+           SELECT pt.ga, pt.gb,
+             CAST(floor(CAST(1000 AS DOUBLE) * coalesce(c.common, 0) *
+               CAST(1152921504606846976 AS DOUBLE) / pt.theta) AS BIGINT) AS est_fp
+           FROM pt LEFT JOIN common c ON c.ga = pt.ga AND c.gb = pt.gb),
+         exact AS (
+           SELECT a.ga, b.gb, count(*) AS exact
+           FROM (SELECT DISTINCT source AS ga, g FROM sh) a
+           JOIN (SELECT DISTINCT source AS gb, g FROM sh) b ON b.g = a.g
+           GROUP BY 1, 2)
+         SELECT o.ga, o.gb, o.est_fp, e.exact
+         FROM outp o JOIN exact e ON e.ga = o.ga AND e.gb = o.gb""",
+
+    // geodesic cell area: the r14 distinct-cell CTE (shared web-mercator
+    // chain) + the identical tanh-via-exp spherical-zone expression
+    "q_cell_area" ->
+      s"""WITH $cellCoverCtes,
+         c AS (
+           SELECT cell_id,
+             CAST((CAST(1 AS BIGINT) << CAST(cell_id // 288230376151711744 AS INTEGER)) AS DOUBLE) AS nt,
+             cell_id % 536870912 AS ty
+           FROM r14)
+         SELECT cell_id, ${pipeline.CellOps.cellAreaM2Sql} AS area_m2 FROM c""",
 
     // HLL: registers (md5 hash, exact trailing-zero rho via the
     // binary-string suffix), scaled-INTEGER harmonic denominator, and

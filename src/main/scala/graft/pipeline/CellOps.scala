@@ -319,4 +319,40 @@ object CellOps {
         col("n").as("n_tiles"), expr("sb div n").as("mean_b"),
         expr("sg div n").as("mean_g"), expr("sr div n").as("mean_r"))
   }
+
+  /** floor(m²) GEODESIC (spherical) area of a web-mercator cell, over
+    * columns (nt, ty) with nt = 2^z tiles per axis — the metric that
+    * turns cover algebra into real-world area accounting (a cover's m²
+    * is the SUM of its cells' — zonal stats, exclusion-region budgets,
+    * tile-density normalization all need it; cell-unit areas from
+    * coverIntersect are only comparable within one level).
+    *
+    * Exact derivation, no approximation beyond the sphere: a slippy cell
+    * spans Δλ = 2π/nt and its latitude edge at tile row y satisfies
+    * sin φ(y) = tanh(π(1 − 2y/nt)) (sin∘atan∘sinh collapses to tanh), so
+    * the spherical-zone area is R²·Δλ·(sin φ_top − sin φ_bot) with
+    * NO trig calls — tanh alone, spelled via exp because DuckDB has no
+    * tanh and the twin must evaluate the identical IEEE tree. R =
+    * 6371000 m (R² = 40589641000000). Literals are CAST ... AS DOUBLE
+    * (bare decimal literals parse as DECIMAL in both engines). */
+  val cellAreaM2Sql: String = {
+    def tanhAt(row: String): String = {
+      val x = s"(pi() * (CAST(1 AS DOUBLE) - CAST(2 AS DOUBLE) * ($row) / nt))"
+      s"((exp(CAST(2 AS DOUBLE) * $x) - CAST(1 AS DOUBLE)) / " +
+        s"(exp(CAST(2 AS DOUBLE) * $x) + CAST(1 AS DOUBLE)))"
+    }
+    s"CAST(floor((CAST(2 AS DOUBLE) * pi() / nt) * CAST(40589641000000 AS DOUBLE) * " +
+      s"(${tanhAt("ty")} - ${tanhAt("ty + 1")})) AS BIGINT)"
+  }
+
+  /** Per-cell geodesic area: input one `cell_id` column (any mix of
+    * levels), output (cell_id, area_m2). Pure column math — zero
+    * shuffle, codegen'd, works on compacted covers directly. */
+  def cellArea(cells: DataFrame): DataFrame =
+    cells.select(col("cell_id"),
+        expr(s"CAST(shiftleft(CAST(1 AS BIGINT), CAST(cell_id div ${ZShift}L AS INT)) AS DOUBLE)").as("nt"),
+        cell_tyCol.as("ty"))
+      .select(col("cell_id"), expr(cellAreaM2Sql).as("area_m2"))
+
+  private def cell_tyCol: Column = col("cell_id").bitwiseAND(lit(0x1FFFFFFFL))
 }

@@ -101,6 +101,63 @@ object Sketches {
       .groupBy(col("grp"), col("reg")).agg(max(col("rho")).as("m"))
   }
 
+  /** Per-group KMV (k-minimum-values / bottom-k) distinct sketch:
+    * (grp, rk, h) — the k smallest DISTINCT h60 hashes of the group's
+    * keys. Unlike HLL this sketch supports SET OPERATIONS (theta
+    * intersection below): the k smallest hashes are a uniform sample of
+    * the group's distinct set below its threshold. rank <= k is the
+    * WindowGroupLimit shape — each map task forwards at most k rows per
+    * group. Mergeable: union two groups' sketches, re-rank, keep k. */
+  def kmvSketch(rows: DataFrame, grp: Column, key: Column, k: Int): DataFrame = {
+    require(k >= 2 && k <= (1 << 16), s"k=$k out of range")
+    rows.select(grp.as("grp"),
+        Dedup.h60(concat(lit("kmv|"), key.cast("string"))).as("h"))
+      .distinct()
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("grp")).orderBy(col("h"))))
+      .where(col("rk") <= k)
+  }
+
+  /** The shared KMV estimate expression over columns (n, hk) for sketch
+    * size `k`: exact (milli-units) when the sketch holds the whole
+    * distinct set (n < k), else the unbiased (k-1)·2^60/h_k. */
+  def kmvEstFpSql(k: Int): String =
+    s"CASE WHEN n < $k THEN n * CAST(1000 AS BIGINT) " +
+      s"ELSE CAST(floor(CAST(1000 AS DOUBLE) * CAST(${k - 1} AS DOUBLE) * " +
+      s"CAST(1152921504606846976 AS DOUBLE) / hk) AS BIGINT) END"
+
+  /** Per-group distinct estimate from a [[kmvSketch]] table: (grp, est_fp). */
+  def kmvEstimate(sk: DataFrame, k: Int): DataFrame =
+    sk.groupBy(col("grp")).agg(count(lit(1)).as("n"), max(col("h")).as("hk"))
+      .select(col("grp"), expr(kmvEstFpSql(k)).as("est_fp"))
+
+  /** Theta-sketch intersection over KMV sketches: for each (ga, gb) pair,
+    * theta = min of the two groups' thresholds (2^60 when a sketch holds
+    * its whole set), common = hashes present in BOTH sketches below
+    * theta (all such hashes are guaranteed present in both — h < the kth
+    * min of g implies membership in g's bottom-k), estimate =
+    * common · 2^60 / theta. The distinct-overlap measure HLL cannot
+    * provide; the whole pass joins only k-row sketches. */
+  def thetaIntersect(sk: DataFrame, pairs: DataFrame, k: Int): DataFrame = {
+    val th = sk.groupBy(col("grp")).agg(count(lit(1)).as("n"), max(col("h")).as("hk"))
+      .select(col("grp"), when(col("n") < k, lit(1L << 60)).otherwise(col("hk")).as("theta"))
+    val pt = pairs
+      .join(th.select(col("grp").as("ga"), col("theta").as("theta_a")), "ga")
+      .join(th.select(col("grp").as("gb"), col("theta").as("theta_b")), "gb")
+      .select(col("ga"), col("gb"), least(col("theta_a"), col("theta_b")).as("theta"))
+    val common = pt
+      .join(sk.select(col("grp").as("ga"), col("h")), "ga")
+      .join(sk.select(col("grp").as("gb"), col("h")), Seq("gb", "h"))
+      .where(col("h") < col("theta"))
+      .groupBy(col("ga"), col("gb"), col("theta")).agg(count(lit(1)).as("common"))
+    pt.join(common, Seq("ga", "gb", "theta"), "left")
+      .select(col("ga"), col("gb"), col("theta"),
+        coalesce(col("common"), lit(0L)).as("common"))
+      .select(col("ga"), col("gb"),
+        expr("CAST(floor(CAST(1000 AS DOUBLE) * common * " +
+          "CAST(1152921504606846976 AS DOUBLE) / theta) AS BIGINT)").as("est_fp"))
+  }
+
   /** Per-group HLL distinct-count ESTIMATE from the register table:
     * (grp, est_fp). One groupBy over m rows per group. */
   def hllEstimate(regs: DataFrame): DataFrame =

@@ -112,6 +112,56 @@ class SketchSpec extends AnyFunSuite {
       s"large-range estimate ${est("large")} vs 5000")
   }
 
+  test("KMV: exact below k (milli-units), bounded error far above k") {
+    val rows = ((1 to 20).map(i => ("tiny", s"t$i")) ++
+      (1 to 4000).map(i => ("big", s"b$i"))).toDF("grp", "key")
+    val est = Sketches.kmvEstimate(
+        Sketches.kmvSketch(rows, col("grp"), col("key"), k = 32), k = 32)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est("tiny") == 20000L, s"below-k estimate must be EXACT, got ${est("tiny")}")
+    assert(math.abs(est("big") / 1000.0 / 4000.0 - 1.0) < 0.5,
+      s"k=32 estimate ${est("big") / 1000.0} vs 4000") // sigma ~ 1/sqrt(30) ~ 18%
+  }
+
+  test("KMV: shard-and-merge (union, re-rank, keep k) == whole-corpus sketch") {
+    val rows = (1 to 3000).map(i => (s"g${i % 2}", s"item$i")).toDF("grp", "key")
+    val a = rows.where(xxhash64(col("key")) % 2 === 0)
+    val b = rows.where(xxhash64(col("key")) % 2 =!= 0)
+    import org.apache.spark.sql.expressions.Window
+    val merged = Sketches.kmvSketch(a, col("grp"), col("key"), 16)
+      .unionByName(Sketches.kmvSketch(b, col("grp"), col("key"), 16))
+      .select(col("grp"), col("h")).distinct()
+      .withColumn("rk", row_number().over(Window.partitionBy(col("grp")).orderBy(col("h"))))
+      .where(col("rk") <= 16)
+    val whole = Sketches.kmvSketch(rows, col("grp"), col("key"), 16)
+    assert(merged.collect().map(_.toString).toSet ==
+      whole.collect().map(_.toString).toSet)
+  }
+
+  test("theta intersection: planted overlap within tolerance; disjoint -> 0") {
+    // A = 1..2000, B = 1001..3000 -> |A ∩ B| = 1000; C disjoint
+    val rows = ((1 to 2000).map(i => ("A", s"x$i")) ++
+      (1001 to 3000).map(i => ("B", s"x$i")) ++
+      (1 to 500).map(i => ("C", s"c$i"))).toDF("grp", "key")
+    val sk = Sketches.kmvSketch(rows, col("grp"), col("key"), k = 64)
+    val pairs = Seq(("A", "B"), ("A", "C")).toDF("ga", "gb")
+    val est = Sketches.thetaIntersect(sk, pairs, k = 64)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(math.abs(est(("A", "B")) / 1000.0 / 1000.0 - 1.0) < 0.6,
+      s"planted 1000-overlap estimated ${est(("A", "B")) / 1000.0}")
+    assert(est(("A", "C")) == 0L, s"disjoint overlap estimated ${est(("A", "C"))}")
+  }
+
+  test("theta intersection: below-k groups intersect EXACTLY") {
+    // both sketches hold their whole sets -> theta = 2^60 -> exact count
+    val rows = ((1 to 20).map(i => ("P", s"x$i")) ++
+      (11 to 25).map(i => ("Q", s"x$i"))).toDF("grp", "key")
+    val sk = Sketches.kmvSketch(rows, col("grp"), col("key"), k = 32)
+    val est = Sketches.thetaIntersect(sk, Seq(("P", "Q")).toDF("ga", "gb"), k = 32)
+      .collect()(0).getLong(2)
+    assert(est == 10000L, s"exact-mode intersection must be 10 (milli-units), got $est")
+  }
+
   test("HLL: duplicates never move the estimate (distinct-count semantics)") {
     val once = (1 to 300).map(i => ("g", s"item$i")).toDF("grp", "key")
     val tripled = ((1 to 300) ++ (1 to 300) ++ (1 to 300))
