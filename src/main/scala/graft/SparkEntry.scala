@@ -1595,6 +1595,41 @@ object SparkEntry {
       pipeline.CellOps.cellArea(cells)
     }),
 
+    // per-user trajectory accounting (the GPS-track QA op): events order
+    // by (ts, event_id) per user, each segment's great-circle meters
+    // FLOOR per segment before the sum (order-free integer reduction —
+    // a raw double path sum would be accumulation-order-dependent), plus
+    // the net first->last displacement. path >= net (triangle
+    // inequality) up to floor slack; straightness = net/path derivable.
+    // ONE window pass + one aggregation, both keyed by user.
+    "q_trajectory" -> ((s, dir) => {
+      // positions are md5-derived (portable) — a LINEAR key->coord map
+      // would make every track collinear (path == net, degenerate)
+      val ev = t(s, dir, "events").select(col("user_id"), col("event_id"), col("ts"),
+        (lit(53.8306) + (pipeline.Dedup.h60(concat(lit("tla|"),
+          col("event_id").cast("string"))) % 14000).cast("double") * lit(0.00001)).as("lat"),
+        (lit(27.4026) + (pipeline.Dedup.h60(concat(lit("tlg|"),
+          col("event_id").cast("string"))) % 29000).cast("double") * lit(0.00001)).as("lng"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val seg = ev
+        .withColumn("plat", lag(col("lat"), 1).over(w))
+        .withColumn("plng", lag(col("lng"), 1).over(w))
+        .where(col("plat").isNotNull)
+        .select(col("user_id"), floor(GeoF.haversineMeters(
+          col("plat"), col("plng"), col("lat"), col("lng"))).cast("long").as("seg_m"))
+      val ends = ev.groupBy(col("user_id")).agg(
+          min_by(struct(col("lat"), col("lng")), struct(col("ts"), col("event_id"))).as("f"),
+          max_by(struct(col("lat"), col("lng")), struct(col("ts"), col("event_id"))).as("l"),
+          count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("n_events"), floor(GeoF.haversineMeters(
+          col("f.lat"), col("f.lng"), col("l.lat"), col("l.lng"))).cast("long").as("net_m"))
+      seg.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_segs"), sum(col("seg_m")).as("path_m"))
+        .join(ends, "user_id")
+        .select(col("user_id"), col("n_events"), col("n_segs"),
+          col("path_m"), col("net_m"))
+    }),
+
     // ---------- the four reference pipelines end-to-end (rows checks;
     // full semantics pinned by PipelineSpec goldens) ----------
     "q_pipeline_original" -> ((s, _) => pipelineCounts(s)(pipeline.Pipelines.originalTiles(s, _, _, _, _))),
@@ -3576,6 +3611,44 @@ object SparkEntry {
              cell_id % 536870912 AS ty
            FROM r14)
          SELECT cell_id, ${pipeline.CellOps.cellAreaM2Sql} AS area_m2 FROM c""",
+
+    // trajectory twin: the identical lag window, per-segment floored
+    // haversine (same operation order as every meter twin), first/last
+    // via rank windows, integer sums
+    "q_trajectory" ->
+      """WITH ev AS (
+           SELECT user_id, event_id, ts,
+             53.8306::DOUBLE + (CAST('0x' || substr(md5('tla|' || CAST(event_id AS VARCHAR)), 1, 15) AS BIGINT) % 14000)::DOUBLE * 0.00001::DOUBLE AS lat,
+             27.4026::DOUBLE + (CAST('0x' || substr(md5('tlg|' || CAST(event_id AS VARCHAR)), 1, 15) AS BIGINT) % 29000)::DOUBLE * 0.00001::DOUBLE AS lng
+           FROM events),
+         seg AS (
+           SELECT user_id,
+             lag(lat) OVER w AS plat, lag(lng) OVER w AS plng, lat, lng
+           FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         segm AS (
+           SELECT user_id, CAST(floor(2.0 * 6371008.8 * asin(sqrt(
+               sin((lat - plat) * pi() / 360.0) * sin((lat - plat) * pi() / 360.0) +
+               cos(plat * pi() / 180.0) * cos(lat * pi() / 180.0) *
+                 sin((lng - plng) * pi() / 360.0) * sin((lng - plng) * pi() / 360.0)))) AS BIGINT) AS seg_m
+           FROM seg WHERE plat IS NOT NULL),
+         pathagg AS (
+           SELECT user_id, count(*) AS n_segs, CAST(sum(seg_m) AS BIGINT) AS path_m
+           FROM segm GROUP BY 1),
+         ranked AS (
+           SELECT user_id, lat, lng,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+             count(*) OVER (PARTITION BY user_id) AS n
+           FROM ev),
+         ends AS (
+           SELECT f.user_id, f.n AS n_events,
+             CAST(floor(2.0 * 6371008.8 * asin(sqrt(
+               sin((l.lat - f.lat) * pi() / 360.0) * sin((l.lat - f.lat) * pi() / 360.0) +
+               cos(f.lat * pi() / 180.0) * cos(l.lat * pi() / 180.0) *
+                 sin((l.lng - f.lng) * pi() / 360.0) * sin((l.lng - f.lng) * pi() / 360.0)))) AS BIGINT) AS net_m
+           FROM (SELECT * FROM ranked WHERE rn = 1) f
+           JOIN (SELECT * FROM ranked WHERE rn = n) l ON l.user_id = f.user_id)
+         SELECT p.user_id, e.n_events, p.n_segs, p.path_m, e.net_m
+         FROM pathagg p JOIN ends e ON e.user_id = p.user_id""",
 
     // HLL: registers (md5 hash, exact trailing-zero rho via the
     // binary-string suffix), scaled-INTEGER harmonic denominator, and

@@ -145,37 +145,78 @@ final class StageRunner(spark: SparkSession, baseDir: String,
     val cur = manifestObj(name)
     val fresh = cur.exists(_.inputs.toSet == inputRefs.toSet)
     if (!fresh) {
-      val t0 = System.nanoTime()
-      val snapId = math.max(ledger().getOrElse(name, 0L),
-        cur.map(_.snapshot_id).getOrElse(0L)) + 1
       // write the NEW snapshot beside the old one, never over it: the
       // previous snapshot stays intact and served until the manifest
       // pointer-swap below commits (crash mid-write = orphan dir — never
       // committed, never servable, reaped by the next expire; live data
       // untouched)
-      val newDir = s"data_v$snapId"
-      val df = compute
-      df.write.mode("overwrite").parquet(s"$baseDir/$name/$newDir")
-      val written = spark.read.parquet(s"$baseDir/$name/$newDir")
-      val parts = written.groupBy(spark_partition_id().as("pid"))
-        .count().orderBy("pid")
-        .collect().map(r => PartStat(r.getInt(0), r.getLong(1))).toSeq
-      val total = parts.map(_.rows).sum
-      val manifest = StageManifest(name, snapId, total, inputRefs, parts,
-        (System.nanoTime() - t0) / 1000000L, newDir, java.time.Instant.now().toString,
-        written.schema.json)
-      // ledger is RE-READ at write time: a compute thunk may itself run
-      // stages, and a stale early read would erase their entries
-      val led = ledger()
-      val newLedger = new java.util.TreeMap[String, java.lang.Long]()
-      (led + (name -> snapId)).foreach { case (k, v) => newLedger.put(k, v) }
-      ManifestJson.writeAtomic(ledgerPath, newLedger)
-      // commit order: immutable history entry first, then the pointer swap
-      ManifestJson.writeAtomic(versionManifestPath(name, snapId), manifest)
-      ManifestJson.writeAtomic(manifestPath(name), manifest)
-      expireSnapshots(name, manifest, prevServed = cur.map(_.snapshot_id))
-      readData(name, manifest)
+      commitSnapshot(name, compute, inputRefs, prevServed = cur.map(_.snapshot_id))
     } else readData(name, cur.get)
+  }
+
+  /** Write `df` as the stage's next snapshot and pointer-swap-commit it
+    * (shared by [[stage]] and [[compactStage]]). */
+  private def commitSnapshot(name: String, df: => DataFrame,
+                             inputRefs: Seq[InputRef],
+                             prevServed: Option[Long]): DataFrame = {
+    val t0 = System.nanoTime()
+    val snapId = math.max(ledger().getOrElse(name, 0L),
+      prevServed.getOrElse(0L)) + 1
+    val newDir = s"data_v$snapId"
+    df.write.mode("overwrite").parquet(s"$baseDir/$name/$newDir")
+    val written = spark.read.parquet(s"$baseDir/$name/$newDir")
+    val parts = written.groupBy(spark_partition_id().as("pid"))
+      .count().orderBy("pid")
+      .collect().map(r => PartStat(r.getInt(0), r.getLong(1))).toSeq
+    val total = parts.map(_.rows).sum
+    val manifest = StageManifest(name, snapId, total, inputRefs, parts,
+      (System.nanoTime() - t0) / 1000000L, newDir, java.time.Instant.now().toString,
+      written.schema.json)
+    // ledger is RE-READ at write time: a compute thunk may itself run
+    // stages, and a stale early read would erase their entries
+    val led = ledger()
+    val newLedger = new java.util.TreeMap[String, java.lang.Long]()
+    (led + (name -> snapId)).foreach { case (k, v) => newLedger.put(k, v) }
+    ManifestJson.writeAtomic(ledgerPath, newLedger)
+    // commit order: immutable history entry first, then the pointer swap
+    ManifestJson.writeAtomic(versionManifestPath(name, snapId), manifest)
+    ManifestJson.writeAtomic(manifestPath(name), manifest)
+    expireSnapshots(name, manifest, prevServed = prevServed)
+    readData(name, manifest)
+  }
+
+  /** Data-file MAINTENANCE — the Iceberg OPTIMIZE / rewrite-data-files
+    * analog: rewrite the CURRENT snapshot's rows as `targetFiles` files
+    * range-partitioned AND sorted by `sortCols` (pass the morton layout
+    * key: [[graft.pipeline.CellOps]].mortonOf makes every axis-aligned
+    * block one contiguous range), committed as a NEW snapshot of the
+    * same stage. Rows are REQUIRED identical (count-guarded loudly);
+    * `inputs` lineage carries over verbatim so downstream freshness
+    * semantics are untouched — a later resolve of this stage still
+    * compares the same input refs and serves the compacted snapshot.
+    * The pre-compaction snapshot stays in the retention window
+    * (readAsOf rollback). After the rewrite each file owns one disjoint
+    * sort-key range, so range predicates (CellCoverPushdown's injected
+    * conjuncts, mortonRangesOfCover's BETWEENs) skip whole files by
+    * footer stats instead of scanning a key-scattered layout — the
+    * small-files + clustering maintenance a long-lived 10^12-row table
+    * runs continuously. */
+  def compactStage(name: String, sortCols: Seq[String], targetFiles: Int): DataFrame = {
+    require(targetFiles >= 1, s"targetFiles=$targetFiles must be >= 1")
+    require(sortCols.nonEmpty, "compactStage needs at least one sort column")
+    ensureHistory(name)
+    val cur = manifestObj(name).getOrElse(throw new IllegalStateException(
+      s"compactStage('$name'): stage is not committed"))
+    val out = commitSnapshot(name,
+      readData(name, cur)
+        .repartitionByRange(targetFiles, sortCols.map(col): _*)
+        .sortWithinPartitions(sortCols.map(col): _*),
+      cur.inputs, prevServed = Some(cur.snapshot_id))
+    val newRows = manifestObj(name).map(_.rows).getOrElse(-1L)
+    require(newRows == cur.rows,
+      s"compactStage('$name') row drift: ${cur.rows} -> $newRows — rewrite aborted " +
+        s"semantics (rollback: readAsOf(${cur.snapshot_id}))")
+    out
   }
 
   /** Committed version ids still on disk (from the immutable per-version
