@@ -215,8 +215,18 @@ object SparkEntry {
     // the same build section — the index lifecycle is modality-agnostic
     val docs = t(s, dir, "documents")
     pipeline.Bm25.buildStaged(pipeline.TextStages.runnerFor(docs), docs)
+    // the committed BASE sketch of q_sketch_refresh (the monitor state a
+    // corpus refresh merges into)
+    val baseDocs = docs.where(col("doc_id") % 2 === 0)
+    pipeline.TextStages.runnerFor(baseDocs).stage("cms-sh5-d4w256")(
+      pipeline.Sketches.cmsBuild(shinglesOf(baseDocs), col("g"), d = 4, w = 256))
     ()
   }
+
+  /** 5-char shingle stream shared by the sketch queries. */
+  private def shinglesOf(docs: DataFrame): DataFrame =
+    docs.where(length(col("text")) >= 5).select(col("source"), explode(expr(
+      "transform(sequence(1, length(text) - 4), i -> substring(text, i, 5))")).as("g"))
 
   /** The q_text_bm25 literal query batch (vocabulary drawn from the
     * synthetic documents' word pool; fixed across scale factors). */
@@ -1628,6 +1638,38 @@ object SparkEntry {
         .join(ends, "user_id")
         .select(col("user_id"), col("n_events"), col("n_segs"),
           col("path_m"), col("net_m"))
+    }),
+
+    // sketch LIFECYCLE — the corpus-refresh shape for monitor state
+    // (q_ann_append's contract applied to sketches): the BASE corpus'
+    // CMS is a COMMITTED StageRunner snapshot; the delta batch sketches
+    // independently (|delta|-proportional) and merges by counter SUM.
+    // The twin computes the whole-corpus sketch directly, so the
+    // DuckDB-checked equality IS the linearity/mergeability proof.
+    "q_sketch_refresh" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val base = docs.where(col("doc_id") % 2 === 0)
+      val delta = docs.where(col("doc_id") % 2 =!= 0)
+      val committed = pipeline.TextStages.runnerFor(base).stage("cms-sh5-d4w256")(
+        pipeline.Sketches.cmsBuild(shinglesOf(base), col("g"), d = 4, w = 256))
+      committed.unionByName(
+          pipeline.Sketches.cmsBuild(shinglesOf(delta), col("g"), d = 4, w = 256))
+        .groupBy(col("r"), col("cl")).agg(sum(col("c")).as("c"))
+    }),
+
+    // per-type value-quantile sketch: fixed 256-bin histogram (width 2,
+    // mergeable counters) -> p50/p90 LOWER BOUNDS via the integer
+    // den*cum >= num*n comparison (no ceil, no floats); bounds emitted
+    // in centi-units of the value domain
+    "q_sketch_quantile" -> ((s, dir) => {
+      val hist = pipeline.Sketches.histogram(t(s, dir, "events"),
+        col("event_type"), col("value"), binWidth = 2.0, nBins = 256)
+      val p50 = pipeline.Sketches.histQuantileBin(hist, 1, 2)
+        .select(col("grp"), col("n"), (col("q_bin") * 200L).as("p50_lb_c"))
+      val p90 = pipeline.Sketches.histQuantileBin(hist, 9, 10)
+        .select(col("grp"), (col("q_bin") * 200L).as("p90_lb_c"))
+      p50.join(p90, "grp")
+        .select(col("grp"), col("n"), col("p50_lb_c"), col("p90_lb_c"))
     }),
 
     // ---------- the four reference pipelines end-to-end (rows checks;
@@ -3649,6 +3691,40 @@ object SparkEntry {
            JOIN (SELECT * FROM ranked WHERE rn = n) l ON l.user_id = f.user_id)
          SELECT p.user_id, e.n_events, p.n_segs, p.path_m, e.net_m
          FROM pathagg p JOIN ends e ON e.user_id = p.user_id""",
+
+    // sketch-refresh twin: the WHOLE-corpus counters directly — equality
+    // with the Spark committed-base + delta merge is the linearity proof
+    "q_sketch_refresh" ->
+      """WITH sh AS (
+           SELECT substring(text, i::INT, 5) AS g
+           FROM documents, unnest(range(1, greatest(length(text) - 4, 0) + 1)) AS t(i)
+           WHERE length(text) >= 5),
+         cells AS (
+           SELECT r.range AS r,
+             CAST('0x' || substr(md5('cms' || CAST(r.range AS VARCHAR) || '|' || g), 1, 15) AS BIGINT) % 256 AS cl
+           FROM sh, range(0, 4) r)
+         SELECT r, cl, count(*) AS c FROM cells GROUP BY 1, 2""",
+
+    // histogram-quantile twin: identical binning, cumulative window, and
+    // the integer den*cum >= num*n bound selection
+    "q_sketch_quantile" ->
+      """WITH h AS (
+           SELECT event_type AS grp,
+             CAST(least(floor(value / 2.0), 255) AS BIGINT) AS bin, count(*) AS c
+           FROM events GROUP BY 1, 2),
+         cum AS (
+           SELECT grp, bin, c,
+             sum(c) OVER (PARTITION BY grp ORDER BY bin) AS cum,
+             sum(c) OVER (PARTITION BY grp) AS n
+           FROM h),
+         p50 AS (
+           SELECT grp, CAST(max(n) AS BIGINT) AS n, min(bin) * 200 AS p50_lb_c
+           FROM cum WHERE cum * 2 >= n * 1 GROUP BY 1),
+         p90 AS (
+           SELECT grp, min(bin) * 200 AS p90_lb_c
+           FROM cum WHERE cum * 10 >= n * 9 GROUP BY 1)
+         SELECT p50.grp, p50.n, p50.p50_lb_c, p90.p90_lb_c
+         FROM p50 JOIN p90 ON p90.grp = p50.grp""",
 
     // HLL: registers (md5 hash, exact trailing-zero rho via the
     // binary-string suffix), scaled-INTEGER harmonic denominator, and

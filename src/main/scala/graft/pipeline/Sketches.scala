@@ -158,6 +158,34 @@ object Sketches {
           "CAST(1152921504606846976 AS DOUBLE) / theta) AS BIGINT)").as("est_fp"))
   }
 
+  /** Per-group fixed-width HISTOGRAM sketch: (grp, bin, c) with bin =
+    * min(floor(value / binWidth), nBins-1) — the bounded-memory quantile
+    * state (nBins counters per group, mergeable by SUM) where an exact
+    * per-group quantile needs the full value multiset. One map-side-
+    * combined groupBy. */
+  def histogram(rows: DataFrame, grp: Column, value: Column,
+                binWidth: Double, nBins: Int): DataFrame = {
+    require(binWidth > 0 && nBins >= 2 && nBins <= (1 << 20), "bad histogram shape")
+    rows.select(grp.as("grp"),
+        least(floor(value / lit(binWidth)), lit(nBins - 1L)).cast("long").as("bin"))
+      .groupBy(col("grp"), col("bin")).agg(count(lit(1)).as("c"))
+  }
+
+  /** Quantile LOWER BOUND from a [[histogram]]: the smallest bin whose
+    * cumulative count reaches num/den of the group total — the integer
+    * comparison den·cum >= num·n needs no ceil and no floats. True
+    * quantile lies in [bound, bound + binWidth). Output (grp, n,
+    * q_bin): multiply q_bin by binWidth for the value-space bound. */
+  def histQuantileBin(hist: DataFrame, num: Int, den: Int): DataFrame = {
+    require(num >= 1 && num <= den, s"bad quantile $num/$den")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("grp"))
+    hist
+      .withColumn("cum", sum(col("c")).over(w.orderBy(col("bin"))))
+      .withColumn("n", sum(col("c")).over(w))
+      .where(col("cum") * den >= col("n") * num)
+      .groupBy(col("grp")).agg(max(col("n")).as("n"), min(col("bin")).as("q_bin"))
+  }
+
   /** Per-group HLL distinct-count ESTIMATE from the register table:
     * (grp, est_fp). One groupBy over m rows per group. */
   def hllEstimate(regs: DataFrame): DataFrame =

@@ -162,6 +162,34 @@ class SketchSpec extends AnyFunSuite {
     assert(est == 10000L, s"exact-mode intersection must be 10 (milli-units), got $est")
   }
 
+  test("histogram quantile: bound brackets the exact quantile within one bin") {
+    // planted values 1..1000 (uniform): exact p50 = 500, p90 = 900
+    val rows = (1 to 1000).map(i => ("g", i.toDouble)).toDF("grp", "v")
+    val hist = Sketches.histogram(rows, col("grp"), col("v"), binWidth = 8.0, nBins = 256)
+    val p50 = Sketches.histQuantileBin(hist, 1, 2).collect()(0)
+    val p90 = Sketches.histQuantileBin(hist, 9, 10).collect()(0)
+    assert(p50.getLong(1) == 1000L)
+    val (b50, b90) = (p50.getLong(2) * 8.0, p90.getLong(2) * 8.0)
+    assert(b50 <= 500.0 && 500.0 < b50 + 8.0, s"p50 bound $b50 misses 500")
+    assert(b90 <= 900.0 && 900.0 < b90 + 8.0, s"p90 bound $b90 misses 900")
+    assert(b50 <= b90)
+  }
+
+  test("histogram: merge by counter SUM == whole; overflow bin clamps") {
+    val rows = (1 to 400).map(i => (s"g${i % 2}", i * 3.0)).toDF("grp", "v")
+    val a = rows.where(col("v") < 600.0)
+    val b = rows.where(col("v") >= 600.0)
+    val merged = Sketches.histogram(a, col("grp"), col("v"), 16.0, 32)
+      .unionByName(Sketches.histogram(b, col("grp"), col("v"), 16.0, 32))
+      .groupBy(col("grp"), col("bin")).agg(sum(col("c")).as("c"))
+    val whole = Sketches.histogram(rows, col("grp"), col("v"), 16.0, 32)
+    assert(merged.collect().map(_.toString).toSet ==
+      whole.collect().map(_.toString).toSet)
+    // values past the domain clamp into the last bin, never drop
+    assert(whole.agg(sum(col("c"))).head().getLong(0) == 400L)
+    assert(whole.agg(max(col("bin"))).head().getLong(0) == 31L)
+  }
+
   test("HLL: duplicates never move the estimate (distinct-count semantics)") {
     val once = (1 to 300).map(i => ("g", s"item$i")).toDF("grp", "key")
     val tripled = ((1 to 300) ++ (1 to 300) ++ (1 to 300))
