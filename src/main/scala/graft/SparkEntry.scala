@@ -218,10 +218,18 @@ object SparkEntry {
     // the committed BASE sketch of q_sketch_refresh (the monitor state a
     // corpus refresh merges into)
     val baseDocs = docs.where(col("doc_id") % 2 === 0)
-    pipeline.TextStages.runnerFor(baseDocs).stage("cms-sh5-d4w256")(
-      pipeline.Sketches.cmsBuild(shinglesOf(baseDocs), col("g"), d = 4, w = 256))
+    pipeline.TextStages.runnerFor(baseDocs).stage(cmsStageName)(
+      pipeline.Sketches.cmsBuild(shinglesOf(baseDocs), col("g"), d = 4, w = 256,
+        portableHashing = oracleHashing))
     ()
   }
+
+  /** The committed base-CMS stage is keyed by the active hash path —
+    * a fast-path (xxhash64) snapshot must never be served to the oracle
+    * gate's md5 run or vice versa (same corpus fingerprint, different
+    * counters). */
+  private def cmsStageName: String =
+    "cms-sh5-d4w256-" + (if (oracleHashing) "md5" else "xx")
 
   /** 5-char shingle stream shared by the sketch queries. */
   private def shinglesOf(docs: DataFrame): DataFrame =
@@ -1534,9 +1542,11 @@ object SparkEntry {
       val sh = t(s, dir, "documents").where(length(col("text")) >= 5)
         .select(explode(expr(
           "transform(sequence(1, length(text) - 4), i -> substring(text, i, 5))")).as("g"))
-      val sketch = pipeline.Sketches.cmsBuild(sh, col("g"), d = 4, w = 256)
+      val sketch = pipeline.Sketches.cmsBuild(sh, col("g"), d = 4, w = 256,
+        portableHashing = oracleHashing)
       val exact = sh.groupBy(col("g")).agg(count(lit(1)).as("exact"))
-      pipeline.Sketches.cmsEstimate(sketch, sh.distinct(), col("g"), d = 4, w = 256)
+      pipeline.Sketches.cmsEstimate(sketch, sh.distinct(), col("g"), d = 4, w = 256,
+        portableHashing = oracleHashing)
         .join(exact, col("k") === col("g"))
         .select(col("k"), col("est"), col("exact"))
     }),
@@ -1553,7 +1563,8 @@ object SparkEntry {
       val sh = t(s, dir, "documents").where(length(col("text")) >= 5)
         .select(col("source"), explode(expr(
           "transform(sequence(1, length(text) - 4), i -> substring(text, i, 5))")).as("g"))
-      val regs = pipeline.Sketches.hllRegisters(sh, col("source"), col("g"))
+      val regs = pipeline.Sketches.hllRegisters(sh, col("source"), col("g"),
+        portableHashing = oracleHashing)
       pipeline.Sketches.hllEstimate(regs)
         .join(sh.groupBy(col("source")).agg(countDistinct(col("g")).as("exact")),
           col("grp") === col("source"))
@@ -1569,7 +1580,8 @@ object SparkEntry {
         .select(col("source"), explode(expr(
           "transform(sequence(1, length(text) - 4), i -> substring(text, i, 5))")).as("g"))
       pipeline.Sketches.kmvEstimate(
-        pipeline.Sketches.kmvSketch(sh, col("source"), col("g"), k = 32), k = 32)
+        pipeline.Sketches.kmvSketch(sh, col("source"), col("g"), k = 32,
+          portableHashing = oracleHashing), k = 32)
     }),
 
     // theta-sketch distinct INTERSECTION between source pairs from their
@@ -1580,7 +1592,8 @@ object SparkEntry {
       val sh = t(s, dir, "documents").where(length(col("text")) >= 5)
         .select(col("source"), explode(expr(
           "transform(sequence(1, length(text) - 4), i -> substring(text, i, 5))")).as("g"))
-      val sk = pipeline.Sketches.kmvSketch(sh, col("source"), col("g"), k = 32)
+      val sk = pipeline.Sketches.kmvSketch(sh, col("source"), col("g"), k = 32,
+        portableHashing = oracleHashing)
       val pairs = Seq(("src0", "src1"), ("src0", "src2"), ("src1", "src2"))
       val pdf = s.range(0, 3).select(
         element_at(array(pairs.map(p => lit(p._1)): _*), col("id").cast("int") + 1).as("ga"),
@@ -1650,10 +1663,12 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       val base = docs.where(col("doc_id") % 2 === 0)
       val delta = docs.where(col("doc_id") % 2 =!= 0)
-      val committed = pipeline.TextStages.runnerFor(base).stage("cms-sh5-d4w256")(
-        pipeline.Sketches.cmsBuild(shinglesOf(base), col("g"), d = 4, w = 256))
+      val committed = pipeline.TextStages.runnerFor(base).stage(cmsStageName)(
+        pipeline.Sketches.cmsBuild(shinglesOf(base), col("g"), d = 4, w = 256,
+          portableHashing = oracleHashing))
       committed.unionByName(
-          pipeline.Sketches.cmsBuild(shinglesOf(delta), col("g"), d = 4, w = 256))
+          pipeline.Sketches.cmsBuild(shinglesOf(delta), col("g"), d = 4, w = 256,
+            portableHashing = oracleHashing))
         .groupBy(col("r"), col("cl")).agg(sum(col("c")).as("c"))
     }),
 

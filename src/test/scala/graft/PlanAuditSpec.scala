@@ -395,4 +395,33 @@ class PlanAuditSpec extends AnyFunSuite {
     // first-round gather must be an equi-join (broadcast or hash) on gx/gy
     assert(out.count() > 0)
   }
+
+  test("BM25 probe: query side broadcasts into the postings; no cartesian beyond the 1-row stats") {
+    val docs = (1L to 80L)
+      .map(i => (i, s"alpha bravo${i % 7} charlie delta${i % 3} echo table"))
+      .toDF("doc_id", "text")
+    val m = pipeline.Bm25.build(docs)
+    val qs = Seq((1L, "table alpha"), (2L, "charlie echo")).toDF("query_id", "qtext")
+    val out = pipeline.Bm25.topK(m, qs, k = 3)
+    assert(out.count() > 0)
+    val plan = executed(out)
+    // retrieval must be broadcast-driven: the enriched query side meets
+    // the postings in a BroadcastHashJoin (reads only probed terms'
+    // lists at scale), and nothing plans a CartesianProduct — the only
+    // nested loop allowed is the broadcast of the ONE-ROW stats relation
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in retrieval:\n$plan")
+    // per-query top-k rank filter runs map-side (WindowGroupLimit)
+    assert(plan.contains("WindowGroupLimit"), s"top-k not group-limited:\n$plan")
+  }
+
+  test("KMV sketch: the per-group bottom-k plans the WindowGroupLimit map-side filter") {
+    val rows = spark.range(2000).select(($"id" % 5).cast("string").as("grp"),
+      concat(lit("k"), $"id").as("key"))
+    val sk = pipeline.Sketches.kmvSketch(rows, $"grp", $"key", k = 16)
+    assert(sk.count() == 5 * 16)
+    val plan = executed(sk)
+    assert(plan.contains("WindowGroupLimit"),
+      s"bottom-k must forward <= k rows per group per map task:\n$plan")
+  }
 }

@@ -71,7 +71,7 @@ class SketchSpec extends AnyFunSuite {
 
   test("HLL: registers match the sequential md5 hash model exactly") {
     val rows = (1 to 500).map(i => ("g", s"item$i")).toDF("grp", "key")
-    val got = Sketches.hllRegisters(rows, col("grp"), col("key"))
+    val got = Sketches.hllRegisters(rows, col("grp"), col("key"), portableHashing = true)
       .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
     // sequential model: same h60, reg = low 6 bits, rho = trailing zeros
     // of the high 54 bits + 1 (55 when zero)
@@ -188,6 +188,34 @@ class SketchSpec extends AnyFunSuite {
     // values past the domain clamp into the last bin, never drop
     assert(whole.agg(sum(col("c"))).head().getLong(0) == 400L)
     assert(whole.agg(max(col("bin"))).head().getLong(0) == 31L)
+  }
+
+  test("production (xxhash64) path: every hash-agnostic guarantee still holds") {
+    // CMS one-sidedness
+    val sk = Sketches.cmsBuild(skewed, col("k"), 4, 16, portableHashing = false)
+    val exact = skewed.groupBy(col("k")).agg(count(lit(1)).as("exact"))
+      .withColumnRenamed("k", "k2")
+    val under = Sketches.cmsEstimate(sk, skewed.distinct(), col("k"), 4, 16,
+        portableHashing = false)
+      .join(exact, col("k") === col("k2")).where(col("est") < col("exact")).count()
+    assert(under == 0L)
+    // KMV exact-below-k
+    val tiny = (1 to 20).map(i => ("t", s"x$i")).toDF("grp", "key")
+    val est = Sketches.kmvEstimate(
+      Sketches.kmvSketch(tiny, col("grp"), col("key"), 32, portableHashing = false), 32)
+      .collect()(0).getLong(1)
+    assert(est == 20000L)
+    // HLL bounded error on a planted cardinality
+    val rows = (1 to 5000).map(i => ("g", s"l$i")).toDF("grp", "key")
+    val h = Sketches.hllEstimate(Sketches.hllRegisters(rows, col("grp"), col("key"),
+      portableHashing = false)).collect()(0).getLong(1) / 1000.0
+    assert(math.abs(h / 5000.0 - 1.0) < 0.35, s"fast-path HLL estimate $h vs 5000")
+    // and the two paths are genuinely different hash families
+    val a = Sketches.kmvSketch(tiny, col("grp"), col("key"), 32, portableHashing = true)
+      .collect().map(_.getLong(1)).toSet
+    val b = Sketches.kmvSketch(tiny, col("grp"), col("key"), 32, portableHashing = false)
+      .collect().map(_.getLong(1)).toSet
+    assert(a != b)
   }
 
   test("HLL: duplicates never move the estimate (distinct-count semantics)") {
