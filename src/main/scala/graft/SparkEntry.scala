@@ -824,6 +824,22 @@ object SparkEntry {
       pipeline.IvfIndex.probe(m, corpus.where(col("vec_id") < 20), k = 3, nprobe = 2)
     }),
 
+    // index QUALITY evaluation — recall@3 of the committed IVF probe vs
+    // the exact top-3 (the measurement loop every production index runs:
+    // after a build, after an append, when tuning nprobe). Probes the
+    // SAME committed snapshot as q_ann_ivf (zero extra build); the exact
+    // baseline is one linear corpus scan against the broadcast probe
+    // panel, so evaluation cost never multiplies into the corpus.
+    "q_ann_recall" -> ((s, dir) => {
+      val corpus = annCorpus(t(s, dir, "embeddings"))
+      val m = pipeline.IvfIndex.buildStaged(pipeline.AnnStages.runnerFor(corpus),
+        corpus, nlist = 16, trainRounds = 2)
+      val probes = corpus.where(col("vec_id") < 20)
+      pipeline.AnnEval.recallAtK(
+        pipeline.IvfIndex.probe(m, probes, k = 3, nprobe = 2),
+        pipeline.AnnEval.exactTopK(probes, corpus, k = 3), k = 3)
+    }),
+
     // two-level (hierarchical) IVF — the path PAST the flat index's
     // broadcast ceiling: only 4 super centroids broadcast; the 4x8
     // sub-lists are keyed by super cell and meet corpus/probes in
@@ -1048,6 +1064,22 @@ object SparkEntry {
       pipeline.CellOps.coverOfPolygon(s, diamondLat, diamondLng, zMax = 17, zMin = 14)
         .select(col("cell_id"),
           shiftrightunsigned(col("cell_id"), 58).cast("long").as("zl"))
+    }),
+
+    // raster -> vector region extraction (polygonize) — the inverse of
+    // the rasterize family (R1-R3 paint vectors INTO cell space; this
+    // extracts region geometry back OUT): a thinned order-cell mask at
+    // z18 (hash-Bernoulli 40% keep — sub-percolation, so regions stay
+    // small and the twin's closure stays bounded) labels its 4-connected
+    // regions through the shared CC operator and emits one VECTOR row
+    // per region: area in cells, bbox, exact perimeter
+    // (4n - 2*adjacent_pairs). Adjacency = two neighbor-offset
+    // self-equi-joins on the packed cell key — never a distance join.
+    "q_raster_polygonize" -> ((s, dir) => {
+      val mask = t(s, dir, "orders")
+        .where(krank(col("o_orderkey")) % 10 < 4)
+        .select(GeoF.cellAtWgs(latOf(col("o_orderkey")), lngOf(col("o_orderkey")), 18).as("cell_id"))
+      pipeline.CellOps.labelRegions(mask)
     }),
 
     // semantic dedup at scale: LSH-bucketed all-pairs embedding near-dup
@@ -1832,6 +1864,31 @@ object SparkEntry {
              SELECT vec_id, cid,
                row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
              FROM cdist) WHERE rn = 1)"""
+
+  /** Shared IVF probe-chain CTEs (the tail of q_ann_ivf / q_ann_append /
+    * q_ann_recall): vec_id < 20 probes route to their 2 nearest centroids
+    * of whatever `cdist`/`assign` the preceding index CTEs define, list
+    * candidates score by exact join-on-pos dot, and `ranked` carries the
+    * per-probe (dot DESC, vec_id) row numbers. */
+  private lazy val ivfProbeTopkCtes: String =
+    s"""proute AS (
+           SELECT vec_id AS probe_id, cid FROM (
+             SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+             FROM cdist WHERE vec_id < 20) WHERE rn <= 2),
+         cand AS (
+           SELECT p.probe_id, a.vec_id FROM proute p JOIN assign a ON a.cid = p.cid
+           WHERE a.vec_id <> p.probe_id),
+         scored AS (
+           SELECT c.probe_id, c.vec_id, CAST(sum(q.vq * pq.vq) AS BIGINT) AS dot
+           FROM cand c
+           JOIN quant q ON q.vec_id = c.vec_id
+           JOIN quant pq ON pq.vec_id = c.probe_id AND pq.pos = q.pos
+           GROUP BY c.probe_id, c.vec_id),
+         ranked AS (
+           SELECT probe_id, vec_id, dot,
+             row_number() OVER (PARTITION BY probe_id ORDER BY dot DESC, vec_id) AS rank
+           FROM scored)"""
 
   /** Twin of the append-maintenance index (q_ann_append): the quantizer
     * trains ONLY on the pre-append rows (`baseq`, vec_id < 1000000) —
@@ -3113,49 +3170,45 @@ object SparkEntry {
     "q_ann_ivf" ->
       s"""WITH $annQuantCte,
          $ivfRouteCtes,
-         proute AS (
-           SELECT vec_id AS probe_id, cid FROM (
-             SELECT vec_id, cid,
-               row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
-             FROM cdist WHERE vec_id < 20) WHERE rn <= 2),
-         cand AS (
-           SELECT p.probe_id, a.vec_id FROM proute p JOIN assign a ON a.cid = p.cid
-           WHERE a.vec_id <> p.probe_id),
-         scored AS (
-           SELECT c.probe_id, c.vec_id, CAST(sum(q.vq * pq.vq) AS BIGINT) AS dot
-           FROM cand c
-           JOIN quant q ON q.vec_id = c.vec_id
-           JOIN quant pq ON pq.vec_id = c.probe_id AND pq.pos = q.pos
-           GROUP BY c.probe_id, c.vec_id),
-         ranked AS (
-           SELECT probe_id, vec_id, dot,
-             row_number() OVER (PARTITION BY probe_id ORDER BY dot DESC, vec_id) AS rank
-           FROM scored)
+         $ivfProbeTopkCtes
          SELECT probe_id, rank, vec_id, dot FROM ranked WHERE rank <= 3""",
+
+    // recall@3 of the IVF probe chain vs the exact top-3: the identical
+    // shared probe CTEs supply `ranked`; the exact side is a plain
+    // join-on-pos dot over all (probe, corpus) pairs, ranked with the
+    // SAME (dot DESC, vec_id) tie rule; probes the index recovered
+    // nothing for emit n_hits = 0
+    "q_ann_recall" ->
+      s"""WITH $annQuantCte,
+         $ivfRouteCtes,
+         $ivfProbeTopkCtes,
+         escored AS (
+           SELECT pq.vec_id AS probe_id, q.vec_id, CAST(sum(q.vq * pq.vq) AS BIGINT) AS dot
+           FROM quant q JOIN quant pq ON pq.pos = q.pos
+             AND pq.vec_id < 20 AND q.vec_id <> pq.vec_id
+           GROUP BY pq.vec_id, q.vec_id),
+         eranked AS (
+           SELECT probe_id, vec_id,
+             row_number() OVER (PARTITION BY probe_id ORDER BY dot DESC, vec_id) AS rank
+           FROM escored),
+         hits AS (
+           SELECT e.probe_id, count(*) AS n_hits
+           FROM eranked e JOIN ranked a
+             ON a.probe_id = e.probe_id AND a.vec_id = e.vec_id
+           WHERE e.rank <= 3 AND a.rank <= 3 GROUP BY 1)
+         SELECT p.probe_id, COALESCE(h.n_hits, 0) AS n_hits,
+           CAST(floor(COALESCE(h.n_hits, 0) * 1000000 / 3) AS BIGINT) AS recall_fp
+         FROM (SELECT DISTINCT vec_id AS probe_id FROM quant WHERE vec_id < 20) p
+         LEFT JOIN hits h ON p.probe_id = h.probe_id""",
 
     // twin of the append-maintenance index: centroids train on the
     // pre-append rows only; assignment + routing over the full corpus
+    // (the shared probe CTEs consume whatever `cdist`/`assign` the
+    // preceding index CTEs define — here the append form)
     "q_ann_append" ->
       s"""WITH $annQuantCte,
          $ivfAppendCtes,
-         proute AS (
-           SELECT vec_id AS probe_id, cid FROM (
-             SELECT vec_id, cid,
-               row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
-             FROM cdist WHERE vec_id < 20) WHERE rn <= 2),
-         cand AS (
-           SELECT p.probe_id, a.vec_id FROM proute p JOIN assign a ON a.cid = p.cid
-           WHERE a.vec_id <> p.probe_id),
-         scored AS (
-           SELECT c.probe_id, c.vec_id, CAST(sum(q.vq * pq.vq) AS BIGINT) AS dot
-           FROM cand c
-           JOIN quant q ON q.vec_id = c.vec_id
-           JOIN quant pq ON pq.vec_id = c.probe_id AND pq.pos = q.pos
-           GROUP BY c.probe_id, c.vec_id),
-         ranked AS (
-           SELECT probe_id, vec_id, dot,
-             row_number() OVER (PARTITION BY probe_id ORDER BY dot DESC, vec_id) AS rank
-           FROM scored)
+         $ivfProbeTopkCtes
          SELECT probe_id, rank, vec_id, dot FROM ranked WHERE rank <= 3""",
 
     // exact SQL twin of IvfIndex.knnJoinTwoLevel: 4 md5-seeded super
@@ -3343,6 +3396,44 @@ object SparkEntry {
             min(a.o_orderkey) AS min_key
           FROM anc a JOIN r12 r ON a.anc = r.cell_id
           GROUP BY r.cell_id""",
+
+    // exact SQL twin of CellOps.labelRegions over the thinned z18 order
+    // mask: mask cells, the two neighbor-offset joins, the recursive
+    // transitive closure (the shared CC twin), isolated cells as their
+    // own regions, and the per-region area/bbox/perimeter stats
+    "q_raster_polygonize" ->
+      s"""WITH RECURSIVE pts AS (
+            SELECT
+              (256.0::DOUBLE * (0.5::DOUBLE + ($lngSqlO) / 360.0::DOUBLE)) AS wx,
+              (256.0::DOUBLE * (0.5::DOUBLE - ln((1.0::DOUBLE + least(greatest(sin(($latSqlO) * pi() / 180.0::DOUBLE), -0.9999::DOUBLE), 0.9999::DOUBLE))
+                 / (1.0::DOUBLE - least(greatest(sin(($latSqlO) * pi() / 180.0::DOUBLE), -0.9999::DOUBLE), 0.9999::DOUBLE))) / (4 * pi()))) AS wy
+            FROM orders WHERE ${krankSql("o_orderkey")} % 10 < 4),
+         mask AS (
+           SELECT DISTINCT CAST(18 * ${1L << 58} AS BIGINT)
+             + CAST(floor(wx * 262144 / 256) AS BIGINT) * ${1L << 29}
+             + CAST(floor(wy * 262144 / 256) AS BIGINT) AS cell_id
+           FROM pts),
+         e0 AS (
+           SELECT a.cell_id AS ida, b.cell_id AS idb FROM mask a
+             JOIN mask b ON b.cell_id = a.cell_id + ${1L << 29}
+           UNION ALL
+           SELECT a.cell_id, b.cell_id FROM mask a
+             JOIN mask b ON b.cell_id = a.cell_id + 1),
+         ${ccResolveCtes("SELECT ida, idb FROM e0")},
+         lbl2 AS (
+           SELECT m.cell_id, COALESCE(l.rep_id, m.cell_id) AS region
+           FROM mask m LEFT JOIN lbl l ON m.cell_id = l.doc_id),
+         ec AS (
+           SELECT l.region, count(*) AS n_adj FROM e0 e
+             JOIN lbl2 l ON e.ida = l.cell_id GROUP BY 1)
+         SELECT l.region, count(*) AS n_cells,
+           min((l.cell_id % ${1L << 58}) // ${1L << 29}) AS min_tx,
+           max((l.cell_id % ${1L << 58}) // ${1L << 29}) AS max_tx,
+           min(l.cell_id % ${1L << 29}) AS min_ty,
+           max(l.cell_id % ${1L << 29}) AS max_ty,
+           count(*) * 4 - COALESCE(ec.n_adj, 0) * 2 AS perimeter
+         FROM lbl2 l LEFT JOIN ec ON l.region = ec.region
+         GROUP BY l.region, ec.n_adj""",
 
     // exact SQL twin of CellOps.coverOfPolygon: bbox bounds from the
     // vertex list (same mercator formulas; power-of-two scalings are

@@ -109,6 +109,62 @@ object CellOps {
       .drop("anc")
   }
 
+  /** Raster → vector: label the 4-connected regions of a cell mask and
+    * emit one VECTOR row per region (area, bbox, perimeter) — the inverse
+    * of the rasterize family (R1-R3 paint vectors INTO cell space; this
+    * extracts region geometry back OUT of it). Reference analog: none —
+    * the reference only rasterizes (helpers.py MercatorPainter); this is
+    * the polygonize/region-extraction half of the north rule's
+    * raster↔vector pair.
+    *
+    * Input: one `cell_id` column, all cells at ONE level z ≤ 28 (the mask;
+    * distinct-ified — a mask is a set). Two cells are connected iff they
+    * share an edge (4-adjacency, the cv2/GDAL default). Output one row per
+    * region: `region` (the component's minimum cell id — deterministic,
+    * partitioning-invariant), `n_cells`, `min_tx/max_tx/min_ty/max_ty`
+    * (the bbox), and `perimeter` (exposed edge segments in cell units =
+    * 4·n_cells − 2·n_adjacent_pairs — exact for any shape, holes
+    * included).
+    *
+    * Scale shape: adjacency is TWO self-equi-joins on shifted cell keys
+    * (right neighbor = tx+1 ⇒ cell_id + 2^29, down neighbor = ty+1 ⇒
+    * cell_id + 1; at one level ≤ 28 neither offset can carry into the
+    * next field), never a distance join; components resolve through the
+    * shared [[Dedup.resolveClusters]] star-rounds operator (O(log n)
+    * rounds for ANY region shape — a planet-scale flood fill); stats are
+    * one groupBy on the region label. No driver-side geometry at any
+    * point. */
+  def labelRegions(mask: DataFrame): DataFrame = {
+    val m = mask.select(col("cell_id")).distinct()
+    // neighbor-offset equi-joins: a pair exists iff BOTH cells are in the
+    // mask; offsets stay within the ty (29-bit) / tx fields for z <= 28
+    def adj(offset: Long): DataFrame =
+      m.select((col("cell_id") + lit(offset)).as("nb"), col("cell_id").as("ida"))
+        .join(m.select(col("cell_id").as("idb")), col("nb") === col("idb"))
+        .select(col("ida"), col("idb"))
+    val edges = adj(XYShift).unionByName(adj(1L))
+    val lbl = Dedup.resolveClusters(edges)
+      .select(col("doc_id").as("cell_id"), col("rep_id").as("region"))
+    // isolated cells (no 4-neighbor in the mask) are their own regions
+    val iso = m.join(lbl, Seq("cell_id"), "left_anti")
+      .select(col("cell_id"), col("cell_id").as("region"))
+    val all = lbl.unionByName(iso)
+    val perim = all.join(edges.withColumnRenamed("ida", "cell_id"), Seq("cell_id"))
+      .groupBy(col("region")).agg(count(lit(1)).as("n_adj"))
+    all
+      .select(col("region"),
+        shiftrightunsigned(col("cell_id"), 29).bitwiseAND(lit(0x1FFFFFFFL)).as("tx"),
+        col("cell_id").bitwiseAND(lit(0x1FFFFFFFL)).as("ty"))
+      .groupBy(col("region"))
+      .agg(count(lit(1)).as("n_cells"),
+        min(col("tx")).as("min_tx"), max(col("tx")).as("max_tx"),
+        min(col("ty")).as("min_ty"), max(col("ty")).as("max_ty"))
+      .join(perim, Seq("region"), "left")
+      .select(col("region"), col("n_cells"),
+        col("min_tx"), col("max_tx"), col("min_ty"), col("max_ty"),
+        (col("n_cells") * 4 - coalesce(col("n_adj"), lit(0L)) * 2).as("perimeter"))
+  }
+
   /** Morton (z-order) key of a packed cell: the level in the top 6 bits
     * and tx/ty bit-INTERLEAVED below — the space-filling write-layout key.
     * Rows sorted/range-partitioned by this key give every axis-aligned

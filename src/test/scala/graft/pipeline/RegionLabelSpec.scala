@@ -1,0 +1,98 @@
+package graft.pipeline
+
+import graft.SparkSuite
+import graft.core.CellId
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Raster -> vector region labeling (CellOps.labelRegions) contracts:
+  * 4-connectivity (never 8), exact perimeter incl. holes, isolated cells
+  * as singleton regions, equality with a driver-side union-find reference
+  * on random masks, and partitioning invariance. */
+class RegionLabelSpec extends AnyFunSuite {
+  lazy val spark = SparkSuite.spark
+  import spark.implicits._
+
+  private def mask(z: Int, cells: Seq[(Long, Long)]) =
+    cells.map { case (tx, ty) => CellId.pack(z, tx, ty) }.toDF("cell_id")
+
+  private def run(df: org.apache.spark.sql.DataFrame) =
+    CellOps.labelRegions(df)
+      .select("region", "n_cells", "min_tx", "max_tx", "min_ty", "max_ty", "perimeter")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+
+  test("solid rectangle: one region, exact bbox and perimeter") {
+    val cells = for { x <- 10L to 13L; y <- 20L to 22L } yield (x, y)
+    val out = run(mask(10, cells))
+    assert(out.length === 1)
+    val (region, n, minTx, maxTx, minTy, maxTy, perim) = out.head
+    assert(region === CellId.pack(10, 10, 20)) // keep-min = top-left cell
+    assert(n === 12 && minTx === 10 && maxTx === 13 && minTy === 20 && maxTy === 22)
+    assert(perim === 14) // 2*(4+3)
+  }
+
+  test("ring with a hole: one region, perimeter counts the inner boundary") {
+    val cells = (for { x <- 0L to 2L; y <- 0L to 2L } yield (x, y))
+      .filterNot { case (x, y) => x == 1 && y == 1 }
+    val out = run(mask(8, cells))
+    assert(out.length === 1)
+    assert(out.head._2 === 8)
+    assert(out.head._7 === 16) // 12 outer + 4 inner exposed edges
+  }
+
+  test("diagonal staircase: corner contact is NOT connectivity (4-adjacency)") {
+    val cells = (0L to 4L).map(i => (i, i))
+    val out = run(mask(12, cells))
+    assert(out.length === 5)
+    assert(out.forall(r => r._2 === 1 && r._7 === 4))
+    assert(out.map(_._1).toSet === cells.map { case (x, y) => CellId.pack(12, x, y) }.toSet)
+  }
+
+  test("two rectangles split by a one-cell gap stay two regions") {
+    val a = for { x <- 0L to 1L; y <- 0L to 1L } yield (x, y)
+    val b = for { x <- 3L to 4L; y <- 0L to 1L } yield (x, y)
+    val out = run(mask(9, a ++ b))
+    assert(out.length === 2)
+    assert(out.forall(r => r._2 === 4 && r._7 === 8))
+  }
+
+  test("random mask == driver-side union-find reference (stats row for row)") {
+    // md5-derived pseudo-random mask on a 24x24 grid, ~35% fill
+    val z = 13
+    val cells = (for { x <- 0L until 24L; y <- 0L until 24L } yield (x, y))
+      .filter { case (x, y) => Dedup.md5h60(s"rl|$x|$y") % 100 < 35 }
+    // reference: union-find over 4-adjacency
+    val set = cells.toSet
+    val par = scala.collection.mutable.Map[(Long, Long), (Long, Long)]()
+    def find(c: (Long, Long)): (Long, Long) = {
+      var x = c
+      while (par.getOrElse(x, x) != x) { par(x) = par.getOrElse(par(x), par(x)); x = par(x) }
+      x
+    }
+    for ((x, y) <- cells; nb <- Seq((x + 1, y), (x, y + 1)) if set(nb)) {
+      val (ra, rb) = (find((x, y)), find(nb))
+      if (ra != rb) par(ra) = rb
+    }
+    val byRegion = cells.groupBy(find).map { case (_, cs) =>
+      val ids = cs.map { case (x, y) => CellId.pack(z, x, y) }
+      val adj = cs.count { case (x, y) => set((x + 1, y)) } +
+        cs.count { case (x, y) => set((x, y + 1)) }
+      (ids.min, (cs.size.toLong, cs.map(_._1).min, cs.map(_._1).max,
+        cs.map(_._2).min, cs.map(_._2).max, 4L * cs.size - 2L * adj))
+    }
+    val out = run(mask(z, cells))
+    assert(out.length === byRegion.size)
+    for ((region, n, miTx, maTx, miTy, maTy, p) <- out) {
+      val exp = byRegion(region)
+      assert((n, miTx, maTx, miTy, maTy, p) === exp, s"region $region")
+    }
+  }
+
+  test("labels and stats are partitioning-invariant") {
+    val cells = (for { x <- 0L until 16L; y <- 0L until 16L } yield (x, y))
+      .filter { case (x, y) => Dedup.md5h60(s"rp|$x|$y") % 100 < 40 }
+    val base = run(mask(11, cells))
+    val shuffled = run(mask(11, scala.util.Random.shuffle(cells)).repartition(7))
+    assert(base.toSeq === shuffled.toSeq)
+  }
+}
