@@ -1685,6 +1685,59 @@ object SparkEntry {
           col("path_m"), col("net_m"))
     }),
 
+    // explicit hot-key SALTED join under the oracle gate — the skew
+    // handling the north rule names, DuckDB-checked for row identity:
+    // the 3 hottest point cells (bounded 3-row driver action,
+    // deterministic tie order) spread over 8 salt sub-keys while the
+    // matching dimension rows replicate — the plan-level skew split AQE
+    // cannot apply when a positional aggregation follows. The twin is
+    // the PLAIN join: equality IS the operator's guarantee.
+    "q_salted_cell_join" -> ((s, dir) => {
+      val pts = t(s, dir, "orders").select(col("o_orderkey"),
+        GeoF.cellAtWgs(latOf(col("o_orderkey")), lngOf(col("o_orderkey")), 14).as("cell_id"))
+      val img = t(s, dir, "customer").select(
+        GeoF.cellAtWgs(latOf(col("c_custkey")), lngOf(col("c_custkey")), 14).as("cell_id"))
+        .groupBy(col("cell_id")).agg(count(lit(1)).as("c_n"))
+      val hot = pts.groupBy(col("cell_id")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("cell_id")).limit(3)
+        .collect().map(_.getLong(0)).toSeq
+      pipeline.SaltedJoin.joinOnCell(pts, img, hot, saltFactor = 8,
+        pointKey = "o_orderkey")
+    }),
+
+    // geofence TRANSITION log (enter/exit events) — the trajectory ×
+    // cover composition: each event resolves its zone against the
+    // compacted orders cover (coverJoin; outside the cover = zone -1),
+    // and a per-user lag window emits exactly the rows where the zone
+    // CHANGED — the state-transition feed a fleet-monitoring pipeline
+    // stores (q_stream_geofence is the rollup form; this is the event
+    // form). Scale shape: one broadcast cover join (chain-length rows
+    // per event, never an exchange of the event table) + one user-keyed
+    // window — per-event cost is bounded by the z range.
+    "q_geo_transitions" -> ((s, dir) => {
+      val cover = pipeline.CellOps.compact(
+        t(s, dir, "orders").select(
+          GeoF.cellAtWgs(latOf(col("o_orderkey")), lngOf(col("o_orderkey")), 14).as("cell_id")),
+        zMax = 14, zMin = 11)
+      val ev = t(s, dir, "events").select(col("user_id"), col("event_id"),
+        unix_micros(col("ts").cast("timestamp")).as("ts_us"),
+        (lit(53.8306) + (pipeline.Dedup.h60(concat(lit("tla|"),
+          col("event_id").cast("string"))) % 14000).cast("double") * lit(0.00001)).as("lat"),
+        (lit(27.4026) + (pipeline.Dedup.h60(concat(lit("tlg|"),
+          col("event_id").cast("string"))) % 29000).cast("double") * lit(0.00001)).as("lng"))
+        .withColumn("cell_id", GeoF.cellAtWgs(col("lat"), col("lng"), 14))
+      val zoned = pipeline.CellOps.coverJoin(
+        ev.select(col("event_id"), col("cell_id")), cover, zMax = 14, zMin = 11)
+        .select(col("event_id"), col("cover_cell").as("zone"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      ev.join(zoned, Seq("event_id"), "left")
+        .withColumn("zone", coalesce(col("zone"), lit(-1L)))
+        .withColumn("from_zone", lag(col("zone"), 1).over(w))
+        .where(col("from_zone").isNotNull && col("from_zone") =!= col("zone"))
+        .select(col("user_id"), col("event_id"), col("ts_us"),
+          col("from_zone"), col("zone").as("to_zone"))
+    }),
+
     // sketch LIFECYCLE — the corpus-refresh shape for monitor state
     // (q_ann_append's contract applied to sketches): the BASE corpus'
     // CMS is a COMMITTED StageRunner snapshot; the delta batch sketches
@@ -2806,6 +2859,64 @@ object SparkEntry {
             CAST(sum(CAST(floor(e.value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
           FROM eanc e JOIN r11 r ON e.anc = r.cell_id
           GROUP BY 1, 2""",
+
+    // twin of the salted hot-cell join: the PLAIN equi-join — salting is
+    // a physical-plan rewrite, so the row sets must be identical
+    "q_salted_cell_join" ->
+      s"""WITH op AS (
+            SELECT o_orderkey,
+              14 * ${1L << 58} +
+              CAST(floor((256.0::DOUBLE * (0.5::DOUBLE + ($lngSqlO) / 360.0::DOUBLE)) * 16384 / 256) AS BIGINT) * ${1L << 29} +
+              CAST(floor((256.0::DOUBLE * (0.5::DOUBLE - ln((1.0::DOUBLE + least(greatest(sin(($latSqlO) * pi() / 180.0::DOUBLE), -0.9999::DOUBLE), 0.9999::DOUBLE))
+                 / (1.0::DOUBLE - least(greatest(sin(($latSqlO) * pi() / 180.0::DOUBLE), -0.9999::DOUBLE), 0.9999::DOUBLE))) / (4 * pi()))) * 16384 / 256) AS BIGINT) AS cell_id
+            FROM orders),
+          cc AS (
+            SELECT
+              14 * ${1L << 58} +
+              CAST(floor((256.0::DOUBLE * (0.5::DOUBLE + ($lngSqlC) / 360.0::DOUBLE)) * 16384 / 256) AS BIGINT) * ${1L << 29} +
+              CAST(floor((256.0::DOUBLE * (0.5::DOUBLE - ln((1.0::DOUBLE + least(greatest(sin(($latSqlC) * pi() / 180.0::DOUBLE), -0.9999::DOUBLE), 0.9999::DOUBLE))
+                 / (1.0::DOUBLE - least(greatest(sin(($latSqlC) * pi() / 180.0::DOUBLE), -0.9999::DOUBLE), 0.9999::DOUBLE))) / (4 * pi()))) * 16384 / 256) AS BIGINT) AS cell_id,
+              count(*) AS c_n
+            FROM customer GROUP BY 1)
+          SELECT o.cell_id, o.o_orderkey, c.c_n
+          FROM op o JOIN cc c ON o.cell_id = c.cell_id""",
+
+    // twin of the geofence transition log: the shared orders cover chain
+    // (z14 -> z11 compact rounds), trajectory-derived event positions,
+    // ancestor-chain zone resolution (LEFT join — outside = -1), then
+    // the per-user lag window keeping only zone changes
+    "q_geo_transitions" ->
+      s"""WITH $cellCoverCtes,
+          ev AS (
+            SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+              53.8306::DOUBLE + (CAST('0x' || substr(md5('tla|' || CAST(event_id AS VARCHAR)), 1, 15) AS BIGINT) % 14000)::DOUBLE * 0.00001::DOUBLE AS lat,
+              27.4026::DOUBLE + (CAST('0x' || substr(md5('tlg|' || CAST(event_id AS VARCHAR)), 1, 15) AS BIGINT) % 29000)::DOUBLE * 0.00001::DOUBLE AS lng
+            FROM events),
+          ecell AS (
+            SELECT user_id, event_id, ts_us,
+              14 * ${1L << 58} +
+              CAST(floor((256.0::DOUBLE * (0.5::DOUBLE + lng / 360.0::DOUBLE)) * 16384 / 256) AS BIGINT) * ${1L << 29} +
+              CAST(floor((256.0::DOUBLE * (0.5::DOUBLE - ln((1.0::DOUBLE + least(greatest(sin(lat * pi() / 180.0::DOUBLE), -0.9999::DOUBLE), 0.9999::DOUBLE))
+                 / (1.0::DOUBLE - least(greatest(sin(lat * pi() / 180.0::DOUBLE), -0.9999::DOUBLE), 0.9999::DOUBLE))) / (4 * pi()))) * 16384 / 256) AS BIGINT) AS cell_id
+            FROM ev),
+          eanc AS (
+            SELECT event_id,
+              ((cell_id >> 58) - k.range) * ${1L << 58}
+                + (((cell_id >> 29) & 536870911) >> k.range) * ${1L << 29}
+                + ((cell_id & 536870911) >> k.range) AS anc
+            FROM ecell, range(0, 4) k),
+          zonedj AS (
+            SELECT e.event_id, r.cell_id AS zone
+            FROM eanc e JOIN r11 r ON e.anc = r.cell_id),
+          zoned AS (
+            SELECT c.user_id, c.event_id, c.ts_us, COALESCE(z.zone, -1) AS zone
+            FROM ecell c LEFT JOIN zonedj z ON c.event_id = z.event_id),
+          tr AS (
+            SELECT user_id, event_id, ts_us, zone,
+              lag(zone) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS from_zone
+            FROM zoned)
+          SELECT user_id, event_id, ts_us, from_zone, zone AS to_zone
+          FROM tr WHERE from_zone IS NOT NULL AND from_zone <> zone""",
 
     // twin of the admission gate: delta docs (doc_id % 4 = 0) that share
     // a verified (hamming<=8) band bucket with NO old doc
