@@ -1685,6 +1685,20 @@ object SparkEntry {
           col("path_m"), col("net_m"))
     }),
 
+    // focal (neighborhood) statistics — the raster-algebra staple
+    // (focal sum/count/max over the 3×3 window) on the z14 order-count
+    // raster: each cell fans out to its 9 neighbor keys (literal offset
+    // explode, zero shuffle to build) and meets the raster in ONE
+    // equi-join + one cell groupBy — never a 2D window. With polygonize
+    // and the pyramid this closes the raster family: paint (R1-R3),
+    // extract (polygonize), neighborhood (focal), overview (pyramid).
+    "q_raster_focal" -> ((s, dir) => {
+      val raster = t(s, dir, "orders").select(
+        GeoF.cellAtWgs(latOf(col("o_orderkey")), lngOf(col("o_orderkey")), 17).as("cell_id"))
+        .groupBy(col("cell_id")).agg(count(lit(1)).as("v"))
+      pipeline.CellOps.focalStats(raster, radius = 1)
+    }),
+
     // explicit hot-key SALTED join under the oracle gate — the skew
     // handling the north rule names, DuckDB-checked for row identity:
     // the 3 hottest point cells (bounded 3-row driver action,
@@ -2859,6 +2873,27 @@ object SparkEntry {
             CAST(sum(CAST(floor(e.value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
           FROM eanc e JOIN r11 r ON e.anc = r.cell_id
           GROUP BY 1, 2""",
+
+    // twin of the 3×3 focal statistics: the z14 count raster, the 9
+    // neighbor offsets as a range×range lateral, one equi-join + groupBy
+    "q_raster_focal" ->
+      s"""WITH op AS (
+            SELECT
+              17 * ${1L << 58} +
+              CAST(floor((256.0::DOUBLE * (0.5::DOUBLE + ($lngSqlO) / 360.0::DOUBLE)) * 131072 / 256) AS BIGINT) * ${1L << 29} +
+              CAST(floor((256.0::DOUBLE * (0.5::DOUBLE - ln((1.0::DOUBLE + least(greatest(sin(($latSqlO) * pi() / 180.0::DOUBLE), -0.9999::DOUBLE), 0.9999::DOUBLE))
+                 / (1.0::DOUBLE - least(greatest(sin(($latSqlO) * pi() / 180.0::DOUBLE), -0.9999::DOUBLE), 0.9999::DOUBLE))) / (4 * pi()))) * 131072 / 256) AS BIGINT) AS cell_id
+            FROM orders),
+          rast AS (SELECT cell_id, count(*) AS v FROM op GROUP BY 1),
+          contrib AS (
+            SELECT r.cell_id + a.range * ${1L << 29} + b.range AS tgt, r.v AS nv
+            FROM rast r, range(-1, 2) a, range(-1, 2) b)
+          SELECT r.cell_id, r.v,
+            CAST(sum(c.nv) AS BIGINT) AS focal_sum,
+            count(*) AS focal_n,
+            CAST(max(c.nv) AS BIGINT) AS focal_max
+          FROM rast r JOIN contrib c ON c.tgt = r.cell_id
+          GROUP BY r.cell_id, r.v""",
 
     // twin of the salted hot-cell join: the PLAIN equi-join — salting is
     // a physical-plan rewrite, so the row sets must be identical

@@ -165,6 +165,34 @@ object CellOps {
         (col("n_cells") * 4 - coalesce(col("n_adj"), lit(0L)) * 2).as("perimeter"))
   }
 
+  /** Focal (neighborhood) statistics — the raster-algebra staple: per
+    * mask cell, the sum/count/max of the values in its (2r+1)² window.
+    * Input: (cell_id, v), all cells at ONE level z ≤ 28 (sparse raster —
+    * absent neighbors contribute nothing, the GIS sparse-focal
+    * convention); output (cell_id, v, focal_sum, focal_n, focal_max),
+    * the window INCLUDING the cell itself.
+    *
+    * Scale shape: each cell fans out to its (2r+1)² neighbor keys (a
+    * bounded per-row explode of a LITERAL offset array — zero shuffle to
+    * build) and meets the raster in ONE equi-join + one groupBy on the
+    * cell — never a 2D window or a distance join. Offset arithmetic can
+    * underflow a border cell's tx/ty field into the adjacent field, but
+    * every such phantom key carries a z-field or ty-field no valid
+    * level-z (z ≤ 28) cell can have, so it misses the join by
+    * construction. */
+  def focalStats(raster: DataFrame, radius: Int = 1): DataFrame = {
+    require(radius >= 1 && radius <= 8, s"radius=$radius out of [1, 8]")
+    val offs = for { dx <- -radius to radius; dy <- -radius to radius }
+      yield dx.toLong * XYShift + dy.toLong
+    val contrib = raster
+      .select(col("cell_id"), col("v"), explode(typedLit(offs)).as("off"))
+      .select((col("cell_id") + col("off")).as("tgt"), col("v").as("nv"))
+    raster.join(contrib, col("cell_id") === col("tgt"))
+      .groupBy(col("cell_id"), col("v"))
+      .agg(sum(col("nv")).as("focal_sum"), count(lit(1)).as("focal_n"),
+        max(col("nv")).as("focal_max"))
+  }
+
   /** Morton (z-order) key of a packed cell: the level in the top 6 bits
     * and tx/ty bit-INTERLEAVED below — the space-filling write-layout key.
     * Rows sorted/range-partitioned by this key give every axis-aligned

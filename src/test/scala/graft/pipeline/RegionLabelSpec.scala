@@ -88,6 +88,39 @@ class RegionLabelSpec extends AnyFunSuite {
     }
   }
 
+  test("focalStats: solid block, border and interior windows exact") {
+    val cells = for { x <- 0L to 2L; y <- 0L to 2L } yield (x, y)
+    val raster = mask(10, cells).withColumn("v", lit(1L) +
+      col("cell_id") % 3) // deterministic small values
+    val vals = raster.as[(Long, Long)].collect().toMap
+    val out = CellOps.focalStats(raster)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(out.length === 9)
+    val set = cells.toSet
+    for ((cid, v, fs, fn, fm) <- out) {
+      val (tx, ty) = ((cid >> 29) & 0x1FFFFFFFL, cid & 0x1FFFFFFFL)
+      val nbs = for { dx <- -1L to 1L; dy <- -1L to 1L
+                      if set((tx + dx, ty + dy)) }
+        yield vals(graft.core.CellId.pack(10, tx + dx, ty + dy))
+      assert(v === vals(cid))
+      assert(fs === nbs.sum, s"cell ($tx,$ty) sum")
+      assert(fn === nbs.size, s"cell ($tx,$ty) n: corner=4, edge=6, center=9")
+      assert(fm === nbs.max, s"cell ($tx,$ty) max")
+    }
+  }
+
+  test("focalStats: sparse raster — absent neighbors contribute nothing; tx=0 border safe") {
+    // two isolated cells + one cell at tx=0 (offset underflow borrows
+    // into the z field -> phantom key misses by construction)
+    val raster = mask(12, Seq((0L, 5L), (100L, 100L), (102L, 100L)))
+      .withColumn("v", lit(7L))
+    val out = CellOps.focalStats(raster)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(out.length === 3)
+    assert(out.forall { case (_, v, fs, fn, fm) =>
+      v == 7L && fs == 7L && fn == 1L && fm == 7L })
+  }
+
   test("labels and stats are partitioning-invariant") {
     val cells = (for { x <- 0L until 16L; y <- 0L until 16L } yield (x, y))
       .filter { case (x, y) => Dedup.md5h60(s"rp|$x|$y") % 100 < 40 }
