@@ -1685,6 +1685,28 @@ object SparkEntry {
           col("path_m"), col("net_m"))
     }),
 
+    // IDW spatial interpolation — estimate a field value at probe
+    // points from the samples within R meters (the kriging-lite every
+    // geo pipeline runs for gap filling): gather via the grid-blocked
+    // radiusJoin (never a cross product), integer weights
+    // 10^6 div (floor_meters + 1), estimate = floor-weighted mean —
+    // all integer and order-free, so the twin is bit-exact. Probes with
+    // no sample in range drop (IDW is undefined there), deterministically.
+    "q_geo_idw" -> ((s, dir) => {
+      val probes = t(s, dir, "customer").where(col("c_custkey") <= 50)
+        .select(col("c_custkey").as("probe_id"),
+          latOf(col("c_custkey") * 7).as("plat"), lngOf(col("c_custkey") * 13).as("plng"))
+      val pts = t(s, dir, "orders").select(
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("v"),
+        latOf(col("o_orderkey")).as("lat"), lngOf(col("o_orderkey")).as("lng"))
+      pipeline.KnnJoin.radiusJoin(probes, pts, radiusM = 300.0, maxAbsLat = 54.0)
+        .withColumn("w", expr("CAST(1000000 AS BIGINT) div (CAST(floor(dist_m) AS BIGINT) + 1)"))
+        .groupBy(col("probe_id"))
+        .agg(count(lit(1)).as("n_samples"),
+          sum(expr("w * v")).as("wv"), sum(col("w")).as("ws"))
+        .select(col("probe_id"), col("n_samples"), expr("wv div ws").as("idw_fp"))
+    }),
+
     // focal (neighborhood) statistics — the raster-algebra staple
     // (focal sum/count/max over the 3×3 window) on the z14 order-count
     // raster: each cell fans out to its 9 neighbor keys (literal offset
@@ -2873,6 +2895,34 @@ object SparkEntry {
             CAST(sum(CAST(floor(e.value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
           FROM eanc e JOIN r11 r ON e.anc = r.cell_id
           GROUP BY 1, 2""",
+
+    // twin of the IDW interpolation: brute-force radius gather with the
+    // identical haversine, identical integer weight and floored mean
+    "q_geo_idw" ->
+      """WITH probes AS (
+           SELECT c_custkey AS probe_id,
+             53.8306::DOUBLE + ((c_custkey * 7) % 14000)::DOUBLE * 0.00001::DOUBLE AS plat,
+             27.4026::DOUBLE + ((c_custkey * 13) % 29000)::DOUBLE * 0.00001::DOUBLE AS plng
+           FROM customer WHERE c_custkey <= 50),
+         pts AS (
+           SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v,
+             53.8306::DOUBLE + (o_orderkey % 14000)::DOUBLE * 0.00001::DOUBLE AS lat,
+             27.4026::DOUBLE + (o_orderkey % 29000)::DOUBLE * 0.00001::DOUBLE AS lng
+           FROM orders),
+         d AS (
+           SELECT probe_id, v,
+             2.0 * 6371008.8 * asin(sqrt(
+               sin((lat - plat) * pi() / 360.0) * sin((lat - plat) * pi() / 360.0) +
+               cos(plat * pi() / 180.0) * cos(lat * pi() / 180.0) *
+                 sin((lng - plng) * pi() / 360.0) * sin((lng - plng) * pi() / 360.0))) AS dist_m
+           FROM probes CROSS JOIN pts),
+         wd AS (
+           SELECT probe_id, v,
+             1000000 // (CAST(floor(dist_m) AS BIGINT) + 1) AS w
+           FROM d WHERE dist_m <= 300.0)
+         SELECT probe_id, count(*) AS n_samples,
+           CAST(CAST(sum(w * v) AS BIGINT) // CAST(sum(w) AS BIGINT) AS BIGINT) AS idw_fp
+         FROM wd GROUP BY probe_id""",
 
     // twin of the 3×3 focal statistics: the z14 count raster, the 9
     // neighbor offsets as a range×range lateral, one equi-join + groupBy
