@@ -1311,6 +1311,33 @@ object SparkEntry {
     // watermarked per-zone rollup is the ONLY state; the cover table is
     // the scalable geofence state, exactly like q_stream_admit's bucket
     // table
+    // stream-STREAM interval join — the last Structured Streaming join
+    // shape the engine lacked (stream-static and per-batch gates exist):
+    // purchases and signups are two filtered views of the event stream,
+    // joined per user with an event-time range condition; BOTH sides
+    // carry watermarks, which is what lets Spark bound the symmetric
+    // hash-join state (rows older than watermark + range are evicted).
+    // Oracle-equality caveat as the rest of the family: the single-file
+    // source delivers one micro-batch, within which no state is evicted,
+    // so the append output equals the batch join; in a live feed,
+    // late rows beyond the watermark are dropped BY DESIGN.
+    "q_stream_sjoin" -> ((s, dir) => {
+      runStream(s, dir, "stream_sjoin", mode = "append") { stream =>
+        val p = stream.where(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("p_event"), col("ts").as("p_ts"))
+          .withWatermark("p_ts", "1 hour")
+        val g = stream.where(col("event_type") === "signup")
+          .select(col("user_id").as("g_user"), col("event_id").as("g_event"),
+            col("ts").as("g_ts"))
+          .withWatermark("g_ts", "1 hour")
+        p.join(g, col("user_id") === col("g_user") &&
+            col("g_ts") <= col("p_ts") &&
+            col("g_ts") >= col("p_ts") - expr("INTERVAL 7 DAYS"))
+          .select(col("user_id"), col("p_event"), col("g_event"),
+            unix_micros(col("p_ts")).as("p_us"), unix_micros(col("g_ts")).as("g_us"))
+      }
+    }),
+
     "q_stream_geofence" -> ((s, dir) => {
       val cover = pipeline.CellOps.compact(
         t(s, dir, "orders").select(
@@ -2965,6 +2992,19 @@ object SparkEntry {
             FROM customer GROUP BY 1)
           SELECT o.cell_id, o.o_orderkey, c.c_n
           FROM op o JOIN cc c ON o.cell_id = c.cell_id""",
+
+    // twin of the stream-stream interval join: the batch join — value
+    // equality holds within the single-micro-batch feed (stated caveat)
+    "q_stream_sjoin" ->
+      """WITH p AS (
+           SELECT user_id, event_id AS p_event, epoch_us(ts) AS p_us
+           FROM events WHERE event_type = 'purchase'),
+         g AS (
+           SELECT user_id, event_id AS g_event, epoch_us(ts) AS g_us
+           FROM events WHERE event_type = 'signup')
+         SELECT p.user_id, p_event, g_event, p_us, g_us
+         FROM p JOIN g ON p.user_id = g.user_id
+           AND g_us <= p_us AND g_us >= p_us - 604800000000""",
 
     // twin of the geofence transition log: the shared orders cover chain
     // (z14 -> z11 compact rounds), trajectory-derived event positions,

@@ -178,4 +178,48 @@ class StreamingSemanticsSpec extends AnyFunSuite {
           "near-dups pass through to the downstream batch dedup")
     } finally q.stop()
   }
+
+  test("stream-stream interval join: cross-batch match within state, watermark bounds it") {
+    val dir = Files.createTempDirectory("graft_stream_sjoin")
+    val qname = s"sem_sjoin_${System.nanoTime()}"
+    val stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+      .parquet(dir.toString)
+    val p = stream.where($"event_type" === "purchase")
+      .select($"user_id", $"ts".as("p_ts")).withWatermark("p_ts", "30 minutes")
+    val g = stream.where($"event_type" === "signup")
+      .select($"user_id".as("g_user"), $"ts".as("g_ts"))
+      .withWatermark("g_ts", "30 minutes")
+    val q = p.join(g, $"user_id" === $"g_user" &&
+        $"g_ts" <= $"p_ts" && $"g_ts" >= $"p_ts" - expr("INTERVAL 2 HOURS"))
+      .select($"user_id", $"p_ts", $"g_ts")
+      .writeStream.outputMode("append").format("memory").queryName(qname).start()
+    try {
+      def matches = spark.table(qname)
+        .select($"user_id", $"g_ts").as[(Long, java.sql.Timestamp)]
+        .collect().map { case (u, t) => (u, t.getTime) }.sorted.toSeq
+
+      // batch 1: a signup only — no purchase yet, no output
+      feed(dir, "f1.parquet", Seq((1L, "signup", at(0))))
+      q.processAllAvailable()
+      assert(matches.isEmpty, "no purchase side yet")
+
+      // batch 2: a purchase 20 min later — matches the batch-1 signup
+      // ACROSS batches (the signup is held in join state)
+      feed(dir, "f2.parquet", Seq((1L, "purchase", at(20))))
+      q.processAllAvailable()
+      assert(matches == Seq((1L, at(0).getTime)),
+        "stream-stream state must match across micro-batches")
+
+      // batch 3: advance both watermarks far past the signup's
+      // range-condition reach (p_ts - 2h), then a late purchase: the
+      // batch-1 signup's state is eligible for eviction, and a purchase
+      // whose window ends before any live signup matches nothing new
+      feed(dir, "f3.parquet", Seq((9L, "signup", at(600)), (9L, "purchase", at(600))))
+      q.processAllAvailable()
+      feed(dir, "f4.parquet", Seq((1L, "purchase", at(601))))
+      q.processAllAvailable()
+      assert(matches == Seq((1L, at(0).getTime), (9L, at(600).getTime)),
+        "a purchase at t+601min must not see the evicted/out-of-range t0 signup")
+    } finally q.stop()
+  }
 }
