@@ -1439,6 +1439,28 @@ object SparkEntry {
         .where(col("h") === 256 && col("w") === 256 && col("phash_drift") <= 8)
     }),
 
+    // image QUALITY gate — the blank/low-contrast filter an image
+    // training corpus runs before anything else (the pixel-modality
+    // sibling of the Gopher-style text quality signals): per tile ONE
+    // decode yields integer BT.601 luma stats, and mean/variance/range +
+    // the gate flags derive as exact integer column math — the decode
+    // kernel is spec-pinned, every relational step downstream is
+    // DuckDB-replayed over the aux export (the q_i1_decode_meta pattern)
+    "q_image_quality" -> ((s, _) => {
+      val images = tables.SyntheticWorld.images(s, tables.SyntheticWorld.testWorld)
+      images.select(col("image_id"),
+          functions.ImageUdfs.grayStatsUdf(col("bytes")).as("gs"))
+        .select(col("image_id"), col("gs._1").as("yn"), col("gs._2").as("ysum"),
+          col("gs._3").as("ysumsq"), col("gs._4").as("ymin"), col("gs._5").as("ymax"))
+        .select(col("image_id"),
+          expr("ysum * 1000 div yn").as("y_mean_fp"),
+          expr("(ysumsq * yn - ysum * ysum) div (yn * yn)").as("y_var"),
+          (col("ymax") - col("ymin")).cast("long").as("y_range"),
+          when(col("ymax") - col("ymin") <= 4, 1L).otherwise(0L).as("flag_blank"),
+          when(expr("(ysumsq * yn - ysum * ysum) div (yn * yn)") < 100, 1L)
+            .otherwise(0L).as("flag_low_contrast"))
+    }),
+
     // A3/S18: minimap — mean tile color per cell (diagnostic aggregate)
     "q_a3_minimap" -> ((s, _) => {
       val images = tables.SyntheticWorld.images(s, tables.SyntheticWorld.testWorld)
@@ -2759,6 +2781,18 @@ object SparkEntry {
             CAST(bit_count(xor(ph, phash)) AS INTEGER) AS phash_drift
           FROM read_parquet('${Verify.AuxImagesMeta}/*.parquet')
           WHERE h = 256 AND w = 256 AND bit_count(xor(ph, phash)) <= 8""",
+
+    // quality-gate twin over the same aux export: identical integer
+    // mean/variance/range arithmetic and flag thresholds in SQL
+    "q_image_quality" ->
+      s"""SELECT image_id,
+            ysum * 1000 // yn AS y_mean_fp,
+            (ysumsq * yn - ysum * ysum) // (yn * yn) AS y_var,
+            CAST(ymax - ymin AS BIGINT) AS y_range,
+            CAST(CASE WHEN ymax - ymin <= 4 THEN 1 ELSE 0 END AS BIGINT) AS flag_blank,
+            CAST(CASE WHEN (ysumsq * yn - ysum * ysum) // (yn * yn) < 100
+              THEN 1 ELSE 0 END AS BIGINT) AS flag_low_contrast
+          FROM read_parquet('${Verify.AuxImagesMeta}/*.parquet')""",
 
     // resize self-check gate over the same aux export: dims + mean-color
     // drift of the 64x64 box resize, thresholds replayed in SQL

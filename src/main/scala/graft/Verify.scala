@@ -50,10 +50,13 @@ object Verify {
           functions.ImageUdfs.decodeDims(col("bytes")).as("dims"),
           functions.ImageUdfs.phashUdf(col("bytes")).as("ph"),
           functions.ImageUdfs.resizeSelfCheck(col("bytes")).as("rc"),
-          functions.ImageUdfs.meanColorUdf(col("bytes")).as("bgr"))
+          functions.ImageUdfs.meanColorUdf(col("bytes")).as("bgr"),
+          functions.ImageUdfs.grayStatsUdf(col("bytes")).as("gs"))
         .select(col("cell_id"), col("image_id"), col("phash"), col("caption"),
           col("dims._1").as("h"), col("dims._2").as("w"), col("ph"),
           col("rc._1").as("rh"), col("rc._2").as("rw"), col("rc._3").as("rdrift"),
+          col("gs._1").as("yn"), col("gs._2").as("ysum"), col("gs._3").as("ysumsq"),
+          col("gs._4").as("ymin"), col("gs._5").as("ymax"),
           org.apache.spark.sql.functions.floor(col("bgr")(0)).cast("long").as("mb"),
           org.apache.spark.sql.functions.floor(col("bgr")(1)).cast("long").as("mg"),
           org.apache.spark.sql.functions.floor(col("bgr")(2)).cast("long").as("mr"))

@@ -175,6 +175,27 @@ object ImageUdfs {
 
   val phashUdf = udf { (bytes: Array[Byte]) => phash(decode(bytes)) }
 
+  /** Integer luma statistics in ONE decode — the inputs of every
+    * blank/low-contrast image quality gate: per pixel the BT.601 integer
+    * luma y = (77r + 150g + 29b) div 256 (the Y4m matrix's rounding-free
+    * form), aggregated to (n, sum, sumsq, min, max). All integer, so the
+    * derived mean/variance/range replay exactly in any engine. */
+  val grayStatsUdf = udf { (bytes: Array[Byte]) =>
+    val img = decode(bytes)
+    var i = 0; var n = 0L; var s = 0L; var ss = 0L
+    var mn = 255; var mx = 0
+    while (i < img.bgr.length) {
+      val b = img.bgr(i) & 0xFF; val g = img.bgr(i + 1) & 0xFF
+      val r = img.bgr(i + 2) & 0xFF
+      val y = (77 * r + 150 * g + 29 * b) >> 8
+      s += y; ss += y.toLong * y
+      if (y < mn) mn = y
+      if (y > mx) mx = y
+      n += 1; i += 3
+    }
+    (n, s, ss, mn, mx)
+  }
+
   val psnrUdf = udf { (a: Array[Byte], b: Array[Byte]) =>
     val ra = decode(a); val rb = decode(b)
     if (ra.h != rb.h || ra.w != rb.w) -1.0 else psnr(ra, rb)

@@ -33,6 +33,24 @@ class MultimodalSpec extends AnyFunSuite {
       s"resize invariant must cover the full corpus, got $n rows")
   }
 
+  test("grayStatsUdf: flat image has zero variance/range; planted two-tone exact") {
+    import graft.functions.ImageUdfs
+    // flat mid-gray: luma y = (77*90 + 150*90 + 29*90) >> 8 = 90*256>>8 = 90
+    val flat = ImageCodec.encode(
+      ImageCodec.Raw(8, 8, Array.fill(8 * 8 * 3)(90.toByte)), "png")
+    // two-tone: half black (y=0), half white (y=255 -> (77+150+29)*255>>8 = 255)
+    val twoBgr = Array.tabulate(8 * 8 * 3)(i => if (i < 8 * 4 * 3) 0.toByte else 255.toByte)
+    val two = ImageCodec.encode(ImageCodec.Raw(8, 8, twoBgr), "png")
+    val out = Seq((1L, flat), (2L, two)).toDF("id", "bytes")
+      .select($"id", ImageUdfs.grayStatsUdf($"bytes").as("gs"))
+      .select($"id", $"gs._1", $"gs._2", $"gs._3", $"gs._4", $"gs._5")
+      .as[(Long, Long, Long, Long, Int, Int)].collect().sortBy(_._1)
+    val (_, n1, s1, ss1, mn1, mx1) = out(0)
+    assert(n1 === 64 && s1 === 64L * 90 && ss1 === 64L * 90 * 90 && mn1 === 90 && mx1 === 90)
+    val (_, n2, s2, ss2, mn2, mx2) = out(1)
+    assert(n2 === 64 && s2 === 32L * 255 && ss2 === 32L * 255 * 255 && mn2 === 0 && mx2 === 255)
+  }
+
   test("sampleFrames: n_frames = 0 yields zero rows, not a crash") {
     val videos = Seq((1L, Array[Byte](1), 24, 0), (2L, Array[Byte](2), 24, 2))
       .toDF("video_id", "bytes", "fps", "n_frames")
