@@ -424,4 +424,51 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("WindowGroupLimit"),
       s"bottom-k must forward <= k rows per group per map task:\n$plan")
   }
+
+  test("labelRegions: adjacency is equi-joins on shifted keys, never a cartesian/BNLJ") {
+    val cells = (for { x <- 0L until 20L; y <- 0L until 20L if (x + y) % 3 != 0 }
+      yield graft.core.CellId.pack(12, x, y)).toDF("cell_id")
+    val out = pipeline.CellOps.labelRegions(cells)
+    out.count() // resolveClusters materializes internally; audit the stats tail
+    val plan = executed(out)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"region stats must stay equi-join shaped:\n$plan")
+  }
+
+  test("focalStats: one equi-join on the neighbor key; offset explode is pre-shuffle") {
+    val raster = (for { x <- 0L until 30L; y <- 0L until 30L }
+      yield (graft.core.CellId.pack(13, x, y), (x * 31 + y) % 7 + 1))
+      .toDF("cell_id", "v")
+    val out = pipeline.CellOps.focalStats(raster)
+    val plan = executed(out)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"focal gather must be an equi-join:\n$plan")
+    assert(plan.contains("Generate explode"),
+      s"offset fan-out must be a per-row explode (zero shuffle to build):\n$plan")
+  }
+
+  test("geofence transitions / salted join: broadcast equi shapes, no cartesian") {
+    // transitions: the compacted cover is the broadcast side of coverJoin
+    val pts = spark.range(500).select($"id".as("event_id"), ($"id" % 37).as("user_id"),
+      GeoF.cellAtWgs(lit(53.84) + ($"id" % 100).cast("double") * 0.0002,
+        lit(27.41) + ($"id" % 90).cast("double") * 0.0004, 14).as("cell_id"))
+    val cover = pipeline.CellOps.compact(pts.select($"cell_id"), zMax = 14, zMin = 11)
+    val cj = pipeline.CellOps.coverJoin(pts, cover, zMax = 14, zMin = 11)
+    cj.collect()
+    val cjPlan = executed(cj)
+    assert(cjPlan.contains("BroadcastHashJoin"), s"cover must broadcast:\n$cjPlan")
+    // salted join: the salt explode replicates the dimension side and the
+    // join stays an equi-join on (cell_id, salt)
+    val dim = pts.select($"cell_id").distinct().withColumn("c_n", lit(1L))
+    val sj = pipeline.SaltedJoin.joinOnCell(
+      pts.select($"event_id".as("node_id"), $"cell_id"), dim,
+      hotCells = Seq(pts.select($"cell_id").head().getLong(0)), saltFactor = 4)
+    val sjPlan = executed(sj)
+    assert(sjPlan.contains("Generate explode"), s"salt replication missing:\n$sjPlan")
+    assert(!sjPlan.contains("CartesianProduct") &&
+      !sjPlan.contains("BroadcastNestedLoopJoin"),
+      s"salted join must remain equi-shaped:\n$sjPlan")
+  }
 }
