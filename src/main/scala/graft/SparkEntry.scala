@@ -2776,6 +2776,13 @@ object SparkEntry {
     // engine-DECODED (h, w, ph) beside the stored metadata, so the filter
     // and drift arithmetic downstream of the decode are DuckDB-pinned
     // (the decode kernel itself stays spec-pinned — MultimodalSpec/PSNR)
+    // minimap twin over the aux export: the decoded floored mean colors
+    // are exported per tile, so the diagnostic aggregate is DuckDB-checked
+    // too (was the last convertible engine-only row)
+    "q_a3_minimap" ->
+      s"""SELECT cell_id, mb AS b, mg AS g, mr AS r
+          FROM read_parquet('${Verify.AuxImagesMeta}/*.parquet')""",
+
     "q_i1_decode_meta" ->
       s"""SELECT image_id, h, w,
             CAST(bit_count(xor(ph, phash)) AS INTEGER) AS phash_drift
