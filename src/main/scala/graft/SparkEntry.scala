@@ -1734,6 +1734,20 @@ object SparkEntry {
           col("path_m"), col("net_m"))
     }),
 
+    // bounded distance transform — the buffered-exclusion primitive: per
+    // cell within Chebyshev radius 3 of the thinned z18 order mask, the
+    // MIN squared Euclidean distance (cell units) to a mask cell. The
+    // reference's negative sampling excludes exactly the painted cells;
+    // `where d2 > r²` over this relation is the planet-scale "no negative
+    // within r cells of a positive" form. One literal offset explode +
+    // one min groupBy — never an iterative frontier.
+    "q_raster_dt" -> ((s, dir) => {
+      val mask = t(s, dir, "orders")
+        .where(krank(col("o_orderkey")) % 10 < 4)
+        .select(GeoF.cellAtWgs(latOf(col("o_orderkey")), lngOf(col("o_orderkey")), 18).as("cell_id"))
+      pipeline.CellOps.distanceTransform(mask, maxRadius = 3)
+    }),
+
     // IDW spatial interpolation — estimate a field value at probe
     // points from the samples within R meters (the kriging-lite every
     // geo pipeline runs for gap filling): gather via the grid-blocked
@@ -2963,6 +2977,33 @@ object SparkEntry {
             CAST(sum(CAST(floor(e.value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
           FROM eanc e JOIN r11 r ON e.anc = r.cell_id
           GROUP BY 1, 2""",
+
+    // twin of the bounded distance transform: identical mask, the 7×7
+    // offset lateral with squared distances, identical level-validity
+    // filter, min per target cell
+    "q_raster_dt" ->
+      s"""WITH pts AS (
+            SELECT
+              (256.0::DOUBLE * (0.5::DOUBLE + ($lngSqlO) / 360.0::DOUBLE)) AS wx,
+              (256.0::DOUBLE * (0.5::DOUBLE - ln((1.0::DOUBLE + least(greatest(sin(($latSqlO) * pi() / 180.0::DOUBLE), -0.9999::DOUBLE), 0.9999::DOUBLE))
+                 / (1.0::DOUBLE - least(greatest(sin(($latSqlO) * pi() / 180.0::DOUBLE), -0.9999::DOUBLE), 0.9999::DOUBLE))) / (4 * pi()))) AS wy
+            FROM orders WHERE ${krankSql("o_orderkey")} % 10 < 4),
+         mask AS (
+           SELECT DISTINCT CAST(18 * ${1L << 58} AS BIGINT)
+             + CAST(floor(wx * 262144 / 256) AS BIGINT) * ${1L << 29}
+             + CAST(floor(wy * 262144 / 256) AS BIGINT) AS cell_id
+           FROM pts),
+         tg AS (
+           SELECT m.cell_id + a.range * ${1L << 29} + b.range AS tgt,
+             a.range * a.range + b.range * b.range AS d2,
+             m.cell_id >> 58 AS src_z
+           FROM mask m, range(-3, 4) a, range(-3, 4) b)
+         SELECT tgt AS cell_id, CAST(min(d2) AS BIGINT) AS d2
+         FROM tg
+         WHERE (tgt >> 58) = src_z
+           AND ((tgt >> 29) & 536870911) < (1 << (tgt >> 58))
+           AND (tgt & 536870911) < (1 << (tgt >> 58))
+         GROUP BY tgt""",
 
     // twin of the IDW interpolation: brute-force radius gather with the
     // identical haversine, identical integer weight and floored mean

@@ -193,6 +193,39 @@ object CellOps {
         max(col("nv")).as("focal_max"))
   }
 
+  /** Bounded distance transform — per cell within Chebyshev radius
+    * `maxRadius` of the mask, the MINIMUM squared Euclidean distance (in
+    * cell units) to any mask cell; mask cells themselves read 0. The
+    * buffered-exclusion primitive: the reference's negative sampling
+    * excludes exactly the painted cells (make_original.py:46-48 via the
+    * painter's pixel test); a planet-scale pipeline wants "no negative
+    * within d cells of a positive", which is `where d2 > r²` over this
+    * relation. Output: (cell_id, d2).
+    *
+    * Scale shape: the mask explodes to its (2r+1)² offset window with the
+    * offset's squared distance attached (a LITERAL array — zero shuffle
+    * to build) and ONE groupBy takes the min per target cell — never an
+    * iterative frontier or a distance join. Single-level z ≤ 28 contract
+    * as [[focalStats]]; unlike focal there is no mask join to absorb
+    * border arithmetic, so targets whose tx/ty under/overflow the level's
+    * [0, 2^z) range (field borrow/carry keys included) are filtered out
+    * explicitly — the output contains only valid level-z cells. */
+  def distanceTransform(mask: DataFrame, maxRadius: Int): DataFrame = {
+    require(maxRadius >= 1 && maxRadius <= 8, s"maxRadius=$maxRadius out of [1, 8]")
+    val offs = for { dx <- -maxRadius to maxRadius; dy <- -maxRadius to maxRadius }
+      yield (dx.toLong * XYShift + dy.toLong, (dx * dx + dy * dy).toLong)
+    val z = shiftrightunsigned(col("cell_id"), 58)
+    val side = expr("shiftleft(CAST(1 AS BIGINT), CAST(shiftrightunsigned(tgt, 58) AS INT))")
+    mask.select(col("cell_id")).distinct()
+      .select(col("cell_id"), explode(typedLit(offs)).as("o"))
+      .select((col("cell_id") + col("o._1")).as("tgt"), col("o._2").as("d2"),
+        z.as("src_z"))
+      .where(shiftrightunsigned(col("tgt"), 58) === col("src_z") &&
+        shiftrightunsigned(col("tgt"), 29).bitwiseAND(lit(0x1FFFFFFFL)) < side &&
+        col("tgt").bitwiseAND(lit(0x1FFFFFFFL)) < side)
+      .groupBy(col("tgt").as("cell_id")).agg(min(col("d2")).as("d2"))
+  }
+
   /** Morton (z-order) key of a packed cell: the level in the top 6 bits
     * and tx/ty bit-INTERLEAVED below — the space-filling write-layout key.
     * Rows sorted/range-partitioned by this key give every axis-aligned

@@ -121,6 +121,33 @@ class RegionLabelSpec extends AnyFunSuite {
       v == 7L && fs == 7L && fn == 1L && fm == 7L })
   }
 
+  test("distanceTransform: single-cell mask yields the exact 7x7 squared-distance field") {
+    val out = CellOps.distanceTransform(mask(12, Seq((100L, 100L))), maxRadius = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(out.size === 49)
+    for (dx <- -3L to 3L; dy <- -3L to 3L)
+      assert(out(CellId.pack(12, 100 + dx, 100 + dy)) === dx * dx + dy * dy)
+  }
+
+  test("distanceTransform: min over multiple mask cells; mask cells read 0") {
+    val out = CellOps.distanceTransform(mask(12, Seq((10L, 10L), (14L, 10L))), maxRadius = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(out(CellId.pack(12, 10, 10)) === 0 && out(CellId.pack(12, 14, 10)) === 0)
+    // midpoint (12,10): 4 from both -> min 4
+    assert(out(CellId.pack(12, 12, 10)) === 4)
+    // (11,11): 1+1=2 from (10,10), 9+1=10 from (14,10)
+    assert(out(CellId.pack(12, 11, 11)) === 2)
+  }
+
+  test("distanceTransform: border mask cell emits only valid level-z targets") {
+    val out = CellOps.distanceTransform(mask(3, Seq((0L, 0L))), maxRadius = 3)
+      .as[(Long, Long)].collect()
+    // at z=3 valid tx/ty are [0, 8): only the 4x4 non-negative quadrant
+    assert(out.length === 16)
+    assert(out.forall { case (cid, _) =>
+      (cid >>> 58) == 3 && ((cid >> 29) & 0x1FFFFFFFL) < 8 && (cid & 0x1FFFFFFFL) < 8 })
+  }
+
   test("labels and stats are partitioning-invariant") {
     val cells = (for { x <- 0L until 16L; y <- 0L until 16L } yield (x, y))
       .filter { case (x, y) => Dedup.md5h60(s"rp|$x|$y") % 100 < 40 }
