@@ -1200,6 +1200,28 @@ object SparkEntry {
           numPerm = 16, bands = 4, portableHashing = oracleHashing)
         .select(col("ida"), col("idb"), col("jac_fp"))),
 
+    // k-hop neighborhood audit over the near-dup graph — the diagnostic a
+    // dedup pipeline runs BEFORE resolving: per doc, distinct neighbors at
+    // 1 hop and within 2 hops. A 2-hop count exploding past the 1-hop
+    // count flags chain-collapse risk (CC will glue those docs) and
+    // banding pathologies. Scale shape: one edge self-join bounded by
+    // degree² on the BANDED graph (degrees are banding-bounded, the same
+    // argument as the pair generators) — never an all-pairs reach.
+    "q_graph_khop" -> ((s, dir) => {
+      val pr = pipeline.Dedup.simhashPairs(t(s, dir, "documents"), verifyHamming = 8)
+        .select(col("ida"), col("idb"))
+      val e = pr.unionByName(pr.select(col("idb").as("ida"), col("ida").as("idb")))
+        .distinct()
+      val hop2 = e.as("x").join(e.as("y"), col("x.idb") === col("y.ida"))
+        .select(col("x.ida").as("ida"), col("y.idb").as("idb"))
+        .where(col("ida") =!= col("idb"))
+      val d1 = e.groupBy(col("ida")).agg(countDistinct(col("idb")).as("n_hop1"))
+      e.unionByName(hop2).distinct()
+        .groupBy(col("ida")).agg(countDistinct(col("idb")).as("n_within2"))
+        .join(d1, "ida")
+        .select(col("ida").as("doc_id"), col("n_hop1"), col("n_within2"))
+    }),
+
     // dedup cluster RESOLUTION: verified near-dup pairs -> connected
     // components -> keep-min-per-component (the actual "which rows to
     // keep" deliverable; exact dedup's keep-min rule generalized to the
@@ -3908,6 +3930,25 @@ object SparkEntry {
     // exact SQL twin of Dedup.resolveClusters over the verified minhash
     // pairs (jac >= 0.6): recursive-CTE transitive closure -> component
     // min as the kept representative (min-label propagation's fixpoint)
+    // twin of the k-hop audit: the simhash pair chain, symmetrized edges,
+    // one edge self-join for hop 2, distinct neighbor counts
+    "q_graph_khop" ->
+      s"""WITH ${simhashPairCtes("TRUE")},
+         e AS (
+           SELECT ida, idb FROM spairs WHERE hamming <= 8
+           UNION
+           SELECT idb, ida FROM spairs WHERE hamming <= 8),
+         h2 AS (
+           SELECT x.ida, y.idb FROM e x JOIN e y ON x.idb = y.ida
+           WHERE x.ida <> y.idb),
+         d1 AS (SELECT ida, count(DISTINCT idb) AS n_hop1 FROM e GROUP BY 1),
+         w2 AS (
+           SELECT ida, count(DISTINCT idb) AS n_within2 FROM (
+             SELECT ida, idb FROM e UNION SELECT ida, idb FROM h2)
+           GROUP BY 1)
+         SELECT w2.ida AS doc_id, d1.n_hop1, w2.n_within2
+         FROM w2 JOIN d1 ON w2.ida = d1.ida""",
+
     "q_dedup_resolve" ->
       s"""WITH RECURSIVE $minhashCtes,
          ${ccResolveCtes("SELECT ida, idb FROM vpairs WHERE jac_fp >= 600000")}
