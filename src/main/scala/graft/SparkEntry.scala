@@ -1756,6 +1756,18 @@ object SparkEntry {
           col("path_m"), col("net_m"))
     }),
 
+    // Sobel gradient over the z17 count raster — focal CONVOLUTION, the
+    // weighted generalization of q_raster_focal (any kernel is the same
+    // scatter-explode + one groupBy with a different literal array);
+    // integer responses + squared magnitude, the density-edge detector
+    // that finds urban-boundary cells in a point-count raster.
+    "q_raster_sobel" -> ((s, dir) => {
+      val raster = t(s, dir, "orders").select(
+        GeoF.cellAtWgs(latOf(col("o_orderkey")), lngOf(col("o_orderkey")), 17).as("cell_id"))
+        .groupBy(col("cell_id")).agg(count(lit(1)).as("v"))
+      pipeline.CellOps.sobel(raster)
+    }),
+
     // bounded distance transform — the buffered-exclusion primitive: per
     // cell within Chebyshev radius 3 of the thinned z18 order mask, the
     // MIN squared Euclidean distance (cell units) to a mask cell. The
@@ -2999,6 +3011,31 @@ object SparkEntry {
             CAST(sum(CAST(floor(e.value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
           FROM eanc e JOIN r11 r ON e.anc = r.cell_id
           GROUP BY 1, 2""",
+
+    // twin of the Sobel convolution: the z17 count raster, the scatter
+    // form with identical integer weights, LEFT join back + zero fill
+    "q_raster_sobel" ->
+      s"""WITH op AS (
+            SELECT
+              17 * ${1L << 58} +
+              CAST(floor((256.0::DOUBLE * (0.5::DOUBLE + ($lngSqlO) / 360.0::DOUBLE)) * 131072 / 256) AS BIGINT) * ${1L << 29} +
+              CAST(floor((256.0::DOUBLE * (0.5::DOUBLE - ln((1.0::DOUBLE + least(greatest(sin(($latSqlO) * pi() / 180.0::DOUBLE), -0.9999::DOUBLE), 0.9999::DOUBLE))
+                 / (1.0::DOUBLE - least(greatest(sin(($latSqlO) * pi() / 180.0::DOUBLE), -0.9999::DOUBLE), 0.9999::DOUBLE))) / (4 * pi()))) * 131072 / 256) AS BIGINT) AS cell_id
+            FROM orders),
+          rast AS (SELECT cell_id, count(*) AS v FROM op GROUP BY 1),
+          ct AS (
+            SELECT r.cell_id - (a.range * ${1L << 29} + b.range) AS tgt,
+              r.v * (a.range * (2 - abs(b.range))) AS cx,
+              r.v * (b.range * (2 - abs(a.range))) AS cy
+            FROM rast r, range(-1, 2) a, range(-1, 2) b),
+          sums AS (
+            SELECT tgt, CAST(sum(cx) AS BIGINT) AS gx, CAST(sum(cy) AS BIGINT) AS gy
+            FROM ct GROUP BY 1)
+          SELECT r.cell_id, r.v,
+            COALESCE(s.gx, 0) AS gx, COALESCE(s.gy, 0) AS gy,
+            COALESCE(s.gx, 0) * COALESCE(s.gx, 0)
+              + COALESCE(s.gy, 0) * COALESCE(s.gy, 0) AS g2
+          FROM rast r LEFT JOIN sums s ON r.cell_id = s.tgt""",
 
     // twin of the bounded distance transform: identical mask, the 7×7
     // offset lateral with squared distances, identical level-validity

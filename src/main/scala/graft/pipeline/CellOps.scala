@@ -226,6 +226,37 @@ object CellOps {
       .groupBy(col("tgt").as("cell_id")).agg(min(col("d2")).as("d2"))
   }
 
+  /** Focal CONVOLUTION with the Sobel kernels — raster gradient / edge
+    * detection, the weighted generalization of [[focalStats]]: per raster
+    * cell the integer Sobel responses gx = Σ dx·(2−|dy|)·v(c+o),
+    * gy = Σ dy·(2−|dx|)·v(c+o) and the squared gradient magnitude
+    * g2 = gx² + gy². Sparse-raster semantics (absent neighbors read 0);
+    * output rows are exactly the input cells.
+    *
+    * Scale shape: the SCATTER form — each input cell explodes over the
+    * LITERAL kernel support carrying v·w per offset (zero shuffle to
+    * build), one groupBy on the target key sums both kernels at once, and
+    * the join back to the raster absorbs border-arithmetic phantom keys
+    * (the [[focalStats]] argument). Any kernel is the same plan with a
+    * different literal array — convolution never becomes a 2D window. */
+  def sobel(raster: DataFrame): DataFrame = {
+    val entries = for { dx <- -1 to 1; dy <- -1 to 1 } yield
+      (dx.toLong * XYShift + dy.toLong,
+        (dx * (2 - math.abs(dy))).toLong, (dy * (2 - math.abs(dx))).toLong)
+    val contrib = raster
+      .select(col("cell_id"), col("v"), explode(typedLit(entries)).as("o"))
+      .select((col("cell_id") - col("o._1")).as("tgt"),
+        (col("v") * col("o._2")).as("cx"), (col("v") * col("o._3")).as("cy"))
+    val sums = contrib.groupBy(col("tgt"))
+      .agg(sum(col("cx")).as("sgx"), sum(col("cy")).as("sgy"))
+    raster.join(sums, col("cell_id") === col("tgt"), "left")
+      .select(col("cell_id"), col("v"),
+        coalesce(col("sgx"), lit(0L)).as("gx"),
+        coalesce(col("sgy"), lit(0L)).as("gy"),
+        (coalesce(col("sgx"), lit(0L)) * coalesce(col("sgx"), lit(0L)) +
+          coalesce(col("sgy"), lit(0L)) * coalesce(col("sgy"), lit(0L))).as("g2"))
+  }
+
   /** Morton (z-order) key of a packed cell: the level in the top 6 bits
     * and tx/ty bit-INTERLEAVED below — the space-filling write-layout key.
     * Rows sorted/range-partitioned by this key give every axis-aligned

@@ -148,6 +148,35 @@ class RegionLabelSpec extends AnyFunSuite {
       (cid >>> 58) == 3 && ((cid >> 29) & 0x1FFFFFFFL) < 8 && (cid & 0x1FFFFFFFL) < 8 })
   }
 
+  test("sobel: flat raster reads zero gradient; planted step and random match reference") {
+    // flat 5x5: every interior AND border cell has gx = gy = 0 under
+    // sparse semantics? No — border cells miss outside neighbors, so only
+    // the interior is exactly 0; assert the interior, reference the rest
+    val z = 11
+    val cells = for { x <- 0L until 6L; y <- 0L until 6L } yield (x, y)
+    def vOf(x: Long, y: Long): Long = if (x >= 3) 10L else 2L // vertical step
+    val raster = cells.map { case (x, y) => (CellId.pack(z, x, y), vOf(x, y)) }
+      .toDF("cell_id", "v")
+    val out = CellOps.sobel(raster)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, (r._2, r._3, r._4, r._5))).toMap
+    val set = cells.toSet
+    for ((x, y) <- cells) {
+      var gx = 0L; var gy = 0L
+      for (dx <- -1 to 1; dy <- -1 to 1 if set((x + dx, y + dy))) {
+        gx += dx * (2 - math.abs(dy)) * vOf(x + dx, y + dy)
+        gy += dy * (2 - math.abs(dx)) * vOf(x + dx, y + dy)
+      }
+      val (v, ogx, ogy, og2) = out(CellId.pack(z, x, y))
+      assert(v === vOf(x, y))
+      assert((ogx, ogy, og2) === ((gx, gy, gx * gx + gy * gy)), s"cell ($x,$y)")
+    }
+    // the step edge is detected: interior cells at x=2/x=3 carry |gx| = 32
+    assert(out(CellId.pack(z, 2, 2))._2 === 32)
+    // interior far from the step is flat
+    assert(out(CellId.pack(z, 4, 3)) === ((10L, 0L, 0L, 0L)))
+  }
+
   test("labels and stats are partitioning-invariant") {
     val cells = (for { x <- 0L until 16L; y <- 0L until 16L } yield (x, y))
       .filter { case (x, y) => Dedup.md5h60(s"rp|$x|$y") % 100 < 40 }
