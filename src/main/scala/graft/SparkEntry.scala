@@ -840,6 +840,21 @@ object SparkEntry {
         pipeline.AnnEval.exactTopK(probes, corpus, k = 3), k = 3)
     }),
 
+    // recall@3 of the TWO-LEVEL probe — the same evaluation operator over
+    // the hierarchical index (the committed snapshot q_ann_ivf2 probes):
+    // at nprobeSuper=2/nprobe=4 of a 4x8 index the routing is lossy by
+    // design; the recall row is what makes that loss a measured number
+    // instead of a hope.
+    "q_ann_recall2" -> ((s, dir) => {
+      val corpus = annCorpus(t(s, dir, "embeddings"))
+      val m = pipeline.IvfIndex.buildStagedTwoLevel(pipeline.AnnStages.runnerFor(corpus),
+        corpus, nsuper = 4, nsub = 8, trainRounds = 1, subTrainRounds = 1)
+      val probes = corpus.where(col("vec_id") < 10)
+      pipeline.AnnEval.recallAtK(
+        pipeline.IvfIndex.probeTwoLevel(m, probes, k = 3, nprobeSuper = 2, nprobe = 4),
+        pipeline.AnnEval.exactTopK(probes, corpus, k = 3), k = 3)
+    }),
+
     // two-level (hierarchical) IVF — the path PAST the flat index's
     // broadcast ceiling: only 4 super centroids broadcast; the 4x8
     // sub-lists are keyed by super cell and meet corpus/probes in
@@ -3587,6 +3602,45 @@ object SparkEntry {
          $ivfAppendCtes,
          $ivfProbeTopkCtes
          SELECT probe_id, rank, vec_id, dot FROM ranked WHERE rank <= 3""",
+
+    // recall twin over the two-level chain: the shared ivf2 index/probe
+    // CTEs supply the approximate ranking; exact side + hit counting as
+    // q_ann_recall (vec_id < 10 probe panel)
+    "q_ann_recall2" ->
+      s"""WITH $annQuantCte,
+         $ivf2IndexCtes,
+         ${ivf2ProbeCtes("vec_id < 10")},
+         cand AS (
+           SELECT p.probe_id, a.vec_id FROM proute2 p JOIN assign2 a ON a.cid = p.cid
+           WHERE a.vec_id <> p.probe_id),
+         scored AS (
+           SELECT c.probe_id, c.vec_id, CAST(sum(q.vq * pq.vq) AS BIGINT) AS dot
+           FROM cand c
+           JOIN quant q ON q.vec_id = c.vec_id
+           JOIN quant pq ON pq.vec_id = c.probe_id AND pq.pos = q.pos
+           GROUP BY c.probe_id, c.vec_id),
+         ranked AS (
+           SELECT probe_id, vec_id,
+             row_number() OVER (PARTITION BY probe_id ORDER BY dot DESC, vec_id) AS rank
+           FROM scored),
+         escored AS (
+           SELECT pq.vec_id AS probe_id, q.vec_id, CAST(sum(q.vq * pq.vq) AS BIGINT) AS dot
+           FROM quant q JOIN quant pq ON pq.pos = q.pos
+             AND pq.vec_id < 10 AND q.vec_id <> pq.vec_id
+           GROUP BY pq.vec_id, q.vec_id),
+         eranked AS (
+           SELECT probe_id, vec_id,
+             row_number() OVER (PARTITION BY probe_id ORDER BY dot DESC, vec_id) AS rank
+           FROM escored),
+         hits AS (
+           SELECT e.probe_id, count(*) AS n_hits
+           FROM eranked e JOIN ranked a
+             ON a.probe_id = e.probe_id AND a.vec_id = e.vec_id
+           WHERE e.rank <= 3 AND a.rank <= 3 GROUP BY 1)
+         SELECT p.probe_id, COALESCE(h.n_hits, 0) AS n_hits,
+           CAST(floor(COALESCE(h.n_hits, 0) * 1000000 / 3) AS BIGINT) AS recall_fp
+         FROM (SELECT DISTINCT vec_id AS probe_id FROM quant WHERE vec_id < 10) p
+         LEFT JOIN hits h ON p.probe_id = h.probe_id""",
 
     // exact SQL twin of IvfIndex.knnJoinTwoLevel: 4 md5-seeded super
     // centroids + 1 unrolled Lloyd's round, per-super md5 'ivf2' sub
