@@ -1669,6 +1669,28 @@ object SparkEntry {
         .select(col("k"), col("est"), col("exact"))
     }),
 
+    // equi-join CARDINALITY estimation from two committed CMS sketches
+    // (AMS/CMS inner product) — the optimizer-style decision input
+    // (broadcast? salt? partition count?) from KB-sized tables, never
+    // touching the raw relations: est = min_r Σ_cl cA·cB >= the exact
+    // join size (DuckDB-checked beside it). Purchases x clicks on
+    // user_id; d=4, w=256, md5-portable under the oracle gate.
+    "q_sketch_joinsize" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val a = ev.where(col("event_type") === "purchase")
+        .select(col("user_id").cast("string").as("g"))
+      val b = ev.where(col("event_type") === "click")
+        .select(col("user_id").cast("string").as("g"))
+      val sa = pipeline.Sketches.cmsBuild(a, col("g"), d = 4, w = 256,
+        portableHashing = oracleHashing)
+      val sb = pipeline.Sketches.cmsBuild(b, col("g"), d = 4, w = 256,
+        portableHashing = oracleHashing)
+      val exact = a.groupBy(col("g")).agg(count(lit(1)).as("na"))
+        .join(b.groupBy(col("g")).agg(count(lit(1)).as("nb")), "g")
+        .agg(coalesce(sum(col("na") * col("nb")), lit(0L)).as("joinsize_exact"))
+      pipeline.Sketches.cmsJoinSize(sa, sb).crossJoin(exact)
+    }),
+
     // per-source distinct-shingle cardinality via 64-register HLL — the
     // bounded-memory distinct counter whose register TABLE merges by MAX
     // (exact distinct per group at 10^12 rows needs a full (grp, key)
@@ -4136,6 +4158,37 @@ object SparkEntry {
          exact AS (SELECT g, count(*) AS exact FROM sh GROUP BY 1)
          SELECT e.g AS k, e.est, x.exact
          FROM est e JOIN exact x ON x.g = e.g""",
+
+    // twin of the CMS join-size estimate: both sketches replayed, row
+    // inner products, min, exact Σ na·nb beside it
+    "q_sketch_joinsize" ->
+      """WITH a AS (
+           SELECT CAST(user_id AS VARCHAR) AS g FROM events
+           WHERE event_type = 'purchase'),
+         b AS (
+           SELECT CAST(user_id AS VARCHAR) AS g FROM events
+           WHERE event_type = 'click'),
+         ca AS (
+           SELECT r.range AS r,
+             CAST('0x' || substr(md5('cms' || CAST(r.range AS VARCHAR) || '|' || g), 1, 15) AS BIGINT) % 256 AS cl
+           FROM a, range(0, 4) r),
+         sa2 AS (SELECT r, cl, count(*) AS c FROM ca GROUP BY 1, 2),
+         cb AS (
+           SELECT r.range AS r,
+             CAST('0x' || substr(md5('cms' || CAST(r.range AS VARCHAR) || '|' || g), 1, 15) AS BIGINT) % 256 AS cl
+           FROM b, range(0, 4) r),
+         sb2 AS (SELECT r, cl, count(*) AS c FROM cb GROUP BY 1, 2),
+         ip AS (
+           SELECT s1.r, CAST(sum(s1.c * s2.c) AS BIGINT) AS ip
+           FROM sa2 s1 JOIN sb2 s2 ON s1.r = s2.r AND s1.cl = s2.cl
+           GROUP BY 1),
+         ex AS (
+           SELECT CAST(COALESCE(sum(x.na * y.nb), 0) AS BIGINT) AS joinsize_exact
+           FROM (SELECT g, count(*) AS na FROM a GROUP BY 1) x
+           JOIN (SELECT g, count(*) AS nb FROM b GROUP BY 1) y ON x.g = y.g)
+         SELECT CAST(min(ip) AS BIGINT) AS joinsize_est,
+           (SELECT joinsize_exact FROM ex) AS joinsize_exact
+         FROM ip""",
 
     // KMV: distinct md5 hashes -> per-group bottom-32 window -> the
     // shared estimate expression (exact below k, (k-1)*2^60/h_k beyond)

@@ -77,6 +77,19 @@ object Sketches {
       .agg(min(coalesce(col("c"), lit(0L))).as("est"))
   }
 
+  /** CMS INNER PRODUCT — equi-join cardinality estimation from two
+    * committed sketches (the AMS/CMS classic): for each of the d hash
+    * rows the counter inner product Σ_cl cA[r][cl]·cB[r][cl] is
+    * ≥ Σ_k fA(k)·fB(k) — the exact join size — with collision slack
+    * ≤ n_A·n_B/w in expectation; the min over rows is the estimate.
+    * The optimizer-style decision input (broadcast? salt? how many
+    * shuffle partitions?) computed at 10^12 rows from two KB-sized
+    * committed tables — the raw relations are never touched. */
+  def cmsJoinSize(sa: DataFrame, sb: DataFrame): DataFrame =
+    sa.join(sb.select(col("r"), col("cl"), col("c").as("cb")), Seq("r", "cl"))
+      .groupBy(col("r")).agg(sum(col("c") * col("cb")).as("ip"))
+      .agg(min(col("ip")).as("joinsize_est"))
+
   /** Register count (m = 64, 6 index bits) and the small-range threshold
     * (2.5·m) of the HLL sketch below. */
   val HllM = 64

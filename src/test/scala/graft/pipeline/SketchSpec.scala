@@ -69,6 +69,27 @@ class SketchSpec extends AnyFunSuite {
     assert(est >= 0L && est <= 60L, s"ghost estimate $est outside plausible collision mass")
   }
 
+  test("CMS join-size: est >= exact inner product; collision-only when disjoint") {
+    val a = (1 to 40).flatMap(j => Seq.fill(j % 5 + 1)(s"u$j")).toDF("k")
+    val b = (21 to 60).flatMap(j => Seq.fill(j % 3 + 1)(s"u$j")).toDF("k")
+    val sa = Sketches.cmsBuild(a, col("k"), d = 4, w = 64)
+    val sb = Sketches.cmsBuild(b, col("k"), d = 4, w = 64)
+    val est = Sketches.cmsJoinSize(sa, sb).as[Long].head()
+    val exact = a.groupBy("k").agg(count(lit(1)).as("na"))
+      .join(b.groupBy("k").agg(count(lit(1)).as("nb")), "k")
+      .agg(coalesce(sum($"na" * $"nb"), lit(0L))).as[Long].head()
+    assert(est >= exact, s"one-sided guarantee broken: $est < $exact")
+    // slack bound (expectation-level, generous 8x): nA*nB/w per row
+    val (na, nb) = (a.count(), b.count())
+    assert(est <= exact + 8 * na * nb / 64, s"slack implausibly large: $est vs $exact")
+    // disjoint key sets: the true join is empty; anything left is
+    // collision mass, bounded by the same slack
+    val c = (1000 to 1030).map(j => s"v$j").toDF("k")
+    val sc = Sketches.cmsBuild(c, col("k"), d = 4, w = 64)
+    val estDisjoint = Sketches.cmsJoinSize(sa, sc).as[Long].head()
+    assert(estDisjoint <= 8 * na * c.count() / 64)
+  }
+
   test("HLL: registers match the sequential md5 hash model exactly") {
     val rows = (1 to 500).map(i => ("g", s"item$i")).toDF("grp", "key")
     val got = Sketches.hllRegisters(rows, col("grp"), col("key"), portableHashing = true)
