@@ -1230,9 +1230,11 @@ object SparkEntry {
       val hop2 = e.as("x").join(e.as("y"), col("x.idb") === col("y.ida"))
         .select(col("x.ida").as("ida"), col("y.idb").as("idb"))
         .where(col("ida") =!= col("idb"))
-      val d1 = e.groupBy(col("ida")).agg(countDistinct(col("idb")).as("n_hop1"))
+      // e and the unioned reach set are distinct by construction, so a
+      // plain count equals count(DISTINCT) at half the aggregate cost
+      val d1 = e.groupBy(col("ida")).agg(count(lit(1)).as("n_hop1"))
       e.unionByName(hop2).distinct()
-        .groupBy(col("ida")).agg(countDistinct(col("idb")).as("n_within2"))
+        .groupBy(col("ida")).agg(count(lit(1)).as("n_within2"))
         .join(d1, "ida")
         .select(col("ida").as("doc_id"), col("n_hop1"), col("n_within2"))
     }),
@@ -1489,13 +1491,17 @@ object SparkEntry {
           functions.ImageUdfs.grayStatsUdf(col("bytes")).as("gs"))
         .select(col("image_id"), col("gs._1").as("yn"), col("gs._2").as("ysum"),
           col("gs._3").as("ysumsq"), col("gs._4").as("ymin"), col("gs._5").as("ymax"))
+        // zero-pixel tiles are excluded (they are a decode-meta failure,
+        // not a quality judgement; and yn=0 would NULL in Spark but
+        // raise in DuckDB — the twin filters identically)
+        .where(col("yn") >= 1)
         .select(col("image_id"),
           expr("ysum * 1000 div yn").as("y_mean_fp"),
           expr("(ysumsq * yn - ysum * ysum) div (yn * yn)").as("y_var"),
-          (col("ymax") - col("ymin")).cast("long").as("y_range"),
-          when(col("ymax") - col("ymin") <= 4, 1L).otherwise(0L).as("flag_blank"),
-          when(expr("(ysumsq * yn - ysum * ysum) div (yn * yn)") < 100, 1L)
-            .otherwise(0L).as("flag_low_contrast"))
+          (col("ymax") - col("ymin")).cast("long").as("y_range"))
+        .select(col("image_id"), col("y_mean_fp"), col("y_var"), col("y_range"),
+          when(col("y_range") <= 4, 1L).otherwise(0L).as("flag_blank"),
+          when(col("y_var") < 100, 1L).otherwise(0L).as("flag_low_contrast"))
     }),
 
     // A3/S18: minimap — mean tile color per cell (diagnostic aggregate)
@@ -1842,7 +1848,7 @@ object SparkEntry {
     }),
 
     // focal (neighborhood) statistics — the raster-algebra staple
-    // (focal sum/count/max over the 3×3 window) on the z14 order-count
+    // (focal sum/count/max over the 3×3 window) on the z17 order-count
     // raster: each cell fans out to its 9 neighbor keys (literal offset
     // explode, zero shuffle to build) and meets the raster in ONE
     // equi-join + one cell groupBy — never a 2D window. With polygonize
@@ -2884,7 +2890,8 @@ object SparkEntry {
             CAST(CASE WHEN ymax - ymin <= 4 THEN 1 ELSE 0 END AS BIGINT) AS flag_blank,
             CAST(CASE WHEN (ysumsq * yn - ysum * ysum) // (yn * yn) < 100
               THEN 1 ELSE 0 END AS BIGINT) AS flag_low_contrast
-          FROM read_parquet('${Verify.AuxImagesMeta}/*.parquet')""",
+          FROM read_parquet('${Verify.AuxImagesMeta}/*.parquet')
+          WHERE yn >= 1""",
 
     // resize self-check gate over the same aux export: dims + mean-color
     // drift of the 64x64 box resize, thresholds replayed in SQL
@@ -3129,7 +3136,7 @@ object SparkEntry {
            CAST(CAST(sum(w * v) AS BIGINT) // CAST(sum(w) AS BIGINT) AS BIGINT) AS idw_fp
          FROM wd GROUP BY probe_id""",
 
-    // twin of the 3×3 focal statistics: the z14 count raster, the 9
+    // twin of the 3×3 focal statistics: the z17 count raster, the 9
     // neighbor offsets as a range×range lateral, one equi-join + groupBy
     "q_raster_focal" ->
       s"""WITH op AS (
@@ -4178,15 +4185,18 @@ object SparkEntry {
              CAST('0x' || substr(md5('cms' || CAST(r.range AS VARCHAR) || '|' || g), 1, 15) AS BIGINT) % 256 AS cl
            FROM b, range(0, 4) r),
          sb2 AS (SELECT r, cl, count(*) AS c FROM cb GROUP BY 1, 2),
+         rws AS (SELECT DISTINCT r FROM sa2),
          ip AS (
-           SELECT s1.r, CAST(sum(s1.c * s2.c) AS BIGINT) AS ip
-           FROM sa2 s1 JOIN sb2 s2 ON s1.r = s2.r AND s1.cl = s2.cl
+           SELECT w.r, CAST(COALESCE(sum(s1.c * s2.c), 0) AS BIGINT) AS ip
+           FROM rws w
+           LEFT JOIN sa2 s1 ON s1.r = w.r
+           LEFT JOIN sb2 s2 ON s2.r = s1.r AND s2.cl = s1.cl
            GROUP BY 1),
          ex AS (
            SELECT CAST(COALESCE(sum(x.na * y.nb), 0) AS BIGINT) AS joinsize_exact
            FROM (SELECT g, count(*) AS na FROM a GROUP BY 1) x
            JOIN (SELECT g, count(*) AS nb FROM b GROUP BY 1) y ON x.g = y.g)
-         SELECT CAST(min(ip) AS BIGINT) AS joinsize_est,
+         SELECT CAST(COALESCE(min(ip), 0) AS BIGINT) AS joinsize_est,
            (SELECT joinsize_exact FROM ex) AS joinsize_exact
          FROM ip""",
 

@@ -142,7 +142,11 @@ object CellOps {
       m.select((col("cell_id") + lit(offset)).as("nb"), col("cell_id").as("ida"))
         .join(m.select(col("cell_id").as("idb")), col("nb") === col("idb"))
         .select(col("ida"), col("idb"))
-    val edges = adj(XYShift).unionByName(adj(1L))
+    // edges feed BOTH the CC resolve (which iterates over them) and the
+    // perimeter aggregation below — materialize once or the mask distinct
+    // + both self-joins re-execute per consumer (the same barrier rule as
+    // compact's per-round checkpoint and simhashPairsFromHashes' banded)
+    val edges = adj(XYShift).unionByName(adj(1L)).localCheckpoint(false)
     val lbl = Dedup.resolveClusters(edges)
       .select(col("doc_id").as("cell_id"), col("rep_id").as("region"))
     // isolated cells (no 4-neighbor in the mask) are their own regions

@@ -85,10 +85,17 @@ object Sketches {
     * The optimizer-style decision input (broadcast? salt? how many
     * shuffle partitions?) computed at 10^12 rows from two KB-sized
     * committed tables — the raw relations are never touched. */
-  def cmsJoinSize(sa: DataFrame, sb: DataFrame): DataFrame =
-    sa.join(sb.select(col("r"), col("cl"), col("c").as("cb")), Seq("r", "cl"))
+  def cmsJoinSize(sa: DataFrame, sb: DataFrame): DataFrame = {
+    // the min must range over ALL d hash rows: a row with NO overlapping
+    // cell has inner product 0 (which is exactly what proves an empty
+    // join) — an inner-join-only min would silently drop it and
+    // overestimate the one case the estimator exists to detect
+    val rows = sa.select(col("r")).distinct()
+    val ip = sa.join(sb.select(col("r"), col("cl"), col("c").as("cb")), Seq("r", "cl"))
       .groupBy(col("r")).agg(sum(col("c") * col("cb")).as("ip"))
-      .agg(min(col("ip")).as("joinsize_est"))
+    rows.join(ip, Seq("r"), "left")
+      .agg(coalesce(min(coalesce(col("ip"), lit(0L))), lit(0L)).as("joinsize_est"))
+  }
 
   /** Register count (m = 64, 6 index bits) and the small-range threshold
     * (2.5·m) of the HLL sketch below. */

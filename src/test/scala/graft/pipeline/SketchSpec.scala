@@ -88,6 +88,13 @@ class SketchSpec extends AnyFunSuite {
     val sc = Sketches.cmsBuild(c, col("k"), d = 4, w = 64)
     val estDisjoint = Sketches.cmsJoinSize(sa, sc).as[Long].head()
     assert(estDisjoint <= 8 * na * c.count() / 64)
+    // wide sketch, disjoint keys: some hash row has NO overlapping cell —
+    // its inner product is 0 and MUST enter the min (the empty-join case
+    // the estimator exists to detect; an inner-join-only min would
+    // overestimate or NULL here)
+    val wa = Sketches.cmsBuild(Seq("only-a").toDF("k"), col("k"), d = 4, w = 1 << 20)
+    val wb = Sketches.cmsBuild(Seq("only-b").toDF("k"), col("k"), d = 4, w = 1 << 20)
+    assert(Sketches.cmsJoinSize(wa, wb).as[Long].head() === 0L)
   }
 
   test("HLL: registers match the sequential md5 hash model exactly") {
