@@ -60,6 +60,29 @@ object SparkEntry {
     * Default (bench/production) is the xxhash64 fast path. */
   private def oracleHashing: Boolean = sys.props.contains("graft.oracleHashing")
 
+  /** Run `body` with `spark.sql.shuffle.partitions` set to the STREAMING
+    * state-partition count, restoring the batch value after. Stateful
+    * streaming operators keep one state store instance per shuffle
+    * partition, and every micro-batch pays a fixed open/commit/snapshot
+    * cost PER PARTITION regardless of rows (measured: the stream-stream
+    * join's zero-row eviction batch cost ~4 s at 32 partitions — pure
+    * per-partition overhead, the guide §2.2 small-blocks regime). The
+    * state-partition count is a deployment knob sized to state volume
+    * per micro-batch (here ~100k rows/batch -> 4 partitions ≈ 25k
+    * rows/task; measured best-of {32: 13.8 s, 8: 7.0, 4: 3.1, 2: 2.5}
+    * for the stream-stream join — 4 is the knee), NOT the batch shuffle
+    * width; production raises it via SPARK_GRAFT_STREAM_PARTITIONS /
+    * graft.streamShufflePartitions as stream volume demands. Results
+    * are partition-count-invariant. */
+  private def withStreamShuffle[A](s: SparkSession)(body: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    val n = sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS",
+      sys.props.getOrElse("graft.streamShufflePartitions", "4"))
+    s.conf.set(key, n)
+    try body finally s.conf.set(key, prev)
+  }
+
   /** Drive a Structured Streaming query over the events table to
     * completion through an in-memory sink and return the result table.
     * The file source wants a directory, so the single events file is
@@ -78,16 +101,29 @@ object SparkEntry {
       .withColumn("ts", col("ts").cast("timestamp")) // NTZ -> event-time type
     val agg = build(stream)
     val qname = s"${tag}_${System.nanoTime()}"
-    val q = agg.writeStream.outputMode(mode).format("memory").queryName(qname).start()
-    try q.processAllAvailable() finally {
-      q.stop()
-      try {
-        java.nio.file.Files.deleteIfExists(streamDir.resolve("events.parquet"))
-        java.nio.file.Files.deleteIfExists(streamDir)
-      } catch { case _: java.io.IOException => () }
+    withStreamShuffle(s) {
+      val q = agg.writeStream.outputMode(mode).format("memory").queryName(qname).start()
+      try q.processAllAvailable() finally {
+        q.stop()
+        try {
+          java.nio.file.Files.deleteIfExists(streamDir.resolve("events.parquet"))
+          java.nio.file.Files.deleteIfExists(streamDir)
+        } catch { case _: java.io.IOException => () }
+      }
     }
     s.table(qname)
   }
+
+  /** Recursive temp-dir cleanup for the streaming harnesses (ADVICE r5:
+    * per-invocation sink/checkpoint dirs must not leak into tmpdir). */
+  private def rmTree(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p)) {
+      val walk = java.nio.file.Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      catch { case _: java.io.IOException => () }
+      finally walk.close()
+    }
 
   /** Streaming harness over the DOCUMENTS table with a per-micro-batch
     * BATCH transform (`foreachBatch`) — the documented Structured
@@ -104,20 +140,28 @@ object SparkEntry {
     val outDir = java.nio.file.Files.createTempDirectory(s"graft_${tag}_out").toString
     val ckDir = java.nio.file.Files.createTempDirectory(s"graft_${tag}_ck").toString
     val stream = s.readStream.schema(schema).parquet(streamDir.toString)
-    val q = stream.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batchFn(batch).write.mode("append").parquet(outDir); ()
+    try {
+      withStreamShuffle(s) {
+        val q = stream.writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            batchFn(batch).write.mode("append").parquet(outDir); ()
+          }
+          .option("checkpointLocation", ckDir)
+          .start()
+        try q.processAllAvailable() finally q.stop()
       }
-      .option("checkpointLocation", ckDir)
-      .start()
-    try q.processAllAvailable() finally {
-      q.stop()
+      // materialize the sink contents NOW (eager localCheckpoint) so the
+      // sink/checkpoint dirs can be deleted below without breaking the
+      // returned frame (ADVICE r5: the dirs used to leak per invocation)
+      s.read.parquet(outDir).localCheckpoint(true)
+    } finally {
       try {
         java.nio.file.Files.deleteIfExists(streamDir.resolve("documents.parquet"))
         java.nio.file.Files.deleteIfExists(streamDir)
       } catch { case _: java.io.IOException => () }
+      rmTree(java.nio.file.Paths.get(outDir))
+      rmTree(java.nio.file.Paths.get(ckDir))
     }
-    s.read.parquet(outDir)
   }
 
   /** Integer-quantized embedding (floor(v*1000) per dim) and exact array
@@ -154,17 +198,59 @@ object SparkEntry {
     * guarantee holds for ANY gram hash; md5 per position is the minhash
     * 9.4s lesson). Per-row explode + one per-doc window. */
   private def winnowFps(s: SparkSession, dir: String): DataFrame = {
-    val d = t(s, dir, "documents").where(length(col("text")) >= 5)
-      .select(col("doc_id"), col("text"), length(col("text")).as("len"))
-    val grams = d.select(col("doc_id"), col("len"),
-      posexplode(expr("transform(sequence(1, length(text) - 4), i -> substring(text, i, 5))"))
-        .as(Seq("p", "g")))
-    val gramHash = if (oracleHashing) pipeline.Dedup.h60(col("g")) else xxhash64(col("g"))
-    grams.select(col("doc_id"), col("len"), col("p"), gramHash.as("h"))
-      .withColumn("fp", min(col("h")).over(Window.partitionBy(col("doc_id"))
-        .orderBy(col("p")).rowsBetween(0, 3)))
-      .where(col("p") <= col("len") - 8)
-      .select(col("doc_id"), col("fp")).distinct()
+    // ZERO-SHUFFLE form (r6, guide §2.4): the window min over 4
+    // consecutive gram hashes and the per-doc distinct are both
+    // WITHIN-ROW operations once the gram hashes live in an array —
+    // array_min(slice(hs, p, 4)) replaces the per-doc window (which cost
+    // an exchange + sort on doc_id) and array_distinct replaces the
+    // global distinct (fp sets never span docs; (doc_id, fp) distinct ==
+    // per-row array_distinct). Same math, same rows (oracle-checked:
+    // q_text_winnow / q_text_contamination twins are unchanged).
+    // Eligible positions are p in [1, len-8] (the twin's p <= len-8
+    // cutoff) over the len-4 gram hashes; docs with len <= 8 have no
+    // eligible position. The kernel is a per-row UDF for the same reason
+    // as Dedup's minhash signature kernel: the SQL-expression form pays
+    // an O(len) UTF8 character scan PER substring(text, i, 5) call
+    // (O(len²) per doc) plus a per-gram string allocation, while the
+    // kernel walks the text once per gram from a char index.
+    t(s, dir, "documents").where(length(col("text")) >= 8)
+      .select(col("doc_id"), explode(winnowUdf(oracleHashing)(col("text"))).as("fp"))
+  }
+
+  /** Per-row winnowing kernel: gram hashes (h60 under the oracle gate,
+    * xxhash64 seed 42 — identical to the Column xxhash64 — in
+    * production), min over each 4-gram window at positions p <=
+    * len - 8, first-occurrence-distinct — the whole fingerprint SET of
+    * a doc in one pass, zero shuffle, zero per-gram UTF8String. */
+  private def winnowUdf(portable: Boolean) = udf { (text: String) =>
+    val len = text.length
+    if (len < 8) Array.empty[Long] else {
+      val nG = len - 4
+      val hs = new Array[Long](nG)
+      var i = 0
+      while (i < nG) {
+        val gb = text.substring(i, i + 5)
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        hs(i) = if (portable) pipeline.Dedup.md5h60FromBytes(gb)
+          else org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+            gb, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, gb.length, 42L)
+        i += 1
+      }
+      val seen = new java.util.LinkedHashSet[java.lang.Long]()
+      var p = 0
+      while (p <= len - 8) { // the twin's 0-based posexplode p <= len - 8
+        var m = hs(p)
+        var j = p + 1
+        while (j <= p + 3) { if (hs(j) < m) m = hs(j); j += 1 }
+        seen.add(m)
+        p += 1
+      }
+      val out = new Array[Long](seen.size)
+      val it = seen.iterator()
+      var k = 0
+      while (it.hasNext) { out(k) = it.next(); k += 1 }
+      out
+    }
   }
 
   /** Flagship: the streetlamp original-tiles pipeline (SURVEY.md §3.1) on a

@@ -54,8 +54,13 @@ object Dedup {
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
   /** Kernel twin of [[h60]] for row-level UDF loops. */
-  def md5h60(s: String): Long = {
-    val d = digest.get().digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  def md5h60(s: String): Long =
+    md5h60FromBytes(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  /** [[md5h60]] over pre-encoded UTF-8 bytes (hot kernels that already
+    * hold the byte form skip the re-encode). */
+  def md5h60FromBytes(b: Array[Byte]): Long = {
+    val d = digest.get().digest(b)
     var v = 0L
     var i = 0
     while (i < 7) { v = (v << 8) | (d(i) & 0xFFL); i += 1 }
