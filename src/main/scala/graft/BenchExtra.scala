@@ -62,7 +62,22 @@ object BenchExtra {
     spark.read.parquet(s"$sfDir/documents.parquet").agg(sum(length(col("text")))).count()
 
     names.foreach { name =>
-      val fn = SparkEntry.queries(name)
+      // pseudo-query: time the one-time ANN/text snapshot build from a
+      // CLEAN stage root each rep (the driver's cold ann_index_build)
+      val fn: (SparkSession, String) => org.apache.spark.sql.DataFrame =
+        if (name == "ann_index_build") { (sp, d) =>
+          Seq("/tmp/graft_ann_stages", "/tmp/graft_text_stages").foreach { p =>
+            val dirp = java.nio.file.Paths.get(p)
+            if (java.nio.file.Files.exists(dirp)) {
+              val walk = java.nio.file.Files.walk(dirp)
+              try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+                .forEach(f => java.nio.file.Files.deleteIfExists(f))
+              finally walk.close()
+            }
+          }
+          SparkEntry.annEnsureBuilt(sp, d)
+          sp.range(1).toDF()
+        } else SparkEntry.queries(name)
       val runs = (1 to reps).map { _ =>
         val j0 = jobCount.get()
         val t0 = System.nanoTime()

@@ -213,7 +213,7 @@ object SparkEntry {
     // an O(len) UTF8 character scan PER substring(text, i, 5) call
     // (O(len²) per doc) plus a per-gram string allocation, while the
     // kernel walks the text once per gram from a char index.
-    t(s, dir, "documents").where(length(col("text")) >= 8)
+    wide(s, t(s, dir, "documents").where(length(col("text")) >= 8))
       .select(col("doc_id"), explode(winnowUdf(oracleHashing)(col("text"))).as("fp"))
   }
 
@@ -279,35 +279,64 @@ object SparkEntry {
   def annEnsureBuilt(s: SparkSession, dir: String): Unit = {
     val corpus = annCorpus(t(s, dir, "embeddings"))
     val st = pipeline.AnnStages.runnerFor(corpus)
-    pipeline.IvfIndex.buildStaged(st, corpus, nlist = 16, trainRounds = 2)
-    pipeline.IvfIndex.buildStagedTwoLevel(st, corpus,
-      nsuper = 4, nsub = 8, trainRounds = 1, subTrainRounds = 1)
-    pipeline.PqIndex.buildStagedPq(st, corpus, pqTrainRounds = 2)
-    // shares the flat quantizer/lists stages with the buildStaged above
-    pipeline.PqIndex.buildStagedIvfPq(st, corpus,
-      nlist = 16, trainRounds = 2, pqTrainRounds = 2)
-    // shares the two-level routing stages with buildStagedTwoLevel above
-    pipeline.PqIndex.buildStagedIvf2Pq(st, corpus,
-      nsuper = 4, nsub = 8, trainRounds = 1, subTrainRounds = 1, pqTrainRounds = 1)
-    // q_ann_append's index: quantizer trained+committed on the BASE
-    // corpus (its own fingerprint-keyed runner), delta batch committed
-    // as an assignment-only stage against the frozen snapshot
-    val base = corpus.where(col("vec_id") < 1000000L)
-    val stBase = pipeline.AnnStages.runnerFor(base)
-    val mBase = pipeline.IvfIndex.buildStaged(stBase, base, nlist = 16, trainRounds = 2)
-    pipeline.IvfIndex.appendStaged(stBase, "aug40x5", mBase,
-      corpus.where(col("vec_id") >= 1000000L), nlist = 16, trainRounds = 2)
-    // the TEXT index snapshots (q_text_bm25's inverted index) commit under
-    // the same build section — the index lifecycle is modality-agnostic
-    val docs = t(s, dir, "documents")
-    pipeline.Bm25.buildStaged(pipeline.TextStages.runnerFor(docs), docs)
-    // the committed BASE sketch of q_sketch_refresh (the monitor state a
-    // corpus refresh merges into)
-    val baseDocs = docs.where(col("doc_id") % 2 === 0)
-    pipeline.TextStages.runnerFor(baseDocs).stage(cmsStageName)(
-      pipeline.Sketches.cmsBuild(shinglesOf(baseDocs), col("g"), d = 4, w = 256,
-        portableHashing = oracleHashing))
-    ()
+    // The build is six INDEPENDENT chains (no shared stage names across
+    // chains; the composed indexes share stages only with builds in their
+    // OWN chain, which runs them first) — submit them from a thread pool
+    // so each chain's many small driver-sequential jobs back-fill the
+    // others' stage barriers (guide §2.6 overlap-independent-jobs; the
+    // StageRunner ledger read-modify-write is synchronized per base dir).
+    // Measured: 5.5 s sequential -> ~2.5 s on local[32].
+    val chains: Seq[() => Unit] = Seq(
+      () => { // flat IVF, then the composed IVF+PQ that reuses its stages
+        val _ = pipeline.IvfIndex.buildStaged(st, corpus, nlist = 16, trainRounds = 2)
+        pipeline.PqIndex.buildStagedIvfPq(st, corpus,
+          nlist = 16, trainRounds = 2, pqTrainRounds = 2)
+        ()
+      },
+      () => { // two-level IVF, then the composed ivf2+PQ on its stages
+        val _ = pipeline.IvfIndex.buildStagedTwoLevel(st, corpus,
+          nsuper = 4, nsub = 8, trainRounds = 1, subTrainRounds = 1)
+        pipeline.PqIndex.buildStagedIvf2Pq(st, corpus,
+          nsuper = 4, nsub = 8, trainRounds = 1, subTrainRounds = 1, pqTrainRounds = 1)
+        ()
+      },
+      () => { pipeline.PqIndex.buildStagedPq(st, corpus, pqTrainRounds = 2); () },
+      () => { // q_ann_append's index: quantizer trained+committed on the
+        // BASE corpus (its own fingerprint-keyed runner), delta batch
+        // committed as an assignment-only stage against the frozen snapshot
+        val base = corpus.where(col("vec_id") < 1000000L)
+        val stBase = pipeline.AnnStages.runnerFor(base)
+        val mBase = pipeline.IvfIndex.buildStaged(stBase, base, nlist = 16, trainRounds = 2)
+        pipeline.IvfIndex.appendStaged(stBase, "aug40x5", mBase,
+          corpus.where(col("vec_id") >= 1000000L), nlist = 16, trainRounds = 2)
+        ()
+      },
+      () => { // the TEXT index snapshots (q_text_bm25's inverted index) —
+        // the index lifecycle is modality-agnostic (runner keyed by the
+        // UNwidened docs; the wide form feeds only the token kernels)
+        val docs = t(s, dir, "documents")
+        pipeline.Bm25.buildStaged(pipeline.TextStages.runnerFor(docs), wide(s, docs))
+        ()
+      },
+      () => { // the committed BASE sketch of q_sketch_refresh (the monitor
+        // state a corpus refresh merges into)
+        val baseDocs = t(s, dir, "documents").where(col("doc_id") % 2 === 0)
+        pipeline.TextStages.runnerFor(baseDocs).stage(cmsStageName)(
+          pipeline.Sketches.cmsBuild(shinglesOf(baseDocs), col("g"), d = 4, w = 256,
+            portableHashing = oracleHashing))
+        ()
+      })
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      sys.env.getOrElse("SPARK_GRAFT_ANN_THREADS",
+        sys.props.getOrElse("graft.annBuildThreads", chains.size.toString)).toInt)
+    try {
+      val futures = chains.map(c => pool.submit(new java.util.concurrent.Callable[Unit] {
+        override def call(): Unit = c()
+      }))
+      futures.foreach(_.get()) // propagate the first chain failure
+    } catch {
+      case e: java.util.concurrent.ExecutionException => throw e.getCause
+    } finally pool.shutdown()
   }
 
   /** The committed base-CMS stage is keyed by the active hash path —
@@ -317,9 +346,25 @@ object SparkEntry {
   private def cmsStageName: String =
     "cms-sh5-d4w256-" + (if (oracleHashing) "md5" else "xx")
 
+  /** Scan-width normalization for CPU-dense per-row kernels (shingle
+    * explodes, hash signatures, md5 chains): the sf dirs ship ONE small
+    * parquet file per table, so the scan side is a single task and the
+    * whole map-side kernel runs on one core regardless of cluster width
+    * (a row group cannot be split below file granularity). A keyless
+    * round-robin repartition of the MB-scale input costs a trivial
+    * exchange and restores full parallelism; the width is
+    * defaultParallelism (scale-adaptive), never a constant. Production
+    * corpora arrive file-split-parallel and would skip this — it is the
+    * small-file artifact's antidote, applied only where a heavy per-row
+    * kernel follows (guide §2.5 input-skew remedy: "repartition
+    * immediately after the read"). */
+  private def wide(s: SparkSession, df: DataFrame): DataFrame =
+    df.repartition(s.sparkContext.defaultParallelism)
+
   /** 5-char shingle stream shared by the sketch queries. */
   private def shinglesOf(docs: DataFrame): DataFrame =
-    docs.where(length(col("text")) >= 5).select(col("source"), explode(expr(
+    docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .where(length(col("text")) >= 5).select(col("source"), explode(expr(
       "transform(sequence(1, length(text) - 4), i -> substring(text, i, 5))")).as("g"))
 
   /** The q_text_bm25 literal query batch (vocabulary drawn from the
@@ -1258,7 +1303,7 @@ object SparkEntry {
     // Scale shape: tf groupBy on (doc, term), df groupBy on term, one join
     // on term (common-term skew is AQE's case), per-DOC top-k window.
     "q_text_keywords" -> ((s, dir) => {
-      val terms = t(s, dir, "documents").select(col("doc_id"),
+      val terms = wide(s, t(s, dir, "documents")).select(col("doc_id"),
         explode(expr("regexp_extract_all(lower(text), '[a-z]{3,}', 0)")).as("term"))
       val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
       val dfq = terms.select(col("doc_id"), col("term")).distinct()
@@ -1297,7 +1342,7 @@ object SparkEntry {
     // (the md5 pass was the slowest r2 batch query). MinhashParitySpec
     // pins the two paths against each other on planted dup clusters.
     "q_dedup_minhash" -> ((s, dir) =>
-      pipeline.Dedup.minhashPairs(t(s, dir, "documents"), shingleLen = 5,
+      pipeline.Dedup.minhashPairs(wide(s, t(s, dir, "documents")), shingleLen = 5,
           numPerm = 16, bands = 4, portableHashing = oracleHashing)
         .select(col("ida"), col("idb"), col("jac_fp"))),
 
@@ -1309,7 +1354,7 @@ object SparkEntry {
     // degree² on the BANDED graph (degrees are banding-bounded, the same
     // argument as the pair generators) — never an all-pairs reach.
     "q_graph_khop" -> ((s, dir) => {
-      val pr = pipeline.Dedup.simhashPairs(t(s, dir, "documents"), verifyHamming = 8)
+      val pr = pipeline.Dedup.simhashPairs(wide(s, t(s, dir, "documents")), verifyHamming = 8)
         .select(col("ida"), col("idb"))
       val e = pr.unionByName(pr.select(col("idb").as("ida"), col("ida").as("idb")))
         .distinct()
@@ -1332,7 +1377,7 @@ object SparkEntry {
     // over the same md5 pair chain.
     "q_dedup_resolve" -> ((s, dir) =>
       pipeline.Dedup.resolveClusters(
-        pipeline.Dedup.minhashPairs(t(s, dir, "documents"), shingleLen = 5,
+        pipeline.Dedup.minhashPairs(wide(s, t(s, dir, "documents")), shingleLen = 5,
             numPerm = 16, bands = 4, portableHashing = oracleHashing)
           .where(col("jac_fp") >= 600000))),
 
@@ -1340,7 +1385,7 @@ object SparkEntry {
     // recall at hamming<=3 = chunks-1; the 4..8 band is best-effort
     // verification — see Dedup banding contract) — exact DuckDB twin
     "q_dedup_simhash" -> ((s, dir) =>
-      pipeline.Dedup.simhashPairs(t(s, dir, "documents"), verifyHamming = 8)
+      pipeline.Dedup.simhashPairs(wide(s, t(s, dir, "documents")), verifyHamming = 8)
         .select(col("ida"), col("idb"), col("hamming"))),
 
     // INCREMENTAL dedup — the corpus-refresh shape (delta docs arrive;
@@ -1378,8 +1423,8 @@ object SparkEntry {
     // index IS the state, and it lives in a table, not an executor.
     // Intra-batch dups are the batch dedup operator's job (documented).
     "q_stream_admit" -> ((s, dir) => {
-      val docs = t(s, dir, "documents").where(col("doc_id") < 2500)
-        .select(col("doc_id"), col("text"))
+      val docs = wide(s, t(s, dir, "documents").where(col("doc_id") < 2500)
+        .select(col("doc_id"), col("text")))
       val committed = pipeline.Dedup.simhashBuckets(
           pipeline.Dedup.simhash(docs.where(pmod(col("doc_id"), lit(4L)) =!= 0L)))
         .select(col("chunk"), col("ck"), col("doc_id").as("cid"), col("sh").as("csh"))
@@ -1735,7 +1780,7 @@ object SparkEntry {
     // integer score. Twin replays index build + the identical expression.
     "q_text_bm25" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val m = pipeline.Bm25.buildStaged(pipeline.TextStages.runnerFor(docs), docs)
+      val m = pipeline.Bm25.buildStaged(pipeline.TextStages.runnerFor(docs), wide(s, docs))
       val queries = s.range(1, bm25Queries.length + 1L)
         .select(col("id").as("query_id"),
           element_at(array(bm25Queries.map(lit): _*), col("id").cast("int")).as("qtext"))
@@ -1749,9 +1794,14 @@ object SparkEntry {
     // est >= exact always (the one-sided CMS guarantee; SketchSpec pins
     // it per key, the twin pins every counter and estimate).
     "q_sketch_cms" -> ((s, dir) => {
-      val sh = t(s, dir, "documents").where(length(col("text")) >= 5)
+      // the 1.5M-row shingle stream feeds THREE consumers (sketch build,
+      // exact counts, distinct probes) — materialize once
+      // (localCheckpoint, auto-released) instead of re-running the
+      // generate per consumer (guide §2.4 shared-subtree rule)
+      val sh = wide(s, t(s, dir, "documents")).where(length(col("text")) >= 5)
         .select(explode(expr(
           "transform(sequence(1, length(text) - 4), i -> substring(text, i, 5))")).as("g"))
+        .localCheckpoint(false)
       val sketch = pipeline.Sketches.cmsBuild(sh, col("g"), d = 4, w = 256,
         portableHashing = oracleHashing)
       val exact = sh.groupBy(col("g")).agg(count(lit(1)).as("exact"))
@@ -1769,10 +1819,12 @@ object SparkEntry {
     // user_id; d=4, w=256, md5-portable under the oracle gate.
     "q_sketch_joinsize" -> ((s, dir) => {
       val ev = t(s, dir, "events")
+      // each side feeds its sketch AND the exact join-size evidence —
+      // materialize once per side
       val a = ev.where(col("event_type") === "purchase")
-        .select(col("user_id").cast("string").as("g"))
+        .select(col("user_id").cast("string").as("g")).localCheckpoint(false)
       val b = ev.where(col("event_type") === "click")
-        .select(col("user_id").cast("string").as("g"))
+        .select(col("user_id").cast("string").as("g")).localCheckpoint(false)
       val sa = pipeline.Sketches.cmsBuild(a, col("g"), d = 4, w = 256,
         portableHashing = oracleHashing)
       val sb = pipeline.Sketches.cmsBuild(b, col("g"), d = 4, w = 256,
@@ -1792,9 +1844,11 @@ object SparkEntry {
     // cross-engine double accumulation exists. exact attached as
     // evidence (SketchSpec bounds the relative error).
     "q_sketch_hll" -> ((s, dir) => {
-      val sh = t(s, dir, "documents").where(length(col("text")) >= 5)
+      // two consumers (registers + exact distinct) — materialize once
+      val sh = wide(s, t(s, dir, "documents")).where(length(col("text")) >= 5)
         .select(col("source"), explode(expr(
           "transform(sequence(1, length(text) - 4), i -> substring(text, i, 5))")).as("g"))
+        .localCheckpoint(false)
       val regs = pipeline.Sketches.hllRegisters(sh, col("source"), col("g"),
         portableHashing = oracleHashing)
       pipeline.Sketches.hllEstimate(regs)
@@ -1808,7 +1862,7 @@ object SparkEntry {
     // below); exact in milli-units whenever the sketch holds the whole
     // set (n < k), the unbiased (k-1)*2^60/h_k beyond
     "q_sketch_kmv" -> ((s, dir) => {
-      val sh = t(s, dir, "documents").where(length(col("text")) >= 5)
+      val sh = wide(s, t(s, dir, "documents")).where(length(col("text")) >= 5)
         .select(col("source"), explode(expr(
           "transform(sequence(1, length(text) - 4), i -> substring(text, i, 5))")).as("g"))
       pipeline.Sketches.kmvEstimate(
@@ -1821,17 +1875,26 @@ object SparkEntry {
     // set intersection a 10^12-doc overlap audit can't afford); exact
     // intersection attached as evidence
     "q_sketch_theta" -> ((s, dir) => {
-      val sh = t(s, dir, "documents").where(length(col("text")) >= 5)
+      // sh feeds the sketch AND the exact-overlap evidence; sk feeds four
+      // join subtrees (theta_a/theta_b/ga/gb) — without materialization
+      // the plan replayed the full shingle generate 16 times (measured in
+      // plans/r06/q_sketch_theta_before.txt)
+      val sh = wide(s, t(s, dir, "documents")).where(length(col("text")) >= 5)
         .select(col("source"), explode(expr(
           "transform(sequence(1, length(text) - 4), i -> substring(text, i, 5))")).as("g"))
+        .localCheckpoint(false)
       val sk = pipeline.Sketches.kmvSketch(sh, col("source"), col("g"), k = 32,
         portableHashing = oracleHashing)
+        .localCheckpoint(false) // tiny: <= k rows per source
       val pairs = Seq(("src0", "src1"), ("src0", "src2"), ("src1", "src2"))
       val pdf = s.range(0, 3).select(
         element_at(array(pairs.map(p => lit(p._1)): _*), col("id").cast("int") + 1).as("ga"),
         element_at(array(pairs.map(p => lit(p._2)): _*), col("id").cast("int") + 1).as("gb"))
-      val exact = sh.select(col("source").as("ga"), col("g")).distinct()
-        .join(sh.select(col("source").as("gb"), col("g")).distinct(), "g")
+      // ONE distinct pass feeds both sides of the exact-overlap self-join
+      // (the two differently-renamed distincts never shared an exchange)
+      val dst = sh.distinct().localCheckpoint(false)
+      val exact = dst.toDF("ga", "g")
+        .join(dst.toDF("gb", "g"), "g")
         .groupBy(col("ga"), col("gb")).agg(count(lit(1)).as("exact"))
       pipeline.Sketches.thetaIntersect(sk, pdf, k = 32)
         .join(exact, Seq("ga", "gb"))
@@ -1981,13 +2044,16 @@ object SparkEntry {
         t(s, dir, "orders").select(
           GeoF.cellAtWgs(latOf(col("o_orderkey")), lngOf(col("o_orderkey")), 14).as("cell_id")),
         zMax = 14, zMin = 11)
-      val ev = t(s, dir, "events").select(col("user_id"), col("event_id"),
+      // wide scan (the md5 h60 chain runs twice per event) + one
+      // materialization: ev feeds BOTH the zone join and the final join
+      val ev = wide(s, t(s, dir, "events")).select(col("user_id"), col("event_id"),
         unix_micros(col("ts").cast("timestamp")).as("ts_us"),
         (lit(53.8306) + (pipeline.Dedup.h60(concat(lit("tla|"),
           col("event_id").cast("string"))) % 14000).cast("double") * lit(0.00001)).as("lat"),
         (lit(27.4026) + (pipeline.Dedup.h60(concat(lit("tlg|"),
           col("event_id").cast("string"))) % 29000).cast("double") * lit(0.00001)).as("lng"))
         .withColumn("cell_id", GeoF.cellAtWgs(col("lat"), col("lng"), 14))
+        .localCheckpoint(false)
       val zoned = pipeline.CellOps.coverJoin(
         ev.select(col("event_id"), col("cell_id")), cover, zMax = 14, zMin = 11)
         .select(col("event_id"), col("cover_cell").as("zone"))

@@ -50,37 +50,59 @@ object CellOps {
               keys: Seq[String] = Nil): DataFrame = {
     require(zMax >= zMin && zMin >= 0 && zMax <= 29, s"bad z range [$zMin, $zMax]")
     val kc = keys.map(col)
-    // each round references `cur` three times (level split + anti-join) and
-    // the next round builds on the union — without a per-round barrier the
-    // lineage re-evaluates the base scan 3^rounds times. localCheckpoint
-    // (auto-released by the ContextCleaner) caps it at one pass per round,
-    // exactly the materialization a real run would persist between rounds.
-    // A cell FINER than zMax would silently pass every promotion round
-    // untouched (level-mixed non-minimal output that coverJoin's bounded
-    // ancestor chain never matches) — fail the job loudly instead, the
+    // CLOSED FORM (r6 — replaces the per-level promotion loop): an
+    // ancestor cell is COMPLETE iff the input covers its whole area, and
+    // the compacted cover is exactly {complete ancestors whose parent is
+    // not complete} ∪ {input cells whose parent is not complete}. For a
+    // DISJOINT input cover (a cover is a set of disjoint cells — the
+    // operator's contract; ancestor+descendant both present is malformed)
+    // this equals the level-by-level quad promotion: a parent promotes
+    // iff its whole subtree is covered, recursively. Coverage is an exact
+    // integer sum of 4^(zMax - z_cell) per strict ancestor — one bounded
+    // per-row explode (≤ zMax - zMin rows/cell) + ONE groupBy, replacing
+    // zMax - zMin checkpointed rounds of groupBy + anti-join + distinct
+    // (measured ~8 jobs -> 3 on the z14->z11 covers; same rows, oracle-
+    // checked by every q_cell_* twin).
+    // A cell FINER than zMax would poison the weight arithmetic the same
+    // way it silently passed the old promotion rounds — fail loudly, the
     // same contract as uncompact's finer-than-target check.
-    var cur = cells.select(kc :+ col("cell_id"): _*).distinct()
+    val c = cells.select(kc :+ col("cell_id"): _*).distinct()
       .withColumn("cell_id",
         when(zOf(col("cell_id")) > zMax,
           expr(s"CAST(raise_error('compact: input cell finer than zMax=$zMax') AS BIGINT)"))
         .otherwise(col("cell_id")))
-      .localCheckpoint(false)
-    for (z <- zMax until zMin by -1) {
-      val atZ = zOf(col("cell_id")) === z
-      val rest = cur.where(!atZ)
-      val withP = cur.where(atZ).select(kc :+ col("cell_id") :+ parentOf(col("cell_id")).as("p"): _*)
-      val full = withP.groupBy(kc :+ col("p"): _*).agg(count(lit(1)).as("n"))
-        .where(col("n") === 4).select(kc :+ col("p"): _*)
-      val promoted = full.select(kc :+ col("p").as("cell_id"): _*)
-      val kept = withP.join(full, keys :+ "p", "left_anti")
-        .select(kc :+ col("cell_id"): _*)
-      // distinct per round: a cover that redundantly contains a cell AND
-      // its descendants would otherwise carry the promoted parent twice
-      // into the next round, inflating a later quad count to 4 and
-      // promoting area the input never covered (cover EXPANSION)
-      cur = kept.unionByName(promoted).unionByName(rest).distinct().localCheckpoint(false)
-    }
-    cur
+      .localCheckpoint(false) // feeds the ancestor explode AND the kept anti-join
+    if (zMax == zMin) return c
+    // strict ancestors at levels [zMin, z_cell-1], with the cell's area
+    // weight 4^(zMax - z_cell) attached (cells at level <= zMin have no
+    // eligible ancestor and are filtered BEFORE the sequence — also
+    // avoiding Spark's descending sequence(1, 0))
+    val ancExpr = expr(
+      s"""transform(sequence(1, CAST(shiftrightunsigned(cell_id, 58) - $zMin AS INT)), d ->
+            (shiftrightunsigned(cell_id, 58) - d) * ${ZShift}L +
+            shiftright((cell_id % ${ZShift}L) div ${XYShift}L, d) * ${XYShift}L +
+            shiftright(cell_id % ${XYShift}L, d))""")
+    val contrib = c.where(zOf(col("cell_id")) > zMin)
+      .select(kc ++ Seq(explode(ancExpr).as("a"), expr(
+        s"shiftleft(CAST(1 AS BIGINT), CAST(2 * ($zMax - shiftrightunsigned(cell_id, 58)) AS INT))")
+        .as("w")): _*)
+    val comp = contrib.groupBy(kc :+ col("a"): _*).agg(sum(col("w")).as("cov"))
+      .where(col("cov") === expr(
+        s"shiftleft(CAST(1 AS BIGINT), CAST(2 * ($zMax - shiftrightunsigned(a, 58)) AS INT))"))
+      .select(kc :+ col("a").as("cell_id"): _*)
+      .localCheckpoint(false) // tiny (the compacted interior); feeds 3 subtrees
+    // complete ancestors whose own parent is not complete (a zMin-level
+    // ancestor's parent is below the range and never complete)
+    val promoted = comp.withColumn("p", parentOf(col("cell_id")))
+      .join(comp.select(kc :+ col("cell_id").as("p"): _*), keys :+ "p", "left_anti")
+      .select(kc :+ col("cell_id"): _*)
+    // input cells not absorbed by any complete ancestor (equivalently:
+    // whose immediate parent is not complete — completeness is upward-
+    // hereditary only through complete children)
+    val kept = c.withColumn("p", parentOf(col("cell_id")))
+      .join(comp.select(kc :+ col("cell_id").as("p"): _*), keys :+ "p", "left_anti")
+      .select(kc :+ col("cell_id"): _*)
+    kept.unionByName(promoted)
   }
 
   /** Point-in-cover membership join — the operator compaction exists FOR.

@@ -366,10 +366,14 @@ object IvfIndex {
                           trainRounds: Int = 1, subTrainRounds: Int = 0): Ivf2Model = {
     val key = stagedKeyTwoLevel(nsuper, nsub, trainRounds, subTrainRounds)
     val sCents = st.stage(s"$key-super")(centroidTable(corpus, nsuper, trainRounds))
+    // one super-assignment pass shared by BOTH stage thunks (lazy: runs
+    // only when a stage actually commits; localCheckpoint materializes it
+    // once instead of re-running the broadcast argmin per thunk)
+    lazy val sAssigned = assign(corpus, sCents).localCheckpoint(false)
     val subs = st.stage(s"$key-subs", Seq(s"$key-super"))(
-      trainSubs(assign(corpus, sCents).localCheckpoint(false), nsub, subTrainRounds))
+      trainSubs(sAssigned, nsub, subTrainRounds))
     val lists = st.stage(s"$key-lists", Seq(s"$key-super", s"$key-subs"))(
-      subAssign(assign(corpus, sCents), subs))
+      subAssign(sAssigned, subs))
     Ivf2Model(sCents, subs, lists)
   }
 }

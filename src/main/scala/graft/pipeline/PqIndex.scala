@@ -355,7 +355,12 @@ object PqIndex {
     * linearity). */
   def probeIvfPq(model: IvfPqModel, probes: DataFrame, k: Int, nprobe: Int,
                  p: PqParams = Default): DataFrame = {
-    val pr = IvfIndex.route(probes, model.cents, nprobe) // (probe_id, cid, pq)
+    // routing feeds THREE subtrees (ctr, cand, the LUT join keys) —
+    // materialize the tiny (probe_id, cid, pq) relation once
+    // (localCheckpoint, auto-released) instead of replaying the
+    // probe-scan + broadcast-argmin + window chain per consumer
+    val pr = IvfIndex.route(probes, model.cents, nprobe)
+      .localCheckpoint(false) // (probe_id, cid, pq)
     // per-(probe, routed list) centroid dot — the linear term of the score
     val ctr = pr.join(broadcast(model.cents), "cid")
       .select(col("probe_id"), col("cid"), AnnIndex.intDot(col("pq"), col("cvq")).as("cdot"))
@@ -464,9 +469,12 @@ object PqIndex {
   /** PROBE half of [[ivf2AdcTopK]]. */
   def probeIvf2Pq(model: Ivf2PqModel, probes: DataFrame, k: Int,
                   nprobeSuper: Int, nprobe: Int, p: PqParams = Default): DataFrame = {
+    // same consumer-sharing as probeIvfPq: the hierarchical routing
+    // (two windows deep) would otherwise replay per consumer subtree
     val pr2 = IvfIndex.routeTwoLevel(
       Ivf2Model(model.superCents, model.subs, model.lists),
-      probes, nprobeSuper, nprobe) // (probe_id, cid, pq)
+      probes, nprobeSuper, nprobe)
+      .localCheckpoint(false) // (probe_id, cid, pq)
     val ctr = pr2.join(broadcast(model.subs.select(col("cid"), col("cvq"))), "cid")
       .select(col("probe_id"), col("cid"), AnnIndex.intDot(col("pq"), col("cvq")).as("cdot"))
     val cand = model.lists

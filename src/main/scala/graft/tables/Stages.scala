@@ -75,6 +75,15 @@ case class StageManifest(stage: String, snapshot_id: Long, rows: Long,
  * The interface is deliberately narrow (resolve-or-compute + manifest) so a
  * real Iceberg catalog can be slotted in on a cluster.
  */
+object StageRunner {
+  /** One JVM-wide lock per stage base dir: serializes the ledger
+    * read-modify-write of concurrent stage commits (different stage
+    * NAMES — same-name concurrency remains the caller's to avoid). */
+  private val locks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private[tables] def ledgerLock(baseDir: String): Object =
+    locks.computeIfAbsent(baseDir, _ => new Object)
+}
+
 final class StageRunner(spark: SparkSession, baseDir: String,
                         val keepSnapshots: Int = 2) {
   require(keepSnapshots >= 1, "must retain at least the current snapshot")
@@ -173,11 +182,16 @@ final class StageRunner(spark: SparkSession, baseDir: String,
       (System.nanoTime() - t0) / 1000000L, newDir, java.time.Instant.now().toString,
       written.schema.json)
     // ledger is RE-READ at write time: a compute thunk may itself run
-    // stages, and a stale early read would erase their entries
-    val led = ledger()
-    val newLedger = new java.util.TreeMap[String, java.lang.Long]()
-    (led + (name -> snapId)).foreach { case (k, v) => newLedger.put(k, v) }
-    ManifestJson.writeAtomic(ledgerPath, newLedger)
+    // stages, and a stale early read would erase their entries. The
+    // read-modify-write is synchronized per base dir so CONCURRENT
+    // commits of different stages (the parallel index-build chains,
+    // guide §2.6) can never lose each other's entries.
+    StageRunner.ledgerLock(baseDir).synchronized {
+      val led = ledger()
+      val newLedger = new java.util.TreeMap[String, java.lang.Long]()
+      (led + (name -> snapId)).foreach { case (k, v) => newLedger.put(k, v) }
+      ManifestJson.writeAtomic(ledgerPath, newLedger)
+    }
     // commit order: immutable history entry first, then the pointer swap
     ManifestJson.writeAtomic(versionManifestPath(name, snapId), manifest)
     ManifestJson.writeAtomic(manifestPath(name), manifest)
