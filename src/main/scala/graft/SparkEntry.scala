@@ -1305,9 +1305,11 @@ object SparkEntry {
     "q_text_keywords" -> ((s, dir) => {
       val terms = wide(s, t(s, dir, "documents")).select(col("doc_id"),
         explode(expr("regexp_extract_all(lower(text), '[a-z]{3,}', 0)")).as("term"))
+      // tf IS the distinct (doc, term) relation — df derives from it
+      // (one regexp pass + one exchange instead of two of each)
       val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-      val dfq = terms.select(col("doc_id"), col("term")).distinct()
-        .groupBy(col("term")).agg(count(lit(1)).as("df"))
+        .localCheckpoint(false) // feeds the join AND the df rollup
+      val dfq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       tf.join(dfq, "term")
         .withColumn("rank", row_number().over(Window.partitionBy(col("doc_id"))
           .orderBy(col("tf").desc, col("df").asc, col("term"))))
@@ -1356,16 +1358,23 @@ object SparkEntry {
     "q_graph_khop" -> ((s, dir) => {
       val pr = pipeline.Dedup.simhashPairs(wide(s, t(s, dir, "documents")), verifyHamming = 8)
         .select(col("ida"), col("idb"))
+      // the symmetric edge list feeds FOUR subtrees (hop2 twice, d1, the
+      // reach union) — materialize once or the banding join + hamming
+      // verification replays per consumer
       val e = pr.unionByName(pr.select(col("idb").as("ida"), col("ida").as("idb")))
-        .distinct()
+        .distinct().localCheckpoint(false)
       val hop2 = e.as("x").join(e.as("y"), col("x.idb") === col("y.ida"))
         .select(col("x.ida").as("ida"), col("y.idb").as("idb"))
         .where(col("ida") =!= col("idb"))
-      // e and the unioned reach set are distinct by construction, so a
-      // plain count equals count(DISTINCT) at half the aggregate cost
+      // e is distinct by construction, so a plain count equals
+      // count(DISTINCT); the 2-hop reach dedupes INSIDE one aggregation
+      // (partial collect_set per map task) — one exchange on ida instead
+      // of a (ida, idb) distinct exchange followed by an ida exchange;
+      // per-group set size is degree-bounded by the banding contract
       val d1 = e.groupBy(col("ida")).agg(count(lit(1)).as("n_hop1"))
-      e.unionByName(hop2).distinct()
-        .groupBy(col("ida")).agg(count(lit(1)).as("n_within2"))
+      e.unionByName(hop2)
+        .groupBy(col("ida"))
+        .agg(size(collect_set(col("idb"))).cast("long").as("n_within2"))
         .join(d1, "ida")
         .select(col("ida").as("doc_id"), col("n_hop1"), col("n_within2"))
     }),
@@ -1668,7 +1677,10 @@ object SparkEntry {
     // banding chains are the committed-shape candidate generators; never
     // an image×image pair space.
     "q_crossmodal_audit" -> ((s, _) => {
+      // caption chain + phash chain both scan the synthetic corpus —
+      // generate once
       val images = tables.SyntheticWorld.images(s, tables.SyntheticWorld.testWorld)
+        .localCheckpoint(false)
       val caps = images.select(col("cell_id").as("doc_id"), col("caption").as("text"))
       val ph = images.select(col("cell_id").as("id"),
         functions.ImageUdfs.phashUdf(col("bytes")).as("ph"))
@@ -1689,7 +1701,10 @@ object SparkEntry {
     // parents that PASS (all of them, or the count shifts and the
     // rows-only gate trips).
     "q_image_pyramid" -> ((s, _) => {
+      // the synthetic corpus (576 jpeg encodes) feeds the pyramid AND the
+      // leaf-mean evidence — generate once (localCheckpoint, auto-released)
       val images = tables.SyntheticWorld.images(s, tables.SyntheticWorld.testWorld)
+        .localCheckpoint(false)
       val pyr = pipeline.ImagePyramid.build(
         images.select(col("cell_id"), col("bytes")), zLeaf = 18, zMin = 16)
       val leafMeans = images

@@ -66,13 +66,13 @@ object CellOps {
     // A cell FINER than zMax would poison the weight arithmetic the same
     // way it silently passed the old promotion rounds — fail loudly, the
     // same contract as uncompact's finer-than-target check.
-    val c = cells.select(kc :+ col("cell_id"): _*).distinct()
+    val c0 = cells.select(kc :+ col("cell_id"): _*).distinct()
       .withColumn("cell_id",
         when(zOf(col("cell_id")) > zMax,
           expr(s"CAST(raise_error('compact: input cell finer than zMax=$zMax') AS BIGINT)"))
         .otherwise(col("cell_id")))
       .localCheckpoint(false) // feeds the ancestor explode AND the kept anti-join
-    if (zMax == zMin) return c
+    if (zMax == zMin) return c0
     // strict ancestors at levels [zMin, z_cell-1], with the cell's area
     // weight 4^(zMax - z_cell) attached (cells at level <= zMin have no
     // eligible ancestor and are filtered BEFORE the sequence — also
@@ -82,6 +82,16 @@ object CellOps {
             (shiftrightunsigned(cell_id, 58) - d) * ${ZShift}L +
             shiftright((cell_id % ${ZShift}L) div ${XYShift}L, d) * ${XYShift}L +
             shiftright(cell_id % ${XYShift}L, d))""")
+    // REDUNDANT input (a cell AND its descendants — malformed as a cover,
+    // tolerated as the old rounds did) must not double-count area: keep
+    // only MAXIMAL cells (no strict ancestor ≥ zMin also present) — the
+    // absorbed descendants are exactly what the rounds deduped away
+    // (CellOpsIvfSpec pins the complete-quad redundancy case).
+    val redundant = c0.where(zOf(col("cell_id")) > zMin)
+      .select(kc :+ col("cell_id") :+ explode(ancExpr).as("a"): _*)
+      .join(c0.select(kc :+ col("cell_id").as("a"): _*), keys :+ "a")
+      .select(kc :+ col("cell_id"): _*).distinct()
+    val c = c0.join(redundant, keys :+ "cell_id", "left_anti").localCheckpoint(false)
     val contrib = c.where(zOf(col("cell_id")) > zMin)
       .select(kc ++ Seq(explode(ancExpr).as("a"), expr(
         s"shiftleft(CAST(1 AS BIGINT), CAST(2 * ($zMax - shiftrightunsigned(cell_id, 58)) AS INT))")

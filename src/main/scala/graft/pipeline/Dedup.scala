@@ -412,15 +412,19 @@ object Dedup {
     // without this barrier each derivation re-evaluates the whole pair
     // pipeline (measured ~2x the pair cost per resolve at sf0.1)
     val pr = pairs.localCheckpoint(false)
-    // every doc in any pair gets a decision row (self-pairs count as
-    // trivial components even though they drop from the edge set)
-    val nodes = pr.select(col("ida").as("id"))
-      .unionByName(pr.select(col("idb").as("id")))
-      .distinct().localCheckpoint(false)
     // canonical undirected pair set (x < y), self-loops dropped
     var p = pr.select(least(col("ida"), col("idb")).as("x"),
         greatest(col("ida"), col("idb")).as("y"))
       .where(col("x") =!= col("y")).distinct().localCheckpoint(false)
+    // every doc in any pair gets a decision row (self-pairs count as
+    // trivial components even though they drop from the edge set). Built
+    // LAZILY: the local fast path derives the node set on the driver from
+    // the collected edges (endpoints) plus the self-pair-only ids — one
+    // small distinct collect instead of materializing + collecting the
+    // full node relation (was one extra shuffle job per resolve).
+    lazy val nodes = pr.select(col("ida").as("id"))
+      .unionByName(pr.select(col("idb").as("id")))
+      .distinct().localCheckpoint(false)
 
     // SMALL-GRAPH FAST PATH: below the threshold the dedup GRAPH (not the
     // corpus — candidate pairs of a deduped corpus are orders of magnitude
@@ -438,11 +442,21 @@ object Dedup {
           _.dataType == org.apache.spark.sql.types.LongType)) {
       val edgeCount = p.count()
       if (edgeCount <= localMax) {
-        val nodeRows = nodes.limit(2 * localMax.toInt + 1).collect()
-        if (nodeRows.length <= 2 * localMax) // self-pair flood guard
-          return resolveLocal(pairs.sparkSession,
-            nodeRows.map(_.getLong(0)),
-            p.collect().map(r => (r.getLong(0), r.getLong(1))))
+        val edges = p.collect().map(r => (r.getLong(0), r.getLong(1)))
+        // node set = edge endpoints (≤ 2·edgeCount, already bounded) ∪
+        // ids appearing only in SELF-pairs (their own limit guard)
+        val selfIds = pr.where(col("ida") === col("idb"))
+          .select(col("ida")).distinct().limit(2 * localMax.toInt + 1).collect()
+        if (selfIds.length <= 2 * localMax) { // self-pair flood guard
+          val ids = new java.util.LinkedHashSet[java.lang.Long]()
+          edges.foreach { case (a, b) => ids.add(a); ids.add(b) }
+          selfIds.foreach(r => ids.add(r.getLong(0)))
+          val idArr = new Array[Long](ids.size)
+          val it = ids.iterator()
+          var i = 0
+          while (it.hasNext) { idArr(i) = it.next(); i += 1 }
+          return resolveLocal(pairs.sparkSession, idArr, edges)
+        }
       }
     }
 
