@@ -128,13 +128,25 @@ object KnnJoin {
       when(abs(lat) > maxAbsLat, expr(
         s"CAST(raise_error('radiusJoin: |lat| exceeds maxAbsLat=$maxAbsLat') AS DOUBLE)"))
         .otherwise(lat)
+    // Antimeridian guard (ADVICE r5): the gy binning is on raw degrees,
+    // so a pair straddling ±180° lands in distant bins and would be
+    // SILENTLY missed — the same under-gather failure mode the lat guard
+    // exists for. Data within radiusM of the seam must be handled by a
+    // wrapped binning (gy mod the ring's bin count), which no current
+    // corpus needs; until then, refuse loudly instead of under-gathering.
+    val lngLimit = 180.0 - (dLng * 1.001)
+    def guardLng(lng: Column): Column =
+      when(abs(lng) > lngLimit, expr(
+        s"CAST(raise_error('radiusJoin: |lng| within one bin of the antimeridian " +
+          s"(limit $lngLimit) — seam wrapping not implemented') AS DOUBLE)"))
+        .otherwise(lng)
     val binned = points
       .withColumn("gx", floor(guard(col("lat")) / dLat).cast("long"))
-      .withColumn("gy", floor(col("lng") / dLng).cast("long"))
+      .withColumn("gy", floor(guardLng(col("lng")) / dLng).cast("long"))
     val offsets = (for (dx <- -1 to 1; dy <- -1 to 1) yield (dx, dy)).toList
     probes
       .withColumn("pgx", floor(guard(col("plat")) / dLat).cast("long"))
-      .withColumn("pgy", floor(col("plng") / dLng).cast("long"))
+      .withColumn("pgy", floor(guardLng(col("plng")) / dLng).cast("long"))
       .withColumn("o", explode(typedLit(offsets)))
       .withColumn("gx", col("pgx") + col("o._1"))
       .withColumn("gy", col("pgy") + col("o._2"))

@@ -202,8 +202,12 @@ object Sketches {
   def histogram(rows: DataFrame, grp: Column, value: Column,
                 binWidth: Double, nBins: Int): DataFrame = {
     require(binWidth > 0 && nBins >= 2 && nBins <= (1 << 20), "bad histogram shape")
+    // clamped on BOTH ends (ADVICE r5: a negative value used to mint an
+    // unbounded negative bin id, breaking the nBins-counters-per-group
+    // bounded-memory contract; the twin already clamps at 0)
     rows.select(grp.as("grp"),
-        least(floor(value / lit(binWidth)), lit(nBins - 1L)).cast("long").as("bin"))
+        greatest(least(floor(value / lit(binWidth)), lit(nBins - 1L)), lit(0L))
+          .cast("long").as("bin"))
       .groupBy(col("grp"), col("bin")).agg(count(lit(1)).as("c"))
   }
 

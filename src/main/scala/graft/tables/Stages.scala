@@ -105,6 +105,13 @@ final class StageRunner(spark: SparkSession, baseDir: String,
 
   def isCommitted(name: String): Boolean = Files.exists(manifestPath(name))
 
+  private def rmTree(dir: Path): Unit = if (Files.exists(dir)) {
+    val walk = Files.walk(dir)
+    try walk.sorted(java.util.Comparator.reverseOrder[Path]())
+      .forEach(p => Files.deleteIfExists(p))
+    finally walk.close()
+  }
+
   /** Read a manifest's committed data with its RECORDED schema (no
     * inference job); legacy manifests without one infer as before. */
   private def readData(name: String, m: StageManifest): DataFrame = {
@@ -164,10 +171,15 @@ final class StageRunner(spark: SparkSession, baseDir: String,
   }
 
   /** Write `df` as the stage's next snapshot and pointer-swap-commit it
-    * (shared by [[stage]] and [[compactStage]]). */
+    * (shared by [[stage]] and [[compactStage]]). `expectRows` (the
+    * compaction rows-guard) is checked AFTER the data write but BEFORE
+    * any ledger/manifest mutation: on drift the orphan data dir is
+    * deleted and the CURRENT snapshot stays served — the abort message
+    * is then true without any manual rollback (ADVICE r5 #1). */
   private def commitSnapshot(name: String, df: => DataFrame,
                              inputRefs: Seq[InputRef],
-                             prevServed: Option[Long]): DataFrame = {
+                             prevServed: Option[Long],
+                             expectRows: Option[Long] = None): DataFrame = {
     val t0 = System.nanoTime()
     val snapId = math.max(ledger().getOrElse(name, 0L),
       prevServed.getOrElse(0L)) + 1
@@ -178,6 +190,12 @@ final class StageRunner(spark: SparkSession, baseDir: String,
       .count().orderBy("pid")
       .collect().map(r => PartStat(r.getInt(0), r.getLong(1))).toSeq
     val total = parts.map(_.rows).sum
+    expectRows.filter(_ != total).foreach { exp =>
+      rmTree(Paths.get(s"$baseDir/$name/$newDir")) // reap the orphan
+      throw new IllegalStateException(
+        s"compactStage('$name') row drift: $exp -> $total — rewrite aborted " +
+          s"BEFORE commit; snapshot ${prevServed.getOrElse(-1L)} is still current")
+    }
     val manifest = StageManifest(name, snapId, total, inputRefs, parts,
       (System.nanoTime() - t0) / 1000000L, newDir, java.time.Instant.now().toString,
       written.schema.json)
@@ -221,16 +239,14 @@ final class StageRunner(spark: SparkSession, baseDir: String,
     ensureHistory(name)
     val cur = manifestObj(name).getOrElse(throw new IllegalStateException(
       s"compactStage('$name'): stage is not committed"))
-    val out = commitSnapshot(name,
+    // rows-guard BEFORE the pointer swap (expectRows): a drifted rewrite
+    // deletes its orphan data dir and throws with the current snapshot
+    // still served — never a committed-then-rolled-back state (ADVICE r5)
+    commitSnapshot(name,
       readData(name, cur)
         .repartitionByRange(targetFiles, sortCols.map(col): _*)
         .sortWithinPartitions(sortCols.map(col): _*),
-      cur.inputs, prevServed = Some(cur.snapshot_id))
-    val newRows = manifestObj(name).map(_.rows).getOrElse(-1L)
-    require(newRows == cur.rows,
-      s"compactStage('$name') row drift: ${cur.rows} -> $newRows — rewrite aborted " +
-        s"semantics (rollback: readAsOf(${cur.snapshot_id}))")
-    out
+      cur.inputs, prevServed = Some(cur.snapshot_id), expectRows = Some(cur.rows))
   }
 
   /** Committed version ids still on disk (from the immutable per-version
@@ -273,12 +289,6 @@ final class StageRunner(spark: SparkSession, baseDir: String,
     val stageDir = Paths.get(s"$baseDir/$name")
     val keepIds = committedVersions(name).takeRight(keepSnapshots).toSet +
       current.snapshot_id ++ prevServed
-    def rmTree(dir: Path): Unit = if (Files.exists(dir)) {
-      val walk = Files.walk(dir)
-      try walk.sorted(java.util.Comparator.reverseOrder[Path]())
-        .forEach(p => Files.deleteIfExists(p))
-      finally walk.close()
-    }
     val children = Files.list(stageDir)
     val dirs =
       try children.toArray.map(_.asInstanceOf[Path]).filter(Files.isDirectory(_))

@@ -76,6 +76,26 @@ class StageCompactionSpec extends AnyFunSuite {
     assert(st.snapshotId("t").get > compactedSnap)
   }
 
+  test("a drifted rewrite aborts BEFORE the pointer swap: current snapshot untouched") {
+    val (st, dir) = fresh("drift")
+    st.stage("t")(scattered)
+    val snap0 = st.snapshotId("t").get
+    // simulate drift: corrupt the recorded row count so the guard sees a
+    // mismatch against the (row-identical) rewrite
+    val mPath = st.manifestPath("t")
+    val m = graft.tables.ManifestJson.read(mPath, classOf[graft.tables.StageManifest])
+    graft.tables.ManifestJson.writeAtomic(mPath, m.copy(rows = m.rows + 1))
+    val e = intercept[IllegalStateException] { st.compactStage("t", Seq("mkey"), 2) }
+    assert(e.getMessage.contains("row drift"))
+    // the pointer still serves the pre-compaction snapshot and the orphan
+    // rewrite dir was reaped — no committed-then-rolled-back state
+    assert(st.snapshotId("t").get == snap0)
+    assert(spark.read.parquet(st.dataPath("t")).count() == 4000L)
+    val orphans = new java.io.File(s"$dir/t").listFiles()
+      .filter(f => f.getName.startsWith("data_v") && f.getName != s"data_v$snap0")
+    assert(orphans.isEmpty, s"orphan rewrite dirs left: ${orphans.mkString(",")}")
+  }
+
   test("uncommitted stage refuses; sort column must exist") {
     val (st, _) = fresh("guards")
     intercept[IllegalStateException] { st.compactStage("ghost", Seq("k"), 2) }
