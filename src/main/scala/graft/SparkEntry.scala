@@ -2129,8 +2129,12 @@ object SparkEntry {
     val (bw, bs, be, bn) = w.bbox
     val cfg = pipeline.Pipelines.Config(z = w.z, bbox = (bw, bs, be, bn),
       limit = 60, train = 40, valid = 20)
-    f(tables.SyntheticWorld.osmNodes(s, w), tables.SyntheticWorld.osmWays(s, w),
-      tables.SyntheticWorld.images(s, w), cfg)
+    // generate each synthetic input ONCE (expand consumes the image table
+    // in four branches — un-materialized, each branch re-ran the 576
+    // jpeg-encode generation)
+    f(tables.SyntheticWorld.osmNodes(s, w).localCheckpoint(false),
+      tables.SyntheticWorld.osmWays(s, w).localCheckpoint(false),
+      tables.SyntheticWorld.images(s, w).localCheckpoint(false), cfg)
       // deterministic per-(label,split) example-ID checksum: any change to
       // membership (not just counts) flips ids_hash (overflow-free: 40-bit
       // summands over bounded example counts)

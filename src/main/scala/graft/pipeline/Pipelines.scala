@@ -193,7 +193,8 @@ object Pipelines {
     * Output: (example_id, cell_id, label, split, bytes, caption, fmt). */
   def originalTiles(spark: SparkSession, nodes: DataFrame, ways: DataFrame,
                     images: DataFrame, cfg: Config): DataFrame = {
-    val img = imagesInBbox(images, cfg)
+    // both the positive and negative branches join the bbox image set
+    val img = imagesInBbox(images, cfg).localCheckpoint(false)
     // hash-rank limit (TakeOrderedAndProject) emits a single partition and
     // the images join is typically a broadcast, which would pin the whole
     // downstream chain to one task — redistribute the (tiny) lamp set
@@ -359,7 +360,9 @@ object Pipelines {
     * [[StagedExpand]] runs the same graph with a snapshot per stage. */
   def expandedCrops(spark: SparkSession, nodes: DataFrame, ways: DataFrame,
                     images: DataFrame, cfg: Config): DataFrame = {
-    val img = imagesInBbox(images, cfg)
+    // four branches join the bbox image set — materialize it once
+    // (localCheckpoint, auto-released) instead of re-scanning per branch
+    val img = imagesInBbox(images, cfg).localCheckpoint(false)
     val lampsRanked = expandLampsRanked(nodes, cfg)
     val (trainLamps, validLamps) = expandLampSplit(lampsRanked, cfg)
     val negCells = expandNegCells(spark, lampsRanked, nodes, ways, cfg)

@@ -186,9 +186,25 @@ final class StageRunner(spark: SparkSession, baseDir: String,
     val newDir = s"data_v$snapId"
     df.write.mode("overwrite").parquet(s"$baseDir/$name/$newDir")
     val written = spark.read.parquet(s"$baseDir/$name/$newDir")
-    val parts = written.groupBy(spark_partition_id().as("pid"))
-      .count().orderBy("pid")
-      .collect().map(r => PartStat(r.getInt(0), r.getLong(1))).toSeq
+    // per-partition lineage stats from the parquet FOOTERS (driver-side
+    // metadata reads) — the previous spark_partition_id count job cost
+    // one full Spark job per stage commit (~20 jobs per cold index
+    // build); footer row counts are exact and pid = the writer task id
+    // from the part file name
+    val parts = {
+      val dir = new java.io.File(s"$baseDir/$name/$newDir")
+      val conf = spark.sparkContext.hadoopConfiguration
+      Option(dir.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .flatMap { f =>
+          "part-(\\d+)".r.findFirstMatchIn(f.getName).map { m =>
+            val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+              org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+                new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf))
+            try PartStat(m.group(1).toInt, rd.getRecordCount) finally rd.close()
+          }
+        }.sortBy(_.pid).toSeq
+    }
     val total = parts.map(_.rows).sum
     expectRows.filter(_ != total).foreach { exp =>
       rmTree(Paths.get(s"$baseDir/$name/$newDir")) // reap the orphan
