@@ -329,6 +329,18 @@ object SparkEntry {
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
       sys.env.getOrElse("SPARK_GRAFT_ANN_THREADS",
         sys.props.getOrElse("graft.annBuildThreads", chains.size.toString)).toInt)
+    // The production session disables AQE partition coalescing for the
+    // image-decode stages (byte-based coalescing starves CPU-dense
+    // tasks — Bench class doc). The index build is the opposite regime:
+    // KB-scale relational stages whose 32-way exchanges and 32-file
+    // snapshot writes are pure scheduling/file overhead. Scope
+    // coalescing ON for the build (same pattern as the CC rounds) so
+    // stage outputs size themselves by bytes — small stages commit as
+    // one file, large ones keep their width (scale-adaptive, guide §6).
+    val conf = s.conf
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prevCoalesce = conf.getOption(coalesceKey)
+    conf.set(coalesceKey, "true")
     try {
       val futures = chains.map(c => pool.submit(new java.util.concurrent.Callable[Unit] {
         override def call(): Unit = c()
@@ -336,7 +348,13 @@ object SparkEntry {
       futures.foreach(_.get()) // propagate the first chain failure
     } catch {
       case e: java.util.concurrent.ExecutionException => throw e.getCause
-    } finally pool.shutdown()
+    } finally {
+      pool.shutdown()
+      prevCoalesce match {
+        case Some(v) => conf.set(coalesceKey, v)
+        case None => conf.unset(coalesceKey)
+      }
+    }
   }
 
   /** The committed base-CMS stage is keyed by the active hash path —
