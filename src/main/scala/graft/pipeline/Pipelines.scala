@@ -193,8 +193,8 @@ object Pipelines {
     * Output: (example_id, cell_id, label, split, bytes, caption, fmt). */
   def originalTiles(spark: SparkSession, nodes: DataFrame, ways: DataFrame,
                     images: DataFrame, cfg: Config): DataFrame = {
-    // both the positive and negative branches join the bbox image set
-    val img = imagesInBbox(images, cfg).localCheckpoint(false)
+    // not materialized — same reasoning as expandedCrops
+    val img = imagesInBbox(images, cfg)
     // hash-rank limit (TakeOrderedAndProject) emits a single partition and
     // the images join is typically a broadcast, which would pin the whole
     // downstream chain to one task — redistribute the (tiny) lamp set
@@ -360,9 +360,12 @@ object Pipelines {
     * [[StagedExpand]] runs the same graph with a snapshot per stage. */
   def expandedCrops(spark: SparkSession, nodes: DataFrame, ways: DataFrame,
                     images: DataFrame, cfg: Config): DataFrame = {
-    // four branches join the bbox image set — materialize it once
-    // (localCheckpoint, auto-released) instead of re-scanning per branch
-    val img = imagesInBbox(images, cfg).localCheckpoint(false)
+    // NOT materialized here: the branches' bbox re-scans of a parquet
+    // corpus are cheap (column-pruned, page-cached), while checkpointing
+    // every tile's bytes measured a 2x wall regression on the flagship
+    // (4.2 -> 8-10 s). Callers whose image table is GENERATED (the
+    // synthetic-world count queries) materialize it before passing in.
+    val img = imagesInBbox(images, cfg)
     val lampsRanked = expandLampsRanked(nodes, cfg)
     val (trainLamps, validLamps) = expandLampSplit(lampsRanked, cfg)
     val negCells = expandNegCells(spark, lampsRanked, nodes, ways, cfg)
