@@ -384,6 +384,16 @@ class PlanAuditSpec extends AnyFunSuite {
     intercept[Exception] {
       pipeline.KnnJoin.radiusJoin(probes, pts, radiusM = R, maxAbsLat = 50.0).collect()
     }
+    // antimeridian guard (r6, ADVICE r5): a point within one lng bin of
+    // ±180° would silently miss seam-straddling pairs — must refuse loudly
+    val seam = Seq((9L, 53.8310, 179.9999)).toDF("o_orderkey", "lat", "lng")
+    val eSeam = intercept[Exception] {
+      pipeline.KnnJoin.radiusJoin(probes, pts.unionByName(seam),
+        radiusM = R, maxAbsLat = 54.0).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(eSeam).exists(_.contains("antimeridian")), s"unexpected: $eSeam")
   }
 
   test("kNN ring join plans equi-joins on grid keys, not a cross join") {
