@@ -89,8 +89,16 @@ object IvfIndex {
       .localCheckpoint(false)
     if (trainRounds > 0) {
       val q = quantized(corpus).localCheckpoint(false) // feeds every round
-      for (_ <- 0 until trainRounds)
-        cents = meansUpdate(assignQ(q, cents), cents).localCheckpoint(false)
+      // ONE materialization per TWO rounds (the CC-rounds pattern): a
+      // lazy round's centroids are referenced ~3x by the next round, so
+      // fusing trades 3x re-eval of a tiny round for one fewer job
+      // barrier — the barrier is the cost at training-round scale
+      // (centroid relations are nlist rows)
+      for (r <- 0 until trainRounds) {
+        cents = meansUpdate(assignQ(q, cents), cents)
+        if (r % 2 == 1 || r == trainRounds - 1)
+          cents = cents.localCheckpoint(false)
+      }
     }
     cents
   }
@@ -310,8 +318,11 @@ object IvfIndex {
     require(subTrainRounds >= 0 && subTrainRounds <= 16,
       s"subTrainRounds=$subTrainRounds out of [0,16]")
     var subs = subCentroids(sAssigned, nsub).localCheckpoint(false) // feeds assign + route
-    for (_ <- 0 until subTrainRounds)
-      subs = meansUpdate(subAssign(sAssigned, subs), subs).localCheckpoint(false)
+    for (r <- 0 until subTrainRounds) {
+      subs = meansUpdate(subAssign(sAssigned, subs), subs)
+      if (r % 2 == 1 || r == subTrainRounds - 1)
+        subs = subs.localCheckpoint(false) // every-2-rounds barrier, as centroidTable
+    }
     subs
   }
 
